@@ -1,0 +1,27 @@
+"""dvmax_spark — a PySpark-native analytics/feature-engineering engine.
+
+A from-scratch re-expression of the capabilities of the reference system
+(IMGitH/dvmax, surveyed in SURVEY.md) as idiomatic PySpark: declarative
+DataFrame plans optimized by Catalyst, custom operators only where Spark
+lacks a primitive (as-of join, keep-last upsert, schema-lattice union,
+declarative validation), plus large-scale data-pipeline extensions
+(dedup, similarity search, text analysis, streaming).
+
+Design stance (SURVEY.md §7): not a port — the reference's eager Polars
+call-order becomes a lazy Catalyst plan; its per-ticker Python loop
+becomes partitioned window/groupBy computation; its hand-rolled schema
+reconciliation becomes a reusable type-lattice union.
+"""
+
+from dvmax_spark.session import get_spark
+from dvmax_spark.catalog import TABLES, load_table, load_tables, register_views
+
+__all__ = [
+    "get_spark",
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,251 @@
+"""[EXT] Deduplication operators for training-data pipelines.
+
+Five strategies, each picked for a different scale/accuracy point:
+
+  * exact_dedup        — content hash + keep-one; one shuffle on the
+                         hash; the 100 TB workhorse.
+  * minhash_lsh_pairs  — shingle → MinHash signature → banded LSH →
+                         bucket join; candidate generation never
+                         compares all pairs (O(n·bands) shuffle keys).
+  * simhash            — 64-bit near-dup fingerprint; hamming-ball
+                         lookup via band rotation.
+  * ngram_jaccard_pairs— exact Jaccard via inverted-index self-join
+                         with hot-shingle pruning (document-frequency
+                         cap) — exact but superlinear; for validation
+                         and small/medium corpora.
+  * embedding near-dup — see similarity.py (cosine over embeddings).
+
+All signature math uses portable md5-derived token hashes (not engine
+hash functions) so results are reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+_HASH_MOD = 1_000_000_007
+
+
+def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(k)]
+
+
+def _portable_hash(tok: Column) -> Column:
+    """60-bit engine-independent hash (md5 prefix)."""
+    return F.conv(F.substring(F.md5(F.encode(tok, "utf-8")), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonicalization before exact hashing: lowercase, collapse
+    whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized content hash."""
+    h = F.sha2(F.encode(normalize_text(F.col(text_col)), "utf-8"), 256)
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """Add ``signature: array<bigint>`` — k independent min-hashes over
+    the shingle set. Pure Catalyst (transform/array_min), no UDFs."""
+    sh = shingles(text_col, shingle_n)
+    hashed = F.transform(sh, lambda s: _portable_hash(s) % _HASH_MOD)
+    sig_cols = []
+    for a, b in _perm_constants(num_hashes):
+        perm = F.transform(hashed, lambda h: (h * (a % _HASH_MOD) + b) % _HASH_MOD)
+        sig_cols.append(F.array_min(perm))
+    return df.withColumn("signature", F.array(*sig_cols))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    A pair lands in a bucket iff one of the ``bands`` signature slices
+    matches exactly. Estimated Jaccard = fraction of equal signature
+    positions; pairs below ``threshold`` are dropped. Shuffles on
+    (band, band_hash) — never materializes the n² pair space.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(df, text_col, num_hashes, shingle_n).select(
+        F.col(id_col), "signature"
+    )
+    banded = sig.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("signature")[b * rows + r] for r in range(rows)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "signature", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    left = banded.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col(id_col).alias("id_a"),
+        F.col("signature").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col(id_col).alias("id_b"),
+        F.col("signature").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda eq: eq
+        )
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens: bit b of the fingerprint is the
+    sign of sum over tokens of (+1 / -1) for bit b of the token hash.
+    Implemented as 64 JVM-side aggregate expressions over the token
+    array — no explode, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    hashed = F.transform(toks, _portable_hash)
+    fp = F.lit(0).cast("long")
+    for b in range(60):  # portable hash is 60 bits
+        bit_sum = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h, _b=b: acc
+            + F.when(F.shiftright(h, _b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        fp = fp + F.when(bit_sum > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out, fp)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed on 4
+    16-bit bands (any pair within hamming<=3 of 60 bits shares at
+    least one of 4 bands by pigeonhole)."""
+    with_fp = simhash(df, text_col).select(F.col(id_col), "simhash")
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("band_key"),
+        )
+        for b in range(4)
+    ]
+    banded = with_fp.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bk")).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    left = banded.select("band", "band_key", F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    right = banded.select("band", "band_key", F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_doc_freq: float | None = 0.5,
+) -> DataFrame:
+    """Exact unigram-Jaccard pairs via inverted-index self-join.
+
+    ``max_doc_freq`` drops tokens present in more than that fraction of
+    documents before the join — the standard trick that keeps the
+    inverted index from exploding on stop-words at scale. Pairs sharing
+    ONLY pruned tokens are missed; with threshold >= 0.5 such pairs
+    can't reach the threshold anyway when pruned tokens are ubiquitous.
+    Set ``max_doc_freq=None`` for the fully-exact (oracle) variant.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    )
+    if max_doc_freq is not None:
+        n_docs = df.count()
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .where(F.col("df") > max_doc_freq * n_docs)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col(id_col).alias("id_a"), "tok")
+    b = toks.select(F.col(id_col).alias("id_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    j = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", j)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

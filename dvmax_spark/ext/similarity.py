@@ -1,0 +1,148 @@
+"""[EXT] Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact; cross join pruned to the query
+    set, dot products as JVM-side zip_with/aggregate folds (no Python).
+    O(|Q|·N) — right when |Q| is small or N fits a broadcast.
+  * random-hyperplane LSH buckets — the scale path: each vector maps
+    to a small signature; candidates share a bucket, exact cosine is
+    computed only within buckets. O(N) shuffle, tunable recall.
+
+Hyperplanes are deterministic (seeded) so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-fold dot product (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    query_ids,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    Cosine is rounded to 4 decimals BEFORE ranking (ties broken by
+    neighbor id) so rankings are reproducible across engines and
+    summation orders.
+    """
+    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    q = vecs.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("q_v")
+    )
+    c = vecs.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_v"))
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("q_id") != F.col("c_id"))
+    scored = pairs.select(
+        "q_id", "c_id", F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", F.col("cos").alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_ids(vec: Column, planes: list[list[float]]) -> Column:
+    """Signature = sign bits of projections onto fixed hyperplanes."""
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(p) for p in plane]))
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_ids,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact cosine within shared LSH buckets only.
+
+    n_planes=8 → 256 buckets; expected candidates per query = N/256.
+    Recall is tunable (fewer planes → bigger buckets → higher recall).
+    At cluster scale the bucket join replaces the cross join: shuffle
+    keyed on bucket id, broadcast-sized per-bucket candidate lists.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    vecs = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket_ids(F.col("v"), planes))
+    q = vecs.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("q_v"), "bucket"
+    )
+    c = vecs.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_v"), "bucket")
+    pairs = q.join(c, "bucket").where(F.col("q_id") != F.col("c_id"))
+    scored = pairs.select(
+        "q_id", "c_id", F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", F.col("cos").alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets (near-dups
+    land in the same bucket with high probability at cos >= 0.95)."""
+    planes = _hyperplanes(dim, n_planes)
+    vecs = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket_ids(F.col("v"), planes))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""[EXT] Text analysis over document tables — all Catalyst expressions,
+no Python UDFs: token counting, quality scoring, n-gram-heuristic
+language ID, and rolling-hash document fingerprints.
+
+Everything here is a narrow projection over the text column, so the
+scan prunes to (id, text) and the operators scale linearly with zero
+shuffles (fingerprint/lang-id are per-row expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram-heuristic language ID.
+# Order fixes argmax tie-breaking.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "ist"),
+    "es": ("el", "la", "de", "y", "en", "que", "es"),
+    "fr": ("le", "la", "les", "et", "un", "en", "est"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和"),
+}
+
+# Mod constants for the order-sensitive document fingerprint (fits in
+# int64 with room: (hash % 1e6+3) * position stays < 2^63 for any
+# realistic document length).
+_FP_TOKEN_MOD = 1_000_003
+_FP_MOD = 1_000_000_007
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (documents testdata is space-separated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish tokenization: split on word boundaries keeping
+    punctuation as tokens — a cheap stand-in for subword counting."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.regexp_replace(c, r"([^\w\s])", r" $1 "), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens / n_distinct_tokens / distinct_ratio / avg_token_len."""
+    t = tokens(text_col)
+    n = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("n_distinct_tokens", n_distinct)
+        .withColumn(
+            "distinct_ratio",
+            F.when(n > 0, n_distinct.cast("double") / n).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(None)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation +
+    vocabulary diversity + stopword plausibility (the standard cheap
+    pre-training filters)."""
+    t = tokens(text_col)
+    n = F.size(t).cast("double")
+    n_distinct = F.size(F.array_distinct(t)).cast("double")
+    sw = list(LANG_STOPWORDS["en"])
+    n_stop = F.size(F.filter(t, lambda x: x.isin(sw))).cast("double")
+    length_part = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity_part = F.when(n > 0, n_distinct / n).otherwise(F.lit(0.0))
+    stop_part = F.least(F.when(n > 0, n_stop / n).otherwise(F.lit(0.0)) * 4.0, F.lit(1.0))
+    score = 0.4 * length_part + 0.3 * diversity_part + 0.3 * stop_part
+    return df.withColumn("quality", score)
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language stopword-hit counts (with multiplicity) + predicted
+    language (argmax, ties broken by LANG_STOPWORDS key order)."""
+    t = tokens(text_col)
+    out = df
+    langs = list(LANG_STOPWORDS)
+    for lang in langs:
+        words = list(LANG_STOPWORDS[lang])
+        out = out.withColumn(f"score_{lang}", F.size(F.filter(t, lambda x: x.isin(words))))
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = ge if cond is None else (cond & ge)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    out = out.withColumn("predicted_lang", pred.otherwise(F.lit(langs[-1])))
+    return out
+
+
+def _token_hash(tok: Column) -> Column:
+    """Engine-independent 60-bit token hash: first 15 hex digits of md5.
+
+    Uses md5 (identical across Spark/DuckDB/everything) instead of the
+    engines' native hash functions so fingerprints are portable.
+    """
+    return F.conv(F.substring(F.md5(F.encode(tok, "utf-8")), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted polynomial
+    over portable token hashes, mod a large prime. Reordering tokens
+    changes the fingerprint; duplicates collide with prob ~1e-9."""
+    t = tokens(text_col)
+    hashed = F.transform(t, lambda x, i: ((_token_hash(x) % _FP_TOKEN_MOD) * (i + 1)))
+    fp = F.aggregate(hashed, F.lit(0).cast("long"), lambda acc, x: (acc + x) % _FP_MOD)
+    return df.withColumn(out, fp)
+
+
+def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle SQL mirroring lang_scores(), generated from the
+    same LANG_STOPWORDS table so both sides always agree."""
+    langs = list(LANG_STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_exprs.append(
+            f"len(list_filter(str_split({text_col}, ' '), x -> x IN ({words}))) AS score_{lang}"
+        )
+    pred_cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        pred_cases.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {", ".join(score_exprs)} FROM {table}
+    )
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+           CASE {" ".join(pred_cases)} ELSE '{langs[-1]}' END AS predicted_lang
+    FROM scored ORDER BY doc_id
+    """

@@ -1,0 +1,371 @@
+"""[EXT] Extension-operator queries (SURVEY.md §2.13): dedup,
+similarity search, text analysis, multimodal plumbing, streaming.
+
+Deterministic ops carry DuckDB oracles; LSH/approximate/Python-stub ops
+register with ``sql=None`` (driver records a rows-only check) and get
+property-based tests instead (tests/test_ext.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dvmax_spark.catalog import load_table
+from dvmax_spark.ext.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_near_pairs,
+)
+from dvmax_spark.ext.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from dvmax_spark.ext.textstats import (
+    fingerprint,
+    lang_id_sql,
+    lang_scores,
+    quality_score,
+    token_stats,
+)
+from dvmax_spark.registry import query
+from dvmax_spark.streaming.ops import session_counts_batch, tumbling_counts
+
+# ------------------------------------------------------------- dedup
+
+
+@query(
+    "x_exact_dedup",
+    ids=("X1",),
+    bench=True,
+    sql="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_distinct
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def x_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via normalized content hash: per source, total vs
+    distinct document counts (the 100 TB workhorse: hash + groupBy)."""
+    docs = load_table(spark, "documents", sf)
+    from dvmax_spark.ext.dedup import normalize_text
+
+    h = F.md5(F.encode(normalize_text(F.col("text")), "utf-8"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(h).alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "x_ngram_jaccard",
+    ids=("X2",),
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(str_split(text, ' '),
+                              (x, i) -> CASE WHEN i < len(str_split(text, ' '))
+                                             THEN x || ' ' || str_split(text, ' ')[i + 1] END),
+               g -> g IS NOT NULL)) AS grams
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(grams) AS g FROM d
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id
+    ), c AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+    FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+    WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.06
+    ORDER BY id_a, id_b
+    """,
+)
+def x_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact bigram-Jaccard near-dup pairs via inverted-index self-join
+    (no pruning here so the oracle is exact; the engine's scale variant
+    prunes hot shingles via max_doc_freq)."""
+    docs = load_table(spark, "documents", sf)
+    with_grams = docs.select("doc_id", shingles("text", 2).alias("grams"))
+    toks = with_grams.select("doc_id", F.explode("grams").alias("g"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("doc_id").alias("id_a"), "g")
+    b = toks.select(F.col("doc_id").alias("id_b"), "g")
+    common = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    j = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(j >= 0.06)
+        .select("id_a", "id_b", F.round(j, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("x_minhash_lsh", ids=("X3",), sql=None)
+def x_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
+    join). Approximate by construction → rows-only driver check;
+    accuracy vs exact Jaccard is property-tested in tests/test_ext.py."""
+    docs = load_table(spark, "documents", sf)
+    return minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
+    ).orderBy("id_a", "id_b")
+
+
+@query("x_simhash_pairs", ids=("X4",), sql=None)
+def x_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 10 (banded
+    lookup). Engine-deterministic (portable md5-derived hashes) but not
+    SQL-expressible compactly → rows-only check."""
+    docs = load_table(spark, "documents", sf)
+    return simhash_near_pairs(docs, max_hamming=10).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------- similarity
+
+
+@query(
+    "x_cosine_topk",
+    ids=("X5",),
+    bench=True,
+    sql="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cos
+      FROM v q JOIN v c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM pairs
+    )
+    SELECT q_id, rnk, c_id, cos AS cosine
+    FROM ranked WHERE rnk <= 3
+    ORDER BY q_id, rnk
+    """,
+)
+def x_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for query vectors 0..9 —
+    the exact ANN baseline. JVM-side zip_with/aggregate dot products."""
+    emb = load_table(spark, "embeddings", sf)
+    return cosine_topk_bruteforce(emb, query_ids=range(10), k=3).orderBy("q_id", "rnk")
+
+
+@query("x_cosine_topk_lsh", ids=("X6",), sql=None)
+def x_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-3 via random-hyperplane LSH buckets — the scale path
+    (exact cosine only within shared buckets). Approximate → rows-only
+    check; recall vs brute force property-tested."""
+    emb = load_table(spark, "embeddings", sf)
+    return cosine_topk_lsh(emb, query_ids=range(10), k=3, n_planes=4).orderBy("q_id", "rnk")
+
+
+# ------------------------------------------------------------- text analysis
+
+
+@query(
+    "x_text_stats",
+    ids=("X7",),
+    bench=True,
+    sql="""
+    WITH s AS (
+      SELECT lang,
+             len(str_split(text, ' ')) AS n_tokens,
+             len(list_distinct(str_split(text, ' '))) AS n_distinct,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(n_distinct::DOUBLE / n_tokens), 4) AS avg_distinct_ratio,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def x_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + diversity stats per language bucket."""
+    docs = load_table(spark, "documents", sf)
+    stats = token_stats(docs)
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x_quality_score",
+    ids=("X8",),
+    sql="""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks)::DOUBLE AS n,
+             len(list_distinct(toks))::DOUBLE AS nd,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is')))::DOUBLE AS ns
+      FROM t
+    )
+    SELECT doc_id,
+           round(0.4 * least(n / 100.0, 1.0)
+               + 0.3 * (CASE WHEN n > 0 THEN nd / n ELSE 0 END)
+               + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0 END) * 4.0, 1.0), 4) AS quality
+    FROM s ORDER BY doc_id
+    """,
+)
+def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality score (length saturation + diversity +
+    stopword plausibility) — the standard cheap pre-training filter."""
+    docs = load_table(spark, "documents", sf)
+    return (
+        quality_score(docs)
+        .select("doc_id", F.round("quality", 4).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+@query("x_lang_id", ids=("X9",), sql=lang_id_sql())
+def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-heuristic language ID: per-language hit counts +
+    argmax prediction (oracle SQL generated from the same vocabulary)."""
+    docs = load_table(spark, "documents", sf)
+    return (
+        lang_scores(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "score_en",
+            "score_de",
+            "score_es",
+            "score_fr",
+            "score_zh",
+            "predicted_lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x_fingerprint",
+    ids=("X10",),
+    sql="""
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(str_split(text, ' '),
+                            (x, i) -> (('0x' || substr(md5(x), 1, 15))::BIGINT % 1000003) * i),
+             'sum') % 1000000007 AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-sensitive document fingerprint over portable (md5-derived)
+    token hashes — identical across engines by construction."""
+    docs = load_table(spark, "documents", sf)
+    return fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@query("x_image_features", ids=("X11",), sql=None)
+def x_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → mapInPandas
+    feature extraction (decode stubbed deterministically — see
+    ext/multimodal.py). Python-side stub → rows-only check."""
+    from dvmax_spark.ext.multimodal import attach_fake_payload, extract_image_features
+
+    docs = load_table(spark, "documents", sf)
+    return extract_image_features(attach_fake_payload(docs)).orderBy("doc_id")
+
+
+@query(
+    "x_frame_sample",
+    ids=("X12",),
+    sql="""
+    SELECT doc_id, unnest(generate_series(0, 100 + doc_id % 50 - 1, 10)) AS frame_idx
+    FROM documents ORDER BY doc_id, frame_idx
+    """,
+)
+def x_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plumbing: per-asset frame-index explosion
+    (every 10th frame of a stubbed frame count)."""
+    from dvmax_spark.ext.multimodal import frame_sample_plan
+
+    docs = load_table(spark, "documents", sf)
+    return frame_sample_plan(docs, every_n=10).orderBy("doc_id", "frame_idx")
+
+
+# ------------------------------------------------------------- streaming
+
+
+@query(
+    "t_tumbling_window",
+    ids=("T1",),
+    bench=True,
+    sql="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def t_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time window agg — the same transform runs on a
+    readStream frame with a watermark (tests/test_streaming.py verifies
+    batch-stream equivalence)."""
+    ev = load_table(spark, "events", sf)
+    return tumbling_counts(ev, width="1 hour").orderBy("window_start", "event_type")
+
+
+@query(
+    "t_session_window",
+    ids=("T2",),
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          + INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def t_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30 min gap) via native session_window — oracle
+    reconstructs the identical semantics with lag+cumsum SQL."""
+    ev = load_table(spark, "events", sf)
+    return session_counts_batch(ev, gap="30 minutes").orderBy("user_id", "session_start")
