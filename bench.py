@@ -4,9 +4,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed with a count() action (forces the full plan,
-returns no rows to the driver). A warmup query amortizes JVM/codegen
-startup out of the per-query numbers.
+Each query is executed against the noop sink (forces the complete
+plan including final sorts, returns nothing to the driver — unlike
+count(), which lets Catalyst prune sorts/columns). Each query runs
+twice and reports the min, separating plan cost from container noise
+(GC, neighbor load). A warmup query amortizes JVM/codegen startup.
 """
 
 from __future__ import annotations
@@ -25,15 +27,18 @@ def main() -> None:
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
+    def run(spec) -> float:
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     # warmup: JVM + codegen + parquet footer reads
-    next(iter(specs.values())).fn(spark, sf_dir).count()
+    run(next(iter(specs.values())))
 
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
+        dt = round(min(run(spec), run(spec)), 3)
         timings[name] = dt
         total += dt
 
