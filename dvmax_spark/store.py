@@ -1,0 +1,142 @@
+"""Incremental Parquet feature store (SURVEY.md §1.4, §7 step 5).
+
+Re-expresses the reference's storage layer on Spark conventions:
+
+  reference                                  | engine
+  -------------------------------------------|---------------------------
+  per-ticker files `{TICKER}.parquet`         | ONE table partitioned by
+  (ticker_batch_runner.py:136-139, 166-167)   | key col (partition pruning
+                                              | replaces per-file touch)
+  concat + unique(keep="last") upsert (:310)  | upsert_keep_last + dynamic
+                                              | partition overwrite
+  skip already-materialized dates (:433-443)  | left-anti join on keys
+  superset-schema merge scan (:527-548)       | mergeSchema read +
+                                              | align_and_union
+  atomic temp-file replace (:352-361)         | Spark job-commit protocol
+  `_audit/` flagged-row text files (:396-401) | quarantine parquet table
+  zstd + round(2)->Float32 compaction (:190)  | zstd + round_downcast at
+                                              | the write edge only
+
+At cluster scale the partition column should be a stable bucket of the
+business key (e.g. hash(ticker) % N) rather than raw high-cardinality
+values; `partition_col` accepts any expression name present in the frame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dvmax_spark.operators.union_ops import align_and_union
+from dvmax_spark.operators.upsert import upsert_keep_last
+
+
+class FeatureStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keys: list[str],
+        partition_col: str | None = None,
+        compact_round: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.keys = list(keys)
+        self.partition_col = partition_col or self.keys[0]
+        self.compact_round = compact_round
+
+    # ------------------------------------------------------------ paths
+    @property
+    def main_path(self) -> str:
+        return os.path.join(self.root, "main")
+
+    @property
+    def quarantine_path(self) -> str:
+        return os.path.join(self.root, "_audit")
+
+    # ------------------------------------------------------------ io
+    def exists(self) -> bool:
+        try:
+            self.spark.read.parquet(self.main_path)
+            return True
+        except Exception:  # noqa: BLE001 - missing path
+            return False
+
+    def read(self) -> DataFrame:
+        """Superset-schema scan (mergeSchema handles column evolution —
+        the reference's two-pass column-superset merge, free on Spark)."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.main_path)
+
+    def _compact(self, df: DataFrame) -> DataFrame:
+        """Storage-edge compaction (round->float only here, never in
+        compute — SURVEY §7 Float32 hazard)."""
+        if self.compact_round is None:
+            return df
+        out = df
+        for name, dtype in df.dtypes:
+            if dtype == "double" and name not in self.keys:
+                out = out.withColumn(
+                    name, F.round(F.col(name), self.compact_round).cast("float")
+                )
+        return out
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        (
+            self._compact(df)
+            .repartition(self.partition_col)
+            .write.mode(mode)
+            .partitionBy(self.partition_col)
+            .option("compression", "zstd")
+            .parquet(self.main_path)
+        )
+
+    # ------------------------------------------------------------ ops
+    def append_new_keys(self, updates: DataFrame) -> int:
+        """Incremental append: only rows whose key tuple is absent
+        (ref skip-existing anti-join, ticker_batch_runner.py:433-443).
+        Returns rows appended."""
+        if not self.exists():
+            self._write(updates, "overwrite")
+            return updates.count()
+        existing_keys = self.read().select(*self.keys)
+        fresh = updates.join(existing_keys, self.keys, "left_anti")
+        n = fresh.count()
+        if n:
+            self._write(fresh, "append")
+        return n
+
+    def upsert(self, updates: DataFrame, order_by: list[str] | str = ()) -> None:
+        """Keep-last merge: updates win per key (ref concat+unique
+        keep='last'). Rewrites only the partitions present in the merged
+        frame (dynamic partition overwrite)."""
+        if not self.exists():
+            self._write(updates, "overwrite")
+            return
+        merged = upsert_keep_last(self.read(), updates, keys=self.keys, order_by=order_by)
+        # dynamic partitionOverwriteMode=dynamic (session conf) replaces
+        # only partitions present in `merged`
+        out = merged.cache()
+        out.count()
+        self._write(out, "overwrite")
+        out.unpersist()
+
+    def overwrite_partition_values(self, updates: DataFrame) -> None:
+        """Partition-level replace (ref macro delete-year-then-append,
+        macro_batch_runner.py:141-145): dynamic overwrite writes only the
+        partitions carried by `updates`."""
+        self._write(updates, "overwrite")
+
+    def quarantine(self, rows: DataFrame) -> None:
+        """Audit sink for dropped rows (ref `_write_flagged_audit`)."""
+        rows.write.mode("append").option("compression", "zstd").parquet(
+            self.quarantine_path
+        )
+
+    def merged_view(self, dfs: list[DataFrame] | None = None) -> DataFrame:
+        """The reference's global merge (ticker_batch_runner.py:509-553):
+        type-lattice union of heterogeneous frames, sorted layout."""
+        frames = dfs if dfs else [self.read()]
+        return align_and_union(frames).orderBy(*self.keys)

@@ -1,0 +1,191 @@
+"""Unit tests for the custom operators: as-of join strategies/ties/
+tolerance, keep-last upsert determinism, schema-lattice union,
+validation severity routing, top-k."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = _df(
+            spark,
+            [("a", 10, "L1"), ("a", 20, "L2"), ("a", 5, "L0"), ("b", 15, "L3")],
+            "k string, t long, tag string",
+        )
+        right = _df(
+            spark,
+            [("a", 8, 1.0), ("a", 20, 2.0), ("b", 30, 3.0)],
+            "k string, t long, v double",
+        )
+        return left, right
+
+    def test_backward_with_tie(self, spark):
+        from dvmax_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["tag"]: r
+            for r in asof_join(left, right, on="t", by="k", strategy="backward").collect()
+        }
+        assert out["L0"]["v"] is None  # nothing at/before 5
+        assert out["L1"]["v"] == 1.0  # t=8
+        assert out["L2"]["v"] == 2.0  # tie t=20 matches (<=)
+        assert out["L3"]["v"] is None  # b: right at 30 > 15
+
+    def test_forward(self, spark):
+        from dvmax_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["tag"]: r
+            for r in asof_join(left, right, on="t", by="k", strategy="forward").collect()
+        }
+        assert out["L0"]["v"] == 1.0  # next at 8
+        assert out["L1"]["v"] == 2.0  # next at 20 (8 < 10)
+        assert out["L2"]["v"] == 2.0  # tie at 20
+        assert out["L3"]["v"] == 3.0  # next at 30
+
+    def test_backward_tolerance(self, spark):
+        from dvmax_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["tag"]: r
+            for r in asof_join(
+                left, right, on="t", by="k", strategy="backward", tolerance=1
+            ).collect()
+        }
+        assert out["L1"]["v"] is None  # 10-8=2 > 1
+        assert out["L2"]["v"] == 2.0  # exact match within tolerance
+
+    def test_column_collision_suffix(self, spark):
+        from dvmax_spark.operators.asof import asof_join
+
+        left = _df(spark, [("a", 10, 9.9)], "k string, t long, v double")
+        right = _df(spark, [("a", 8, 1.0)], "k string, t long, v double")
+        out = asof_join(left, right, on="t", by="k").collect()[0]
+        assert out["v"] == 9.9 and out["v_right"] == 1.0 and out["t_right"] == 8
+
+
+class TestUpsert:
+    def test_updates_win_and_order_by_breaks_ties(self, spark):
+        from dvmax_spark.operators.upsert import upsert_keep_last
+
+        existing = _df(
+            spark,
+            [(1, "old", 1), (2, "keep", 1)],
+            "id long, val string, ver int",
+        )
+        updates = _df(
+            spark,
+            [(1, "new-v1", 1), (1, "new-v2", 2)],
+            "id long, val string, ver int",
+        )
+        out = {
+            r["id"]: r["val"]
+            for r in upsert_keep_last(existing, updates, keys=["id"], order_by="ver").collect()
+        }
+        assert out == {1: "new-v2", 2: "keep"}
+
+    def test_missing_columns_filled(self, spark):
+        from dvmax_spark.operators.upsert import upsert_keep_last
+
+        existing = _df(spark, [(1, "a")], "id long, val string")
+        updates = _df(spark, [(2, "b", 5.0)], "id long, val string, extra double")
+        rows = {r["id"]: r for r in upsert_keep_last(existing, updates, ["id"]).collect()}
+        assert rows[1]["extra"] is None and rows[2]["extra"] == 5.0
+
+
+class TestAlignUnion:
+    def test_type_lattice(self, spark):
+        from dvmax_spark.operators.union_ops import align_and_union, resolve_dtype
+
+        a = _df(spark, [(1, 1.5, "x")], "i int, f double, s string")
+        b = _df(spark, [(2, 2, 3)], "i bigint, f int, s int")
+        u = align_and_union([a, b])
+        assert dict(u.dtypes) == {"i": "bigint", "f": "double", "s": "string"}
+        assert u.count() == 2
+
+        assert resolve_dtype(T.NullType(), T.IntegerType()) == T.IntegerType()
+        assert resolve_dtype(T.StringType(), T.DoubleType()) == T.StringType()
+        assert resolve_dtype(T.BooleanType(), T.IntegerType()) == T.IntegerType()
+        assert resolve_dtype(T.DateType(), T.TimestampType()) == T.TimestampType()
+        assert resolve_dtype(T.DateType(), T.DoubleType()) == T.StringType()
+
+    def test_missing_columns_first_seen_order(self, spark):
+        from dvmax_spark.operators.union_ops import align_and_union
+
+        a = _df(spark, [(1, "x")], "id int, a string")
+        b = _df(spark, [(2, "y")], "id int, b string")
+        u = align_and_union([a, b])
+        assert u.columns == ["id", "a", "b"]
+        rows = {r["id"]: r for r in u.collect()}
+        assert rows[1]["b"] is None and rows[2]["a"] is None
+
+
+class TestValidation:
+    def test_severity_routing_and_messages(self, spark):
+        from dvmax_spark.validation.rules import RangeRule, apply_rules, split_by_status
+
+        df = _df(spark, [(1, 0.05), (2, 0.5), (3, None)], "id long, x double")
+        out = apply_rules(
+            df,
+            [
+                RangeRule("x", lo=0.0, hi=0.1),
+                RangeRule("x", lo=None, hi=0.9, allow_missing=False, severity="dropped"),
+            ],
+        )
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["validation_status"] == "ok" and rows[1]["violations"] == ""
+        assert rows[2]["validation_status"] == "flagged"
+        assert rows[2]["violations"] == "range:x"
+        assert rows[3]["validation_status"] == "dropped"  # missing not allowed
+        accepted, quarantined = split_by_status(out)
+        assert accepted.count() == 2 and quarantined.count() == 1
+
+    def test_nullify_unstable(self, spark):
+        from dvmax_spark.validation.rules import NullifyUnstableRatio, apply_rules
+
+        df = _df(spark, [(1, 5.0, 0.5), (2, 5.0, 100.0)], "id long, ratio double, den double")
+        out = apply_rules(
+            df, [], nullify=[NullifyUnstableRatio("ratio", "den", floor=1.0)]
+        )
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["ratio"] is None and "nullified:ratio" in rows[1]["violations"]
+        assert rows[2]["ratio"] == 5.0 and rows[2]["violations"] == ""
+
+    def test_jump_rule(self, spark):
+        from dvmax_spark.validation.rules import JumpRule, apply_rules
+
+        df = _df(
+            spark,
+            [("t", 1, 1.0), ("t", 2, 100.0), ("t", 3, 101.0)],
+            "k string, seq long, x double",
+        )
+        out = apply_rules(df, [JumpRule("x", limit=50.0, keys=("k",), order_col="seq")])
+        rows = {r["seq"]: r["validation_status"] for r in out.collect()}
+        assert rows[1] == "ok" and rows[2] == "flagged" and rows[3] == "ok"
+
+
+class TestTopK:
+    def test_rank_kept(self, spark):
+        from dvmax_spark.operators.topk import top_k_per_group
+
+        df = _df(
+            spark,
+            [("a", i, float(i)) for i in range(10)] + [("b", 1, 7.0)],
+            "g string, i long, v double",
+        )
+        out = top_k_per_group(df, "g", [F.col("v").desc()], k=2, keep_rank="rnk")
+        got = {(r["g"], r["rnk"]): r["v"] for r in out.collect()}
+        assert got[("a", 1)] == 9.0 and got[("a", 2)] == 8.0 and got[("b", 1)] == 7.0
