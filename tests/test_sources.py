@@ -1,0 +1,160 @@
+"""Source-layer tests: retry/backoff semantics against a fake
+transport (no network — the offline inversion of the reference's live
+fetcher tests), JSON->typed-frame adapters, file scans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+
+class FakeTransport:
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = 0
+
+    def __call__(self, url, timeout):
+        self.calls += 1
+        status, payload, retry_after = self.script.pop(0)
+        return status, payload, retry_after
+
+
+def _client(script, sleeps=None):
+    from dvmax_spark.sources.http import HttpClient, RetryPolicy
+
+    recorded = [] if sleeps is None else sleeps
+    return HttpClient(
+        FakeTransport(script),
+        RetryPolicy(max_retries=3, jitter=0.0),
+        sleep=recorded.append,
+    )
+
+
+class TestHttpClient:
+    def test_success_first_try(self):
+        c = _client([(200, {"a": 1}, None)])
+        assert c.fetch("u") == {"a": 1}
+
+    def test_404_is_empty(self):
+        c = _client([(404, "", None)])
+        assert c.fetch("u") is None
+
+    def test_retries_then_success_with_backoff(self):
+        sleeps = []
+        c = _client([(503, "", None), (503, "", None), (200, [1], None)], sleeps)
+        assert c.fetch("u") == [1]
+        assert sleeps == [1.5, 1.5**2]  # exponential, no jitter
+
+    def test_retry_after_honored_and_capped(self):
+        sleeps = []
+        c = _client([(429, "", 120.0), (200, [], None)], sleeps)
+        c.fetch("u")
+        assert sleeps == [30.0]  # capped at 30s (ref base.py backoff cap)
+
+    def test_non_retryable_raises(self):
+        from dvmax_spark.sources.http import HttpError
+
+        c = _client([(401, "nope", None)])
+        with pytest.raises(HttpError) as e:
+            c.fetch("u")
+        assert e.value.status == 401
+
+    def test_exhausted_retries_raise(self):
+        from dvmax_spark.sources.http import HttpError
+
+        c = _client([(503, "", None)] * 4)
+        with pytest.raises(HttpError):
+            c.fetch("u")
+
+
+PRICE_SCHEMA = T.StructType(
+    [
+        T.StructField("date", T.StringType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+
+class TestJsonAdapter:
+    def test_records_to_typed_frame(self, spark):
+        from dvmax_spark.sources.rest import json_records_to_df
+
+        df = json_records_to_df(
+            spark,
+            [{"date": "2024-01-01", "close": 1.5}, {"date": "2024-01-02"}],
+            PRICE_SCHEMA,
+        )
+        rows = df.collect()
+        assert rows[0]["close"] == 1.5 and rows[1]["close"] is None
+
+    def test_empty_keeps_schema(self, spark):
+        from dvmax_spark.sources.rest import json_records_to_df
+
+        df = json_records_to_df(spark, None, PRICE_SCHEMA)
+        assert df.count() == 0 and df.schema == PRICE_SCHEMA
+
+    def test_fetch_json_source(self, spark):
+        from dvmax_spark.sources.rest import fetch_json_source
+
+        c = _client([(200, {"historical": [{"date": "2024-01-01", "close": 2.0}]}, None)])
+        df = fetch_json_source(spark, c, "u", PRICE_SCHEMA, record_path="historical")
+        assert df.collect()[0]["close"] == 2.0
+
+    def test_distributed_fetch(self, spark):
+        """mapInPandas partition fetcher with a fake client (defined
+        locally so cloudpickle ships it by value to workers)."""
+        from dvmax_spark.sources.rest import fetch_json_source_distributed
+
+        def url_for_key(k):
+            return f"https://example.test/{k}"
+
+        class FakeClient:
+            def fetch(self, url):
+                key = url.rsplit("/", 1)[-1]
+                return [{"date": "2024-01-01", "close": 1.0 if key == "AAA" else 2.0}]
+
+        keys = spark.createDataFrame([("AAA",), ("BBB",)], "key string")
+        out = fetch_json_source_distributed(
+            keys,
+            url_for_key=url_for_key,
+            make_client=FakeClient,
+            schema=PRICE_SCHEMA,
+        )
+        rows = {r["key"]: r for r in out.collect()}
+        assert rows["AAA"]["close"] == 1.0 and rows["BBB"]["close"] == 2.0
+
+
+class TestFileSources:
+    def test_ticker_universe(self, spark, tmp_path):
+        from dvmax_spark.sources.files import read_ticker_universe
+
+        p = tmp_path / "tickers.txt"
+        p.write_text("aapl\n msft \nBRK.B\nnot a ticker!!\naapl\n")
+        got = sorted(r["ticker"] for r in read_ticker_universe(spark, str(p)).collect())
+        assert got == ["AAPL", "BRK.B", "MSFT"]
+
+    def test_csv_skiprows(self, spark, tmp_path):
+        from dvmax_spark.sources.files import read_remote_csv
+
+        p = tmp_path / "r.csv"
+        p.write_text("garbage1\ngarbage2\nticker,weight\nAAPL,1.0\nMSFT,2.0\n")
+        df = read_remote_csv(spark, str(p), skip_rows=2, header=True)
+        vals = [tuple(r) for r in df.collect()]
+        assert df.columns == ["ticker", "weight"]
+        assert ("AAPL", "1.0") in vals and ("MSFT", "2.0") in vals
+
+    def test_wide_pivot(self, spark):
+        from dvmax_spark.sources.files import wide_pivot_indicators
+
+        long_df = spark.createDataFrame(
+            [
+                ("US", 2020, "GDP", 100.0),
+                ("US", 2020, "CPI", 2.0),
+                ("US", 2021, "GDP", 110.0),
+            ],
+            "country string, year int, indicator string, value double",
+        )
+        wide = wide_pivot_indicators(long_df, ["country", "year"], indicators=["GDP", "CPI"])
+        rows = {r["year"]: r for r in wide.collect()}
+        assert rows[2020]["GDP"] == 100.0 and rows[2020]["CPI"] == 2.0
+        assert rows[2021]["CPI"] is None

@@ -1,0 +1,178 @@
+"""Structured Streaming verification (SURVEY §7 step 6): the same
+transform produces identical results on a readStream source as on the
+batch frame (batch-equivalence — streaming has no reference semantics
+to copy, per SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Streaming file source needs a directory; split the events table
+    into a few files to exercise multi-batch triggers."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    from dvmax_spark.session import get_spark
+
+    spark = get_spark("stream_prep")
+    from dvmax_spark.catalog import load_table
+
+    load_table(spark, "events", SF).repartition(4).write.mode("overwrite").parquet(out)
+    # drop the _SUCCESS marker so only parquet files remain
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(out, f))
+    return out
+
+
+def _read_stream(spark, events_dir):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def _run_to_memory(df, name, mode="complete"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _canon(df, keys):
+    return sorted(
+        tuple(r[k] for k in keys) for r in df.collect()
+    )
+
+
+def test_tumbling_window_batch_equivalence(spark, events_dir):
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.streaming.ops import tumbling_counts
+
+    batch = tumbling_counts(load_table(spark, "events", SF))
+    stream = tumbling_counts(_read_stream(spark, events_dir))
+    got = _run_to_memory(stream, "t_tumble")
+    keys = ["window_start", "event_type", "n", "total_value"]
+    assert _canon(got, keys) == _canon(batch, keys)
+
+
+def test_streaming_dedup(spark, events_dir):
+    from dvmax_spark.streaming.ops import streaming_dedup
+
+    # files arrive in arbitrary (not time) order: the watermark must
+    # cover the full data span or older batches are dropped as late
+    stream = streaming_dedup(_read_stream(spark, events_dir), watermark="40 days")
+    got = _run_to_memory(stream, "t_dedup", mode="append")
+    n = got.count()
+    from dvmax_spark.catalog import load_table
+
+    expected = load_table(spark, "events", SF).select("event_id").distinct().count()
+    assert n == expected
+
+
+def test_sliding_window_runs_streaming(spark, events_dir):
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.streaming.ops import sliding_counts
+
+    batch = sliding_counts(load_table(spark, "events", SF))
+    stream = sliding_counts(_read_stream(spark, events_dir))
+    got = _run_to_memory(stream, "t_slide")
+    keys = ["window_start", "event_type", "n"]
+    assert _canon(got, keys) == _canon(batch, keys)
+
+
+def test_session_window_batch(spark):
+    """session_window semantics vs hand-rolled lag+cumsum sessionization
+    (the oracle construction) on the batch frame."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.streaming.ops import session_counts_batch
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", SF)
+    native = session_counts_batch(ev, gap="30 minutes")
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = ev.withColumn("_prev", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull()
+            | (F.col("ts") >= F.col("_prev") + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    manual = sess.groupBy("user_id", "_sid").agg(
+        F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
+    )
+    keys = ["user_id", "session_start", "n_events"]
+    assert _canon(native, keys) == _canon(manual, keys)
+
+
+def test_stateful_apply_in_pandas_with_state(spark, events_dir):
+    """Custom stateful operator: running per-user event count via
+    applyInPandasWithState (the reference-free stateful surface)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def count_events(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = _read_stream(spark, events_dir)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    got = _run_to_memory(counted, "t_state", mode="update")
+    # final state per user must equal the batch counts
+    from dvmax_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, "events", SF).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in got.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    }
+    for r in batch.collect():
+        assert final[r["user_id"]] == r["n"]
