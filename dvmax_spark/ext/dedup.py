@@ -158,15 +158,22 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     array — no explode, no shuffle."""
     toks = F.split(F.col(text_col), " ")
     hashed = F.transform(toks, _portable_hash)
-    fp = F.lit(0).cast("long")
-    for b in range(60):  # portable hash is 60 bits
-        bit_sum = F.aggregate(
+
+    def bit_sum(b: int):
+        # factory binds b (PySpark higher-order lambdas must take
+        # exactly the declared arity — no extra default params)
+        return F.aggregate(
             hashed,
             F.lit(0),
-            lambda acc, h, _b=b: acc
-            + F.when(F.shiftright(h, _b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        fp = fp + F.when(bit_sum > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    fp = F.lit(0).cast("long")
+    for b in range(60):  # portable hash is 60 bits
+        fp = fp + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return df.withColumn(out, fp)
 
 

@@ -87,30 +87,88 @@ def lsh_bucket_ids(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def _bucket_table(vecs: DataFrame, dim: int, n_planes: int, n_tables: int) -> DataFrame:
+    """Assign each vector to one bucket per hash table (OR-amplified
+    LSH: a pair is a candidate if it collides in ANY table)."""
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        buckets.append(
+            F.struct(F.lit(t).alias("tbl"), lsh_bucket_ids(F.col("v"), planes).alias("b"))
+        )
+    return vecs.select(
+        "*", F.explode(F.array(*buckets)).alias("_bk")
+    ).select(*vecs.columns, F.col("_bk.tbl").alias("tbl"), F.col("_bk.b").alias("bucket"))
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids,
     k: int = 3,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: exact cosine within shared LSH buckets only.
 
-    n_planes=8 → 256 buckets; expected candidates per query = N/256.
-    Recall is tunable (fewer planes → bigger buckets → higher recall).
-    At cluster scale the bucket join replaces the cross join: shuffle
-    keyed on bucket id, broadcast-sized per-bucket candidate lists.
+    n_planes controls bucket granularity (2^n_planes buckets/table);
+    n_tables is OR-amplification — a candidate needs to collide in any
+    one table, so recall ~ 1-(1-p^planes)^tables even for moderate-
+    cosine neighbors. At cluster scale the bucket join replaces the
+    cross join: shuffle keyed on (table, bucket id), candidates
+    deduped before scoring.
     """
-    planes = _hyperplanes(dim, n_planes)
-    vecs = emb.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket_ids(F.col("v"), planes))
+    vecs = _bucket_table(
+        emb.select(F.col(id_col), as_double(vec_col).alias("v")), dim, n_planes, n_tables
+    )
     q = vecs.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("q_v"), "tbl", "bucket"
+    )
+    c = vecs.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_v"), "tbl", "bucket")
+    pairs = (
+        q.join(c, ["tbl", "bucket"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = pairs.select(
+        "q_id", "c_id", F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", F.col("cos").alias("cosine"))
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids,
+    k: int = 3,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer (fixed seed) assigns each
+    vector to a cluster; exact cosine runs only within the query's own
+    cluster (nprobe=1). The inverted-file trade-off: one broadcast-able
+    centroid model + a single shuffle on cluster id, recall tunable via
+    n_clusters/nprobe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    ml_input = vecs.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_clusters, seed=42, maxIter=20).fit(ml_input)
+    assigned = model.transform(ml_input).select(
+        id_col, "v", F.col("prediction").alias("bucket")
+    )
+    q = assigned.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"), F.col("v").alias("q_v"), "bucket"
     )
-    c = vecs.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_v"), "bucket")
+    c = assigned.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_v"), "bucket")
     pairs = q.join(c, "bucket").where(F.col("q_id") != F.col("c_id"))
     scored = pairs.select(
         "q_id", "c_id", F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("cos")
@@ -128,18 +186,23 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets (near-dups
-    land in the same bucket with high probability at cos >= 0.95)."""
-    planes = _hyperplanes(dim, n_planes)
-    vecs = emb.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket_ids(F.col("v"), planes))
-    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-duplicate pairs via OR-amplified LSH
+    buckets (near-dups land in a shared bucket of some table with high
+    probability at cos >= threshold)."""
+    vecs = _bucket_table(
+        emb.select(F.col(id_col), as_double(vec_col).alias("v")), dim, n_planes, n_tables
+    )
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "tbl", "bucket")
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         pairs.select(
             "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine")

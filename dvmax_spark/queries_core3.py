@@ -1,0 +1,106 @@
+"""Third batch: remaining operator-ID coverage — has-flags/slug/
+finiteness/clipping scalar ops (P8/P9/F7/F8), consistency + NaN-gate
+validation (V5/V7), and the parquet sink round-trip family (S2/S3/A11,
+rows-only: sinks aren't SQL-expressible)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dvmax_spark.catalog import load_table
+from dvmax_spark.functions.scalar import clip_cap, has_flag, is_finite, slug
+from dvmax_spark.registry import query
+
+
+@query(
+    "p8_f7_flags_and_finiteness",
+    ids=("P8", "F7", "F8", "P9", "F6"),
+    sql="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN 0 ELSE 1 END AS has_acctbal,
+           CASE WHEN c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)
+                 AND abs(c_acctbal) != 'infinity'::DOUBLE THEN 1 ELSE 0 END AS is_finite_bal,
+           CASE WHEN c_acctbal > 5000 THEN 5000.0 ELSE c_acctbal END AS capped_bal,
+           trim(BOTH '_' FROM regexp_replace(lower(c_mktsegment), '[^a-z0-9]+', '_', 'g')) AS segment_slug,
+           coalesce(nullif(c_name, ''), 'unknown') AS name_resolved
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def p8_f7_flags_and_finiteness(spark: SparkSession, sf: str) -> DataFrame:
+    """Missing-value flags (P8, ref add_has_flags), finiteness check
+    (F7), conditional cap (F8), slug normalization (P9), coalesce (F6)
+    — the scalar helpers from functions/scalar.py under oracle."""
+    c = load_table(spark, "customer", sf)
+    return c.select(
+        "c_custkey",
+        has_flag("c_acctbal").alias("has_acctbal"),
+        F.when(is_finite("c_acctbal"), 1).otherwise(0).alias("is_finite_bal"),
+        clip_cap("c_acctbal", 5000.0).alias("capped_bal"),
+        slug("c_mktsegment").alias("segment_slug"),
+        F.coalesce(F.nullif("c_name", F.lit("")), F.lit("unknown")).alias("name_resolved"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "v5_consistency_check",
+    ids=("V5", "V7"),
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CASE WHEN least(l_quantity, 40.0) > l_quantity THEN 'flagged' ELSE 'ok' END
+             AS validation_status,
+           CASE WHEN l_extendedprice IS NULL OR l_discount IS NULL
+                 OR isnan(l_extendedprice) OR isnan(l_discount)
+                THEN 0 ELSE 1 END AS passes_nan_gate
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_quantity
+    """,
+)
+def v5_consistency_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Internal-consistency invariant (V5: capped <= raw, ref
+    _check_internal_consistency) + the NaN row gate (V7, ref macro
+    NaN rejection) as expressions."""
+    li = load_table(spark, "lineitem", sf)
+    capped = F.least(F.col("l_quantity"), F.lit(40.0))
+    status = F.when(capped > F.col("l_quantity"), "flagged").otherwise("ok")
+    nan_gate = F.when(
+        F.col("l_extendedprice").isNull()
+        | F.col("l_discount").isNull()
+        | F.isnan("l_extendedprice")
+        | F.isnan("l_discount"),
+        0,
+    ).otherwise(1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        status.alias("validation_status"),
+        nan_gate.alias("passes_nan_gate"),
+    ).orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query("s2_parquet_sink_roundtrip", ids=("S2", "S3", "A11"), sql=None)
+def s2_parquet_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet sink (zstd) + atomic job-commit overwrite + mergeSchema
+    read-back (S2/S3/A11): write two schema-evolving slices, read the
+    union back. Rows-only (sinks have no SQL oracle); the returned
+    frame proves the round-trip."""
+    li = load_table(spark, "lineitem", sf)
+    out = os.path.join(tempfile.gettempdir(), "dvmax_sink_roundtrip")
+    a = li.select("l_orderkey", "l_linenumber", "l_quantity").limit(100)
+    b = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+        .withColumn("extra", F.lit("v2"))
+    )
+    a.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    b.write.mode("append").option("compression", "zstd").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.count("extra").alias("n_extra"),
+    )

@@ -49,6 +49,9 @@ def query(name: str, ids=(), sql: str | None = None, bench: bool = False, doc: s
 def all_queries() -> dict[str, QuerySpec]:
     # import for side effects: modules register themselves
     import dvmax_spark.queries_core  # noqa: F401
+    import dvmax_spark.queries_core2  # noqa: F401
+    import dvmax_spark.queries_core3  # noqa: F401
     import dvmax_spark.queries_ext  # noqa: F401
+    import dvmax_spark.queries_ml  # noqa: F401
 
     return REGISTRY
