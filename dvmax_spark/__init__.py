@@ -15,6 +15,14 @@ reconciliation becomes a reusable type-lattice union.
 
 from dvmax_spark.session import get_spark
 from dvmax_spark.catalog import TABLES, load_table, load_tables, register_views
+from dvmax_spark.operators import (
+    align_and_union,
+    asof_join,
+    dedup_keep_last,
+    top_k_per_group,
+    upsert_keep_last,
+)
+from dvmax_spark.store import FeatureStore
 
 __all__ = [
     "get_spark",
@@ -22,6 +30,12 @@ __all__ = [
     "load_table",
     "load_tables",
     "register_views",
+    "asof_join",
+    "upsert_keep_last",
+    "dedup_keep_last",
+    "align_and_union",
+    "top_k_per_group",
+    "FeatureStore",
 ]
 
 __version__ = "0.1.0"

@@ -217,24 +217,27 @@ def fx_price_features(spark: SparkSession, sf: str) -> DataFrame:
     the events series -> volatility + running-peak max drawdown +
     nearest-<= close, via the SAME library transforms the ticker
     pipeline uses (features/price.py)."""
-    from dvmax_spark.features.price import volatility as vol_f
-
     ev = load_table(spark, "events", sf)
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("date")
     ).agg(F.round(F.avg("value"), 6).alias("close"))
 
-    vol = vol_f(daily, by="user_id", out="volatility")
-
-    # drawdown over the full span (same shape as max_drawdown_feature
-    # without the lookback cut — the events table spans 30 days)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("date")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # single pass: the daily agg shuffles on user_id once; the window
+    # (lag + running peak share one frame) and the final groupBy reuse
+    # that partitioning — one scan, one shuffle total
+    w = Window.partitionBy("user_id").orderBy("date")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enriched = daily.select(
+        "user_id",
+        "date",
+        "close",
+        (F.col("close") / F.lag("close", 1).over(w) - 1).alias("ret"),
+        F.max("close").over(wrun).alias("peak"),
     )
-    with_peak = daily.withColumn("peak", F.max("close").over(w))
-    dd = with_peak.groupBy("user_id").agg(
+    out = enriched.groupBy("user_id").agg(
+        F.coalesce(F.stddev_samp("ret") * F.sqrt(F.lit(252.0)), F.lit(0.0)).alias(
+            "volatility"
+        ),
         F.coalesce(
             F.max(
                 F.when(
@@ -245,13 +248,9 @@ def fx_price_features(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("max_drawdown"),
         F.max_by("close", "date").alias("last_close"),
     )
-    return (
-        vol.join(dd, "user_id")
-        .select(
-            "user_id",
-            F.round("volatility", 4).alias("volatility"),
-            F.round("max_drawdown", 6).alias("max_drawdown"),
-            "last_close",
-        )
-        .orderBy("user_id")
-    )
+    return out.select(
+        "user_id",
+        F.round("volatility", 4).alias("volatility"),
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+        "last_close",
+    ).orderBy("user_id")

@@ -1,0 +1,110 @@
+"""Infrastructure-operator queries (SURVEY §2.1 S4-S12, §2.2 P12) —
+rows-only: network sources are exercised through fixture transports
+(per §2.12: "test their parsing with fixture files instead"), sinks
+and caches through temp paths. Each returns a summary frame proving
+the round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dvmax_spark.catalog import load_table
+from dvmax_spark.registry import query
+
+
+@query("s5_rest_ingest_fixture", ids=("S5", "S6", "S7", "S8", "S9"), sql=None)
+def s5_rest_ingest_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """REST/JSON ingest adapters against a fixture transport (the
+    reference's FMP/yfinance/WorldBank clients, base.py:16-114, with
+    the network swapped for canned payloads): fetch -> typed frame ->
+    long->wide indicator pivot."""
+    from dvmax_spark.sources.files import wide_pivot_indicators
+    from dvmax_spark.sources.http import HttpClient, RetryPolicy
+    from dvmax_spark.sources.rest import fetch_json_source
+
+    payload = {
+        "historical": [
+            {"date": "2024-01-01", "close": 101.5},
+            {"date": "2024-01-02", "close": 102.25},
+        ]
+    }
+
+    def transport(url, timeout):
+        return 200, payload, None
+
+    client = HttpClient(transport, RetryPolicy(max_retries=1))
+    schema = T.StructType(
+        [T.StructField("date", T.StringType()), T.StructField("close", T.DoubleType())]
+    )
+    prices = fetch_json_source(spark, client, "fixture://prices", schema, "historical")
+
+    long_df = spark.createDataFrame(
+        [("US", 2020, "GDP", 100.0), ("US", 2020, "CPI", 2.0), ("US", 2021, "GDP", 110.0)],
+        "country string, year int, indicator string, value double",
+    )
+    wide = wide_pivot_indicators(long_df, ["country", "year"], indicators=["GDP", "CPI"])
+
+    return prices.agg(
+        F.count(F.lit(1)).alias("n_price_rows"),
+        F.round(F.sum("close"), 2).alias("close_sum"),
+    ).crossJoin(
+        wide.agg(
+            F.count(F.lit(1)).alias("n_wide_rows"), F.count("CPI").alias("n_cpi")
+        )
+    )
+
+
+@query("s4_pipeline_infra", ids=("S4", "S10", "S11", "S12", "P12"), sql=None)
+def s4_pipeline_infra(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline infrastructure round-trip: ticker-universe text scan
+    (S4), cached source reuse (S12), quarantine audit sink (S11),
+    status JSON sidecar (S10), and prefix-pattern column projection
+    (P12, ref startswith selection ticker_batch_runner.py:245)."""
+    from dvmax_spark.sources.files import read_ticker_universe
+
+    tmp = tempfile.mkdtemp(prefix="dvmax_infra_")
+    # S4: universe text file
+    with open(os.path.join(tmp, "tickers.txt"), "w") as f:
+        f.write("aapl\nmsft\n msft \nBAD TICKER!\n")
+    universe = read_ticker_universe(spark, os.path.join(tmp, "tickers.txt"))
+
+    # S12: cache + reuse (two actions, one computation)
+    li = load_table(spark, "lineitem", sf).limit(1000).cache()
+    n1, n2 = li.count(), li.count()
+
+    # S11: quarantine sink
+    quarantined = li.where(F.col("l_discount") > 0.08)
+    qpath = os.path.join(tmp, "_audit")
+    quarantined.write.mode("overwrite").parquet(qpath)
+    n_quarantined = spark.read.parquet(qpath).count()
+
+    # S10: status JSON sidecar
+    status = {"processed": n1, "quarantined": n_quarantined}
+    with open(os.path.join(tmp, "last_run.json"), "w") as f:
+        json.dump(status, f)
+    status_back = json.load(open(os.path.join(tmp, "last_run.json")))
+
+    # P12: prefix projection over the lineitem columns
+    l_cols = [c for c in li.columns if c.startswith("l_")]
+    li.unpersist()
+
+    return spark.createDataFrame(
+        [
+            (
+                universe.count(),
+                n1,
+                n2,
+                n_quarantined,
+                status_back["processed"],
+                len(l_cols),
+            )
+        ],
+        "n_universe long, n_cached long, n_cached_again long, "
+        "n_quarantined long, status_processed long, n_prefix_cols long",
+    )
