@@ -41,8 +41,6 @@ def spark():
 @pytest.fixture(scope="session")
 def oracle():
     con = duckdb.connect()
-    for sf_dir in (SF_DIR_SMOKE, SF_DIR_CORRECT):
-        pass
     # views over the correctness SF (driver uses sf0.01)
     for t in TABLES:
         con.execute(
