@@ -1,0 +1,111 @@
+"""CLI entry points mirroring the reference's console scripts
+(pyproject.toml:14-17: ticker-batch-runner, macro-batch-runner) plus
+bench/parity utilities.
+
+Usage:
+  python -m dvmax_spark.cli ticker --input-dir DIR --store-root DIR
+  python -m dvmax_spark.cli macro  --input DIR_OR_PARQUET --store-root DIR
+  python -m dvmax_spark.cli universe --sources f1.parquet f2.parquet \
+      --prices prices.parquet --out tickers.txt
+
+Input tables are parquet files named after the fetch_all_per_ticker
+keys (prices, dividends, splits, ratios, income, balance, profile,
+sector_index) — the offline stand-in for the network fetchers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from dvmax_spark.session import get_spark
+
+INPUT_TABLES = (
+    "prices",
+    "dividends",
+    "splits",
+    "ratios",
+    "income",
+    "balance",
+    "profile",
+    "sector_index",
+)
+
+
+def _load_inputs(spark, input_dir: str) -> dict:
+    inputs = {}
+    for name in INPUT_TABLES:
+        path = os.path.join(input_dir, f"{name}.parquet")
+        inputs[name] = spark.read.parquet(path) if os.path.exists(path) else None
+    missing = [n for n in ("prices", "ratios", "income", "balance", "profile") if inputs[n] is None]
+    if missing:
+        raise SystemExit(f"missing required input tables: {missing}")
+    return inputs
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dvmax_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("ticker", help="run the ticker feature pipeline")
+    t.add_argument("--input-dir", required=True)
+    t.add_argument("--store-root", required=True)
+    t.add_argument("--dates", nargs="*", help="as_of dates YYYY-MM-DD (default: annual grid)")
+    t.add_argument("--required-days", type=int, default=260)
+
+    m = sub.add_parser("macro", help="run the macro pipeline")
+    m.add_argument("--input", required=True, help="raw indicator parquet")
+    m.add_argument("--store-root", required=True)
+
+    u = sub.add_parser("universe", help="bootstrap the ticker universe")
+    u.add_argument("--sources", nargs="+", required=True, help="parquet files with a ticker column")
+    u.add_argument("--prices", required=True, help="prices parquet for validation")
+    u.add_argument("--out", required=True)
+    u.add_argument("--min-closes", type=int, default=5)
+
+    args = p.parse_args(argv)
+    spark = get_spark(f"dvmax_cli_{args.cmd}")
+
+    if args.cmd == "ticker":
+        import datetime
+
+        from dvmax_spark.plans.ticker_pipeline import (
+            run_ticker_pipeline,
+            write_static_ohe_projection,
+        )
+
+        dates = (
+            [datetime.date.fromisoformat(d) for d in args.dates] if args.dates else None
+        )
+        stats = run_ticker_pipeline(
+            spark,
+            _load_inputs(spark, args.input_dir),
+            args.store_root,
+            dates=dates,
+            required_days=args.required_days,
+        )
+        write_static_ohe_projection(spark, args.store_root)
+        print(json.dumps(stats))
+    elif args.cmd == "macro":
+        from dvmax_spark.plans.macro_pipeline import run_macro_pipeline
+
+        out = run_macro_pipeline(spark, spark.read.parquet(args.input), args.store_root)
+        print(json.dumps({"rows": out.count()}))
+    elif args.cmd == "universe":
+        from dvmax_spark.plans.universe_pipeline import run_universe_pipeline
+
+        tickers = run_universe_pipeline(
+            spark,
+            [spark.read.parquet(s) for s in args.sources],
+            spark.read.parquet(args.prices),
+            args.out,
+            min_closes=args.min_closes,
+        )
+        print(json.dumps({"n_tickers": len(tickers)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""Fourth batch: window-function breadth (rank family, range frames)
+and the SQL API surface (same Catalyst plans as the DataFrame API —
+SURVEY §3 'DataFrame API call -> Catalyst' lifecycle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dvmax_spark.catalog import load_table
+from dvmax_spark.registry import query
+
+
+@query(
+    "w_rank_family",
+    ids=("W5", "O3"),
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def w_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank (SURVEY §2.5 'not present in
+    reference — built-in in Spark; [EXT]')."""
+    o = load_table(spark, "orders", sf)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    ).orderBy("o_custkey", "rnk", "o_orderkey")
+
+
+@query(
+    "w_range_frame",
+    ids=("W3", "W4"),
+    sql="""
+    SELECT event_id,
+           count(*) OVER w AS n_trailing_1h,
+           round(sum(value) OVER w, 2) AS sum_trailing_1h
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def w_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-based window frame (value range, not row count): trailing
+    1-hour sums per user, ordered on exact epoch-microseconds so both
+    engines use the identical integer range."""
+    ev = load_table(spark, "events", sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    ).orderBy("event_id")
+
+
+_Q3_SQL = """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_api_q3", ids=("J1", "J7", "P2", "A2", "O3", "O4"), bench=True, sql=_Q3_SQL)
+def sql_api_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query submitted through the
+    SQL API (spark.sql over registered views) — identical Catalyst
+    plan to the DataFrame form, proving the dual surface."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("customer", "orders", "lineitem"))
+    return spark.sql(_Q3_SQL)

@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import dvmax_spark.queries_core  # noqa: F401
     import dvmax_spark.queries_core2  # noqa: F401
     import dvmax_spark.queries_core3  # noqa: F401
+    import dvmax_spark.queries_core4  # noqa: F401
     import dvmax_spark.queries_ext  # noqa: F401
     import dvmax_spark.queries_infra  # noqa: F401
     import dvmax_spark.queries_ml  # noqa: F401
