@@ -9,7 +9,7 @@ Five strategies, each picked for a different scale/accuracy point:
                          compares all pairs (O(n·bands) shuffle keys).
   * simhash            — 64-bit near-dup fingerprint; hamming-ball
                          lookup via band rotation.
-  * ngram_jaccard_pairs— exact Jaccard via inverted-index self-join
+  * ngram_jaccard_pairs— exact Jaccard via inverted index (postings)
                          with hot-shingle pruning (document-frequency
                          cap) — exact but superlinear; for validation
                          and small/medium corpora.
@@ -238,10 +238,15 @@ def ngram_jaccard_pairs(
         )
         toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select(F.col(id_col).alias("id_a"), "tok")
-    b = toks.select(F.col(id_col).alias("id_b"), "tok")
+    # one shuffle of the token table by token (postings lists), pair
+    # generation in-place — not a self-join that shuffles toks twice.
+    # Postings length is bounded by max_doc_freq, so the k^2 expansion
+    # per token stays small even on stop-word-heavy corpora.
+    postings = toks.groupBy("tok").agg(F.collect_list(id_col).alias("ids"))
     common = (
-        a.join(b, "tok")
+        postings.where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))

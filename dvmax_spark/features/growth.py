@@ -57,7 +57,6 @@ def cagr_generic(
     aggregate against the window bounds derived per key (no second
     shuffle, no join)."""
     out = out or f"{column}_cagr_{years}y"
-    end_w_lo: object
     agg = df.groupBy(by).agg(
         F.count(F.lit(1)).alias("_n"),
         F.max(date_col).alias("_end_date"),

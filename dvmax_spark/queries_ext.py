@@ -100,10 +100,15 @@ def x_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     with_grams = docs.select("doc_id", shingles("text", 2).alias("grams"))
     toks = with_grams.select("doc_id", F.explode("grams").alias("g"))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select(F.col("doc_id").alias("id_a"), "g")
-    b = toks.select(F.col("doc_id").alias("id_b"), "g")
+    # inverted index: one shuffle of the token table by shingle, then
+    # pair generation in-place — instead of shuffling toks twice for a
+    # self-join. At 100 TB the same plan adds a max_doc_freq prune on
+    # size(ids) before the explode (hot shingles are noise, not signal).
+    postings = toks.groupBy("g").agg(F.collect_list("doc_id").alias("ids"))
     common = (
-        a.join(b, "g")
+        postings.where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
