@@ -31,7 +31,11 @@ from dvmax_spark.ext.textstats import (
     token_stats,
 )
 from dvmax_spark.registry import query
-from dvmax_spark.streaming.ops import session_counts_batch, tumbling_counts
+from dvmax_spark.streaming.ops import (
+    session_counts_batch,
+    sliding_counts,
+    tumbling_counts,
+)
 
 # ------------------------------------------------------------- dedup
 
@@ -343,6 +347,32 @@ def t_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     batch-stream equivalence)."""
     ev = load_table(spark, "events", sf)
     return tumbling_counts(ev, width="1 hour").orderBy("window_start", "event_type")
+
+
+@query(
+    "t_sliding_window",
+    ids=("T1",),
+    sql="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w0, event_type FROM events
+    ), e AS (
+      SELECT w0 AS window_start, event_type FROM starts
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS window_start, event_type FROM starts
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM e GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def t_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding event-time windows (1h width, 30m slide) — each event
+    lands in exactly two windows; the oracle enumerates both 30-minute
+    bucket starts per event. Same transform runs streaming with a
+    watermark (tests/test_streaming.py)."""
+    ev = load_table(spark, "events", sf)
+    return sliding_counts(ev, width="1 hour", slide="30 minutes").orderBy(
+        "window_start", "event_type"
+    )
 
 
 @query(
