@@ -82,3 +82,99 @@ def x_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select(
         "doc_id", F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens")
     ).orderBy("doc_id")
+
+
+@query(
+    "x_score_portfolio",
+    ids=("X14",),
+    sql="""
+    WITH feat AS (
+      SELECT s.s_suppkey, n.n_name AS nation,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             count(DISTINCT l.l_orderkey) AS n_orders,
+             avg(l.l_quantity) AS avg_qty,
+             stddev_samp(l.l_quantity) AS sd_qty
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY s.s_suppkey, n.n_name
+      HAVING count(DISTINCT l.l_orderkey) >= 5
+    ), scored AS (
+      SELECT s_suppkey, nation,
+             round(0.5 * (revenue / n_orders / 40000.0)
+                 + 0.3 * least(avg_qty / 25.0, 2.0)
+                 + 0.2 * (1.0 / (1.0 + sd_qty / 10.0)), 6) AS score
+      FROM feat
+    ), per_nation AS (
+      SELECT s_suppkey, nation, score,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY score DESC, s_suppkey) AS rk
+      FROM scored
+    ), picked AS (
+      SELECT s_suppkey, nation, score
+      FROM per_nation WHERE rk <= 2
+      ORDER BY score DESC, s_suppkey LIMIT 10
+    ), w AS (
+      SELECT s_suppkey, nation, score,
+             least(round(score / sum(score) OVER (), 6), 0.2) AS w_cap
+      FROM picked
+    )
+    SELECT s_suppkey, nation, score,
+           round(w_cap / sum(w_cap) OVER (), 4) AS weight
+    FROM w ORDER BY weight DESC, s_suppkey
+    """,
+)
+def x_score_portfolio(spark: SparkSession, sf: str) -> DataFrame:
+    """Scoring + constrained portfolio construction (reference roadmap
+    Phases 4-5, README.md:87-113: weighted score formula, per-group
+    concentration cap, score-weighted allocation). Deterministic by
+    design: scores are rounded before ranking so ulp drift can't flip
+    ranks, ties break on supplier key, caps use least/greatest only."""
+    l = load_table(spark, "lineitem", sf)
+    s = load_table(spark, "supplier", sf)
+    n = load_table(spark, "nation", sf)
+    from pyspark.sql import Window
+
+    feat = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.stddev_samp("l_quantity").alias("sd_qty"),
+        )
+        .where(F.col("n_orders") >= 5)
+    )
+    score = F.round(
+        0.5 * (F.col("revenue") / F.col("n_orders") / 40000.0)
+        + 0.3 * F.least(F.col("avg_qty") / 25.0, F.lit(2.0))
+        + 0.2 * (1.0 / (1.0 + F.col("sd_qty") / 10.0)),
+        6,
+    ).alias("score")
+    scored = feat.select("s_suppkey", "nation", score)
+    rk = F.row_number().over(
+        Window.partitionBy("nation").orderBy(F.desc("score"), "s_suppkey")
+    )
+    picked = (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= 2)
+        .drop("rk")
+        .orderBy(F.desc("score"), "s_suppkey")
+        .limit(10)
+    )
+    all_w = Window.partitionBy()
+    w_cap = F.least(
+        F.round(F.col("score") / F.sum("score").over(all_w), 6), F.lit(0.2)
+    ).alias("w_cap")
+    return (
+        picked.select("s_suppkey", "nation", "score", w_cap)
+        .select(
+            "s_suppkey",
+            "nation",
+            "score",
+            F.round(F.col("w_cap") / F.sum("w_cap").over(all_w), 4).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), "s_suppkey")
+    )
