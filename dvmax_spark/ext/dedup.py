@@ -23,11 +23,33 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MERSENNE = (1 << 61) - 1
 _HASH_MOD = 1_000_000_007
+
+
+def cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket`` members.
+
+    A degenerate band key (empty docs, zero vectors, an all-stopword
+    corpus) can put a huge fraction of rows in ONE bucket, making the
+    within-bucket self-join quadratic in corpus size — the one way a
+    banded-LSH plan dies at 100 TB. Mega-buckets carry no near-dup
+    signal that ``exact_dedup`` doesn't already catch (their members
+    are near-identical en masse), so dropping them bounds the worst
+    case at O(n·max_bucket) pairs. The window count shuffles on the
+    same keys as the downstream join, so Catalyst reuses the exchange.
+    """
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
 
 
 def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -58,14 +80,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (distinct)."""
+    """Word n-gram shingles as an array<string> (distinct).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array (no
+    truncated gram) — matches the SQL-oracle shingling convention and
+    avoids jaccard=1.0 pairs between unrelated one-word docs.
+    """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " ")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signature(
@@ -90,13 +119,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     A pair lands in a bucket iff one of the ``bands`` signature slices
     matches exactly. Estimated Jaccard = fraction of equal signature
     positions; pairs below ``threshold`` are dropped. Shuffles on
-    (band, band_hash) — never materializes the n² pair space.
+    (band, band_hash) — never materializes the n² pair space, and
+    ``max_bucket`` caps the within-bucket quadratic blowup on
+    degenerate band keys (see :func:`cap_buckets`).
     """
     rows = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_n).select(
@@ -119,6 +151,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "signature", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    banded = cap_buckets(banded, ["band", "band_key"], max_bucket)
 
     left = banded.select(
         F.col("band"),
@@ -178,11 +211,16 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed on 4
     16-bit bands (any pair within hamming<=3 of 60 bits shares at
-    least one of 4 bands by pigeonhole)."""
+    least one of 4 bands by pigeonhole); ``max_bucket`` bounds the
+    within-bucket self-join on degenerate fingerprints."""
     with_fp = simhash(df, text_col).select(F.col(id_col), "simhash")
     bands = [
         F.struct(
@@ -194,6 +232,7 @@ def simhash_near_pairs(
     banded = with_fp.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bk")).select(
         id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+    banded = cap_buckets(banded, ["band", "band_key"], max_bucket)
     left = banded.select("band", "band_key", F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
     right = banded.select("band", "band_key", F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
     pairs = (
@@ -221,13 +260,18 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops tokens present in more than that fraction of
     documents before the join — the standard trick that keeps the
     inverted index from exploding on stop-words at scale. Pairs sharing
-    ONLY pruned tokens are missed; with threshold >= 0.5 such pairs
-    can't reach the threshold anyway when pruned tokens are ubiquitous.
-    Set ``max_doc_freq=None`` for the fully-exact (oracle) variant.
+    ONLY pruned tokens are missed, and per-doc sizes are computed from
+    the UNPRUNED token sets, so every reported score is a conservative
+    lower bound of true Jaccard (pruning can only shrink the
+    intersection count, never the union size). Set
+    ``max_doc_freq=None`` for the fully-exact (oracle) variant.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     )
+    # sizes from the UNPRUNED table: keeps jaccard a true lower bound
+    # (pruned-set jaccard would inflate scores — union shrinks too)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if max_doc_freq is not None:
         n_docs = df.count()
         hot = (
@@ -237,7 +281,6 @@ def ngram_jaccard_pairs(
             .select("tok")
         )
         toks = toks.join(F.broadcast(hot), "tok", "left_anti")
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # one shuffle of the token table by token (postings lists), pair
     # generation in-place — not a self-join that shuffles toks twice.
     # Postings length is bounded by max_doc_freq, so the k^2 expansion

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from dvmax_spark.ext.dedup import cap_buckets
+
 
 def as_double(vec: Column | str) -> Column:
     c = F.col(vec) if isinstance(vec, str) else vec
@@ -110,6 +112,7 @@ def cosine_topk_lsh(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """ANN top-k: exact cosine within shared LSH buckets only.
 
@@ -118,11 +121,15 @@ def cosine_topk_lsh(
     one table, so recall ~ 1-(1-p^planes)^tables even for moderate-
     cosine neighbors. At cluster scale the bucket join replaces the
     cross join: shuffle keyed on (table, bucket id), candidates
-    deduped before scoring.
+    deduped before scoring. ``max_bucket`` is the probe limit (the
+    efSearch analogue): a degenerate bucket holding most of the corpus
+    would turn the probe back into brute force, so oversized buckets
+    are skipped — raise n_planes rather than the cap if that fires.
     """
     vecs = _bucket_table(
         emb.select(F.col(id_col), as_double(vec_col).alias("v")), dim, n_planes, n_tables
     )
+    vecs = cap_buckets(vecs, ["tbl", "bucket"], max_bucket)
     q = vecs.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"), F.col("v").alias("q_v"), "tbl", "bucket"
     )
@@ -189,13 +196,16 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via OR-amplified LSH
     buckets (near-dups land in a shared bucket of some table with high
-    probability at cos >= threshold)."""
+    probability at cos >= threshold); ``max_bucket`` bounds the
+    within-bucket self-join on degenerate buckets (zero vectors)."""
     vecs = _bucket_table(
         emb.select(F.col(id_col), as_double(vec_col).alias("v")), dim, n_planes, n_tables
     )
+    vecs = cap_buckets(vecs, ["tbl", "bucket"], max_bucket)
     a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "tbl", "bucket")
     b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "tbl", "bucket")
     pairs = (

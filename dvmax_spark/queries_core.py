@@ -197,16 +197,23 @@ def j7_dim_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     sql="""
     SELECT c.c_mktsegment AS segment, count(*) AS n_without_orders
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01'
+    )
     GROUP BY c.c_mktsegment
     ORDER BY segment
     """,
 )
 def j6_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     """Left-anti join (ref skip-already-materialized keys,
-    ticker_batch_runner.py:433-443)."""
+    ticker_batch_runner.py:433-443). Anti-joins against a date slice so
+    the expected output is non-empty — a 0-row hash match is weak
+    evidence of anti-join semantics."""
     c = load_table(spark, "customer", sf)
-    o = load_table(spark, "orders", sf)
+    o = load_table(spark, "orders", sf).where(
+        F.col("o_orderdate").cast("date") >= F.lit("1998-01-01").cast("date")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("c_mktsegment").alias("segment"))

@@ -82,6 +82,45 @@ def v5_consistency_check(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
 
+@query(
+    "a11_mergeschema_union",
+    ids=("A11", "S2", "U2"),
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(NULL AS DOUBLE) AS l_extendedprice
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 2000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, CAST(NULL AS DOUBLE) AS l_quantity,
+           l_extendedprice
+    FROM lineitem WHERE l_linenumber = 2 AND l_orderkey < 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def a11_mergeschema_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Superset-schema union via parquet mergeSchema (A11, ref
+    two-pass column-superset scan ticker_batch_runner.py:527-548):
+    write two deterministic slices with different column sets, read
+    them back with mergeSchema, and hash the aligned result against a
+    plain SQL union — a real on-disk schema-evolution round trip, not
+    just unionByName."""
+    li = load_table(spark, "lineitem", sf)
+    out = os.path.join(tempfile.gettempdir(), "dvmax_mergeschema_union")
+    a = li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 2000)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    b = li.where((F.col("l_linenumber") == 2) & (F.col("l_orderkey") < 2000)).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    a.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    b.write.mode("append").option("compression", "zstd").parquet(out)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 @query("s2_parquet_sink_roundtrip", ids=("S2", "S3", "A11"), sql=None)
 def s2_parquet_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Parquet sink (zstd) + atomic job-commit overwrite + mergeSchema

@@ -89,6 +89,60 @@ def test_ivf_ann_runs_and_overlaps(spark, emb):
     assert len(exact & approx) / len(exact) >= 0.3
 
 
+def test_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical docs put every row in ONE bucket per band — the
+    adversarial case where banded LSH degenerates to an n² self-join.
+    The cap drops the mega-buckets (bounding the pair space) and loses
+    nothing: exact_dedup already collapses identical docs."""
+    from dvmax_spark.ext.dedup import exact_dedup, minhash_lsh_pairs, simhash_near_pairs
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same document text repeated for everyone here").alias("text"),
+    )
+    assert minhash_lsh_pairs(docs, threshold=0.0, max_bucket=100).count() == 0
+    assert simhash_near_pairs(docs, max_bucket=100).count() == 0
+    assert exact_dedup(docs).count() == 1
+    # and with the cap above corpus size the pairs come back
+    assert minhash_lsh_pairs(docs.limit(20), threshold=0.0, max_bucket=1000).count() == 190
+
+
+def test_shingles_short_docs_yield_empty(spark):
+    """Docs shorter than n tokens emit NO truncated gram (oracle
+    convention; prevents jaccard=1.0 between unrelated one-word docs)."""
+    from dvmax_spark.ext.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["g"] for r in docs.select("doc_id", shingles("text", 3).alias("g")).collect()}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["one two three"]
+
+
+def test_pruned_jaccard_is_conservative_lower_bound(spark):
+    """With doc-frequency pruning on, reported jaccard must never
+    exceed true jaccard (sizes come from UNPRUNED token sets)."""
+    from dvmax_spark.ext.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the a b"), (2, "the a c"), (3, "the x y"), (4, "the x z")],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=None).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=0.5).collect()
+    }
+    assert exact[(1, 2)] == pytest.approx(0.5)  # {the,a} / {the,a,b,c}
+    for pair, j in pruned.items():
+        assert j <= exact[pair] + 1e-12, (pair, j, exact[pair])
+    assert pruned[(1, 2)] == pytest.approx(1 / 5)  # {a} / unpruned union
+
+
 def test_approx_count_distinct_error(spark):
     from dvmax_spark.catalog import load_table
 
