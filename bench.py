@@ -55,6 +55,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "n": 2,  # min-of-2 runs per query (container-noise guard)
             }
         )
     )

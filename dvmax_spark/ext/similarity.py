@@ -155,28 +155,58 @@ def cosine_topk_ivf(
     query_ids,
     k: int = 3,
     n_clusters: int = 8,
+    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: KMeans coarse quantizer (fixed seed) assigns each
-    vector to a cluster; exact cosine runs only within the query's own
-    cluster (nprobe=1). The inverted-file trade-off: one broadcast-able
-    centroid model + a single shuffle on cluster id, recall tunable via
-    n_clusters/nprobe."""
+    """IVF-style ANN: spherical-KMeans coarse quantizer + multi-probe.
+
+    Vectors are L2-normalized before clustering so the quantizer's
+    euclidean geometry matches cosine similarity (unit sphere:
+    ``|a-b|² = 2 - 2·cos``). Each query probes its ``nprobe`` nearest
+    centroids — the IVF recall knob — and exact cosine runs only over
+    the probed clusters' inverted lists. At cluster scale: the centroid
+    table broadcasts (n_clusters rows), candidates shuffle once on
+    cluster id, and recall/cost trades off via n_clusters × nprobe.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-    ml_input = vecs.withColumn("features", array_to_vector("v"))
+    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "vn", F.transform("v", lambda x: x / norm(F.col("v")))
+    )
+    ml_input = vecs.withColumn("features", array_to_vector("vn"))
     model = KMeans(k=n_clusters, seed=42, maxIter=20).fit(ml_input)
     assigned = model.transform(ml_input).select(
-        id_col, "v", F.col("prediction").alias("bucket")
+        id_col, "v", "vn", F.col("prediction").alias("bucket")
     )
-    q = assigned.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("q_v"), "bucket"
+    centers = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "bucket int, center array<double>",
+    )
+    q_base = assigned.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("q_v"), F.col("vn").alias("q_vn")
+    )
+    # nprobe nearest centroids per query (centroid table broadcasts)
+    d2 = F.aggregate(
+        F.zip_with("q_vn", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("_d2").asc(), F.col("bucket").asc())
+    q = (
+        q_base.crossJoin(F.broadcast(centers))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= nprobe)
+        .select("q_id", "q_v", "bucket")
     )
     c = assigned.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_v"), "bucket")
-    pairs = q.join(c, "bucket").where(F.col("q_id") != F.col("c_id"))
+    pairs = (
+        q.join(c, "bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
     scored = pairs.select(
         "q_id", "c_id", F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("cos")
     )

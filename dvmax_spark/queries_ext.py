@@ -300,15 +300,42 @@ def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------------- multimodal
 
 
-@query("x_image_features", ids=("X11",), sql=None)
+@query(
+    "x_image_features",
+    ids=("X11",),
+    sql="""
+    SELECT d.doc_id,
+           CAST(8 + d.doc_id % 16 AS INT) AS width,
+           CAST(8 + (d.doc_id // 16) % 16 AS INT) AS height,
+           CAST(SUM((d.doc_id + gx.x + 2*gy.y) % 256) AS BIGINT) AS luma_sum
+    FROM documents d
+    CROSS JOIN generate_series(0, 22) AS gx(x)
+    CROSS JOIN generate_series(0, 22) AS gy(y)
+    WHERE gx.x < 8 + d.doc_id % 16 AND gy.y < 8 + (d.doc_id // 16) % 16
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
 def x_image_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column → mapInPandas
-    feature extraction (decode stubbed deterministically — see
-    ext/multimodal.py). Python-side stub → rows-only check."""
+    """Multimodal image path, decode REAL end to end: each doc gets an
+    actual PNG payload (pure-stdlib encoder, dims + pixel gradient a
+    function of doc_id), mapInPandas parses the header and decodes the
+    scanlines (zlib + filter reversal — ext/multimodal.py), and the
+    oracle recomputes the integer pixel sum in SQL. luma_sum =
+    mean_luma·w·h rounded back to the exact integer, so parity is
+    integer-exact with no float hazards."""
     from dvmax_spark.ext.multimodal import attach_fake_payload, extract_image_features
 
     docs = load_table(spark, "documents", sf)
-    return extract_image_features(attach_fake_payload(docs)).orderBy("doc_id")
+    feats = extract_image_features(attach_fake_payload(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("luma_sum"),
+    ).orderBy("doc_id")
 
 
 @query(

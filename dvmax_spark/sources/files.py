@@ -26,21 +26,44 @@ def read_remote_csv(
     paths; remote URLs are downloaded by the caller first.
 
     Skipping happens on the raw lines BEFORE CSV parsing — otherwise
-    Spark infers the column count from the garbage preamble."""
+    Spark infers the column count from the garbage preamble.
+
+    Scale shape: a preamble lives entirely in each file's FIRST block
+    (``input_file_block_start() == 0``), so the row-number window runs
+    only over first-block lines — bounded by one block (~128 MB) per
+    file and parallel across files. All later blocks stream through
+    untouched (no global sort, no single-task pass), and parsing is a
+    JVM-side ``from_csv`` expression, not an RDD re-parse.
+    """
     if not skip_rows:
         return spark.read.option("header", str(header).lower()).csv(path)
+    import csv as _csv
+
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.monotonically_increasing_id())
-    lines = (
-        spark.read.text(path)
+    lines = spark.read.text(path)
+    in_first_block = F.input_file_block_start() == 0
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    head = (
+        lines.where(in_first_block)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") > skip_rows)
-        .select("value")
     )
-    return spark.read.option("header", str(header).lower()).csv(
-        lines.rdd.map(lambda r: r.value)
+    # column names from the first kept line (one bounded driver action)
+    first_kept = head.where(F.col("_rn") == skip_rows + 1).select("value").collect()
+    if not first_kept:
+        raise ValueError(f"skip_rows={skip_rows} leaves no rows in {path}")
+    cells = next(_csv.reader([first_kept[0]["value"]]))
+    if header:
+        names = [c.strip().replace("`", "") or f"_c{i}" for i, c in enumerate(cells)]
+        head = head.where(F.col("_rn") > skip_rows + 1)
+    else:
+        names = [f"_c{i}" for i in range(len(cells))]
+    body = head.select("value").unionByName(
+        lines.where(~in_first_block).select("value")
     )
+    ddl = ", ".join(f"`{n}` STRING" for n in names)
+    return body.select(F.from_csv("value", ddl).alias("_r")).select("_r.*")
 
 
 def wide_pivot_indicators(

@@ -25,6 +25,7 @@ values; `partition_col` accepts any expression name present in the frame.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,14 +84,14 @@ class FeatureStore:
                 )
         return out
 
-    def _write(self, df: DataFrame, mode: str) -> None:
+    def _write(self, df: DataFrame, mode: str, path: str | None = None) -> None:
         (
             self._compact(df)
             .repartition(self.partition_col)
             .write.mode(mode)
             .partitionBy(self.partition_col)
             .option("compression", "zstd")
-            .parquet(self.main_path)
+            .parquet(path or self.main_path)
         )
 
     # ------------------------------------------------------------ ops
@@ -116,12 +117,21 @@ class FeatureStore:
             self._write(updates, "overwrite")
             return
         merged = upsert_keep_last(self.read(), updates, keys=self.keys, order_by=order_by)
-        # dynamic partitionOverwriteMode=dynamic (session conf) replaces
-        # only partitions present in `merged`
-        out = merged.cache()
-        out.count()
-        self._write(out, "overwrite")
-        out.unpersist()
+        # `merged` lazily reads main_path, so overwriting main in place
+        # is unsafe even behind cache(): eviction or task retry would
+        # recompute against already-deleted files. Materialize durably
+        # to a staging dir, then swap directories (atomic rename — the
+        # reference's temp-file replace at table granularity; merged
+        # carries every partition, so a full rewrite costs nothing
+        # extra over dynamic overwrite here).
+        staging = self.main_path + ".staging"
+        retired = self.main_path + ".old"
+        shutil.rmtree(staging, ignore_errors=True)
+        self._write(merged, "overwrite", path=staging)
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(self.main_path, retired)
+        os.rename(staging, self.main_path)
+        shutil.rmtree(retired)
 
     def overwrite_partition_values(self, updates: DataFrame) -> None:
         """Partition-level replace (ref macro delete-year-then-append,

@@ -77,16 +77,59 @@ def test_lsh_ann_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.5, recall
 
 
-def test_ivf_ann_runs_and_overlaps(spark, emb):
+def _recall(exact_df, approx_df) -> float:
+    exact: dict[int, set] = {}
+    for r in exact_df.collect():
+        exact.setdefault(r["q_id"], set()).add(r["c_id"])
+    got: dict[int, set] = {}
+    for r in approx_df.collect():
+        got.setdefault(r["q_id"], set()).add(r["c_id"])
+    return sum(len(exact[q] & got.get(q, set())) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+
+
+def test_ivf_ann_multi_probe_recall(spark, emb):
+    """The testdata embeddings are i.i.d. random (no cluster structure
+    — same-label cosine ≈ diff-label ≈ 0), so ANY partitioning ANN is
+    information-theoretically capped near its probe fraction here. The
+    provable properties on such data: recall clearly beats the naive
+    probe-fraction baseline, and the nprobe knob buys recall."""
     from dvmax_spark.ext.similarity import cosine_topk_bruteforce, cosine_topk_ivf
 
-    exact = {
-        (r["q_id"], r["c_id"]) for r in cosine_topk_bruteforce(emb, range(10), k=3).collect()
-    }
-    got = cosine_topk_ivf(emb, range(10), k=3, n_clusters=4).collect()
-    assert len(got) > 0
-    approx = {(r["q_id"], r["c_id"]) for r in got}
-    assert len(exact & approx) / len(exact) >= 0.3
+    exact = cosine_topk_bruteforce(emb, range(30), k=5)
+    r1 = _recall(exact, cosine_topk_ivf(emb, range(30), k=5, n_clusters=8, nprobe=1))
+    r3 = _recall(exact, cosine_topk_ivf(emb, range(30), k=5, n_clusters=8, nprobe=3))
+    assert r1 >= 1.5 / 8  # beats probing 1/8 of the corpus at random
+    assert r3 >= 0.55  # measured 0.633; floor with container margin
+    assert r3 > r1  # the recall knob works
+
+
+def test_ann_high_recall_on_clustered_data(spark):
+    """On data WITH neighbor structure (10 tight clusters) the ANN
+    paths must actually find the neighbors: IVF ≥ 0.9, LSH ≥ 0.8."""
+    import numpy as np
+
+    from dvmax_spark.ext.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + 0.08 * rng.normal(size=64)
+        vecs.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    exact = cosine_topk_bruteforce(emb, range(20), k=5)
+    ivf = cosine_topk_ivf(emb, range(20), k=5, n_clusters=10, nprobe=2)
+    assert _recall(exact, ivf) >= 0.9
+    lsh = cosine_topk_lsh(emb, range(20), k=5, n_planes=4, n_tables=8)
+    assert _recall(exact, lsh) >= 0.8
 
 
 def test_bucket_cap_bounds_degenerate_corpus(spark):
@@ -162,19 +205,41 @@ def test_simhash_deterministic_and_near_dup_free(spark, docs):
     assert a == b  # portable hashes -> reproducible fingerprints
 
 
-def test_multimodal_features_deterministic(spark, docs):
+def test_multimodal_real_png_decode_exact(spark, docs):
+    """Payloads are real PNGs; the pure-Python decode must return the
+    exact dims and true pixel mean of what the encoder wrote."""
     from dvmax_spark.ext.multimodal import attach_fake_payload, extract_image_features
 
     out = extract_image_features(attach_fake_payload(docs.limit(50)))
     rows = {r["doc_id"]: r for r in out.collect()}
     assert len(rows) == 50
-    again = {
-        r["doc_id"]: r
-        for r in extract_image_features(attach_fake_payload(docs.limit(50))).collect()
-    }
-    assert {k: (v["width"], v["mean_luma"]) for k, v in rows.items()} == {
-        k: (v["width"], v["mean_luma"]) for k, v in again.items()
-    }
+    for doc_id, r in rows.items():
+        w, h = 8 + doc_id % 16, 8 + (doc_id // 16) % 16
+        true_mean = sum((doc_id + x + 2 * y) % 256 for x in range(w) for y in range(h)) / (w * h)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_luma"] == pytest.approx(true_mean)
+        assert r["n_bytes"] > 50  # a real file, not a fake tag
+
+
+def test_image_header_parsers():
+    """Pure-python header parse: PNG/JPEG(SOF0+SOF2)/GIF + garbage."""
+    import struct
+
+    from dvmax_spark.ext.multimodal import make_png, parse_image_header
+
+    assert parse_image_header(make_png(12, 7, lambda x, y: 0)) == (12, 7, "png")
+    sof0 = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640)
+        + b"\x03" + bytes(2)
+    )
+    assert parse_image_header(sof0) == (640, 480, "jpeg")
+    sof2 = sof0.replace(b"\xff\xc0", b"\xff\xc2")
+    assert parse_image_header(sof2) == (640, 480, "jpeg")
+    assert parse_image_header(b"GIF89a" + struct.pack("<HH", 320, 200)) == (320, 200, "gif")
+    assert parse_image_header(b"random garbage bytes") == (0, 0, "unknown")
+    assert parse_image_header(b"") == (0, 0, "unknown")
+    assert parse_image_header(make_png(5, 5, lambda x, y: 0)[:20]) == (0, 0, "unknown")
 
 
 def test_ml_walk_forward_beats_chance(spark, emb):
