@@ -6,9 +6,11 @@ Prints ONE JSON line:
 
 Each query is executed against the noop sink (forces the complete
 plan including final sorts, returns nothing to the driver — unlike
-count(), which lets Catalyst prune sorts/columns). Each query runs
-twice and reports the min, separating plan cost from container noise
-(GC, neighbor load). A warmup query amortizes JVM/codegen startup.
+count(), which lets Catalyst prune sorts/columns). Queries run in 3
+INTERLEAVED passes (all queries once, then again, …) reporting the
+per-query min: the container's noise comes in multi-second bursts, so
+spacing a query's repeats apart beats running them back-to-back. A
+warmup query amortizes JVM/codegen startup.
 """
 
 from __future__ import annotations
@@ -35,12 +37,15 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer reads
     run(next(iter(specs.values())))
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, spec in specs.items():
-        dt = round(min(run(spec), run(spec)), 3)
-        timings[name] = dt
-        total += dt
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    best: dict[str, float] = {}
+    for _ in range(n_passes):
+        for name, spec in specs.items():
+            dt = run(spec)
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    timings = {name: round(dt, 3) for name, dt in best.items()}
+    total = sum(timings.values())
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -55,7 +60,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "n": 2,  # min-of-2 runs per query (container-noise guard)
+                "n": n_passes,  # interleaved passes, min per query (noise guard)
             }
         )
     )

@@ -273,6 +273,9 @@ def ngram_jaccard_pairs(
     # (pruned-set jaccard would inflate scores — union shrinks too)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if max_doc_freq is not None:
+        # one driver-side count to turn the fraction into an absolute
+        # doc-frequency threshold; a metadata-only pass on parquet
+        # (row-group counts), not a table scan
         n_docs = df.count()
         hot = (
             toks.groupBy("tok")

@@ -122,6 +122,78 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     return df.withColumn(out, fp)
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    documents dominated by repeated tokens / a single repeated n-gram
+    are boilerplate or spam and get filtered before pre-training.
+
+      dup_token_frac  — 1 - distinct/total tokens (per-row expression)
+      top_bigram_frac — occurrences of the most frequent bigram over
+                        total bigrams (explode → two-level aggregate)
+      passes_repetition_gate — the standard keep decision
+
+    Scale shape: one shuffle on (doc_id, gram) for the frequency count,
+    map-side partial aggregation on both levels; everything else is a
+    per-row expression. No Python.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    dup_frac = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    base = df.select(F.col(id_col), F.col(text_col), dup_frac.alias("dup_token_frac"))
+
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    gram_freq = (
+        exploded.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .groupBy(id_col)
+        .agg(F.max("freq").alias("top_freq"), F.sum("freq").alias("n_grams"))
+    )
+    # no rounding: plain IEEE divisions are bit-identical across
+    # engines, while round() near .5 boundaries (e.g. 1/32) is not
+    out = base.join(gram_freq, id_col, "left").select(
+        F.col(id_col),
+        F.col("dup_token_frac"),
+        F.coalesce(F.col("top_freq").cast("double") / F.col("n_grams"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
+    gate = (F.col("dup_token_frac") <= 0.7) & (F.col("top_bigram_frac") <= 0.2)
+    return out.withColumn("passes_repetition_gate", gate.cast("int"))
+
+
+# PII patterns kept to the regex subset where Java (Spark) and RE2
+# (DuckDB) agree: character classes, bounded repeats, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out: str = "redacted"
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails/phones with
+    typed placeholder tags and count what was removed — per-row regex
+    expressions, fully JVM-side, zero shuffles."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+    redacted = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(redacted, F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_phones", n_phones)
+        .withColumn(out, redacted)
+    )
+
+
 def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:
     """DuckDB oracle SQL mirroring lang_scores(), generated from the
     same LANG_STOPWORDS table so both sides always agree."""

@@ -29,7 +29,7 @@ def adjust_series_for_splits(
     (tiny) splits table; the as-of join is the single-shuffle union+
     window plan — no per-key Python.
     """
-    if not splits.columns or splits.rdd.isEmpty():
+    if not splits.columns or splits.isEmpty():
         return df
     cum = cumulative_product(
         splits, by=by, order=date_col, value="split_ratio", out="cumulative_ratio"

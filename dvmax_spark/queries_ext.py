@@ -297,6 +297,102 @@ def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+@query(
+    "x_repetition_stats",
+    ids=("X15",),
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN len(t) > 0
+                  THEN 1.0 - len(list_distinct(t))::DOUBLE / len(t)
+                  ELSE 0.0 END AS dup_token_frac,
+             CASE WHEN len(t) >= 2
+                  THEN list_filter(
+                         list_transform(t, (x, i) -> CASE WHEN i < len(t)
+                                                          THEN x || ' ' || t[i + 1] END),
+                         g -> g IS NOT NULL)
+                  ELSE [] END AS grams
+      FROM toks
+    ), g AS (
+      SELECT doc_id, unnest(grams) AS gram FROM base
+    ), freq AS (
+      SELECT doc_id, gram, count(*) AS freq FROM g GROUP BY doc_id, gram
+    ), top AS (
+      SELECT doc_id, max(freq) AS top_freq, sum(freq) AS n_grams FROM freq GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.dup_token_frac,
+           coalesce(t.top_freq::DOUBLE / t.n_grams, 0.0) AS top_bigram_frac,
+           CASE WHEN b.dup_token_frac <= 0.7
+                 AND coalesce(t.top_freq::DOUBLE / t.n_grams, 0.0) <= 0.2
+                THEN 1 ELSE 0 END AS passes_repetition_gate
+    FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def x_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """[X15] Gopher-style repetition filters (duplicate-token fraction,
+    top-bigram coverage, keep gate) — the standard public pre-training
+    boilerplate/spam filters, as one shuffle + per-row expressions.
+    Raw IEEE divisions (no rounding) keep cross-engine hash parity."""
+    from dvmax_spark.ext.textstats import repetition_stats
+
+    docs = load_table(spark, "documents", sf)
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "x_pii_redact",
+    ids=("X16",),
+    sql="""
+    WITH base AS (
+      SELECT doc_id,
+             text || ' Contact: user' || doc_id || '@mail.example.com or +1-555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now.' AS text
+      FROM documents
+    ), e AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+               AS after_email
+      FROM base
+    )
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(after_email, '\\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phones,
+           regexp_replace(after_email, '\\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g')
+             AS redacted
+    FROM e ORDER BY doc_id
+    """,
+)
+def x_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """[X16] PII scrubbing: deterministic contact info is appended to
+    each doc (so expected output is non-empty), then emails/phones are
+    counted and replaced with typed tags. Patterns restricted to the
+    Java∩RE2 regex subset; redacted strings hash-compared whole."""
+    from dvmax_spark.ext.textstats import pii_redact
+
+    docs = load_table(spark, "documents", sf)
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" now."),
+        ).alias("text"),
+    )
+    return (
+        pii_redact(base)
+        .select("doc_id", "n_emails", "n_phones", "redacted")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 

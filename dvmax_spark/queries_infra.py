@@ -23,8 +23,10 @@ def s5_rest_ingest_fixture(spark: SparkSession, sf: str) -> DataFrame:
     """REST/JSON ingest adapters against a fixture transport (the
     reference's FMP/yfinance/WorldBank clients, base.py:16-114, with
     the network swapped for canned payloads): fetch -> typed frame ->
-    long->wide indicator pivot."""
+    long->wide indicator pivot; plus real HTML-table universe parsing
+    (S8, ref populate_tickers.py:13-37) over a saved page."""
     from dvmax_spark.sources.files import wide_pivot_indicators
+    from dvmax_spark.sources.html_tables import universe_from_html
     from dvmax_spark.sources.http import HttpClient, RetryPolicy
     from dvmax_spark.sources.rest import fetch_json_source
 
@@ -50,13 +52,33 @@ def s5_rest_ingest_fixture(spark: SparkSession, sf: str) -> DataFrame:
     )
     wide = wide_pivot_indicators(long_df, ["country", "year"], indicators=["GDP", "CPI"])
 
-    return prices.agg(
-        F.count(F.lit(1)).alias("n_price_rows"),
-        F.round(F.sum("close"), 2).alias("close_sum"),
-    ).crossJoin(
-        wide.agg(
-            F.count(F.lit(1)).alias("n_wide_rows"), F.count("CPI").alias("n_cpi")
+    page = """
+    <html><body>
+    <table><tr><th>Rank</th><th>Name</th></tr>
+           <tr><td>1</td><td>Not a universe table</td></tr></table>
+    <table>
+      <tr><th>Symbol</th><th>Security</th><th>Sector</th></tr>
+      <tr><td><a href="/wiki/Apple">AAPL</a></td><td>Apple</td><td>IT</td></tr>
+      <tr><td>MSFT</td><td>Microsoft</td><td>IT</td></tr>
+      <tr><td>BRK.B</td><td>Berkshire</td><td>Financials</td></tr>
+      <tr><td>msft</td><td>dup, case</td><td>IT</td></tr>
+      <tr><td>^GSPC</td><td>index, invalid</td><td>-</td></tr>
+    </table>
+    </body></html>
+    """
+    tickers = universe_from_html(spark, page)
+
+    return (
+        prices.agg(
+            F.count(F.lit(1)).alias("n_price_rows"),
+            F.round(F.sum("close"), 2).alias("close_sum"),
         )
+        .crossJoin(
+            wide.agg(
+                F.count(F.lit(1)).alias("n_wide_rows"), F.count("CPI").alias("n_cpi")
+            )
+        )
+        .crossJoin(tickers.agg(F.count(F.lit(1)).alias("n_html_tickers")))
     )
 
 

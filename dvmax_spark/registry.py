@@ -95,7 +95,6 @@ PRIORITY: tuple[str, ...] = (
     "s4_pipeline_infra",
     # streaming-semantics windows
     "t_tumbling_window",
-    "t_sliding_window",
     "t_session_window",
     # LLM-data-pipeline operators
     "x_exact_dedup",
@@ -108,12 +107,15 @@ PRIORITY: tuple[str, ...] = (
     "x_quality_score",
     "x_lang_id",
     "x_fingerprint",
+    "x_repetition_stats",
+    "x_pii_redact",
     "x_image_features",
     "x_frame_sample",
-    "x_bpe_token_count",
     "x_ml_walk_forward",
     "x_score_portfolio",
     # --- everything below is redundant-coverage / variant evidence ---
+    "t_sliding_window",
+    "x_bpe_token_count",
     "j1_inner_join_agg",
     "j7_dim_enrichment",
     "j_semi_join",

@@ -186,6 +186,48 @@ def test_pruned_jaccard_is_conservative_lower_bound(spark):
     assert pruned[(1, 2)] == pytest.approx(1 / 5)  # {a} / unpruned union
 
 
+def test_repetition_gate_flags_spam(spark):
+    """A doc dominated by one repeated bigram fails the Gopher gate;
+    diverse text passes; degenerate short docs don't crash."""
+    from dvmax_spark.ext.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "single"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["passes_repetition_gate"] == 0
+    assert rows[1]["top_bigram_frac"] > 0.4  # 'buy now' dominates
+    assert rows[2]["passes_repetition_gate"] == 1
+    assert rows[3]["top_bigram_frac"] == 0.0 and rows[3]["dup_token_frac"] == 0.0
+    assert 4 in rows  # empty text survives
+
+
+def test_pii_redact_variants(spark):
+    from dvmax_spark.ext.textstats import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+tag@sub.example.co.uk or call +44 20 7946 0958 today"),
+            (2, "no pii here at all"),
+            (3, "two mails: x@y.org and z@w.io; phone (555) 010-4477"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert "<EMAIL>" in rows[1]["redacted"] and "<PHONE>" in rows[1]["redacted"]
+    assert "@" not in rows[1]["redacted"].replace("<EMAIL>", "")
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["redacted"] == "no pii here at all"
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 1
+
+
 def test_approx_count_distinct_error(spark):
     from dvmax_spark.catalog import load_table
 

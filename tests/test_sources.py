@@ -143,6 +143,34 @@ class TestFileSources:
         assert df.columns == ["ticker", "weight"]
         assert ("AAPL", "1.0") in vals and ("MSFT", "2.0") in vals
 
+    def test_html_table_universe(self, spark):
+        """S8: stdlib HTML-table parse — multiple tables, links inside
+        cells, header detection, ticker validation + dedupe (ref
+        populate_tickers.py pd.read_html behavior)."""
+        from dvmax_spark.sources.html_tables import extract_tables, universe_from_html
+
+        page = (
+            "<html><body>"
+            "<table><tr><th>Rank</th><th>Name</th></tr>"
+            "<tr><td>1</td><td>decoy</td></tr></table>"
+            "<table><tr><th>Symbol</th><th>Security</th></tr>"
+            '<tr><td><a href="/wiki/A">AAPL</a></td><td>Apple</td></tr>'
+            "<tr><td>BRK.B</td><td>Berkshire <i>Hathaway</i></td></tr>"
+            "<tr><td>aapl</td><td>dup lowercase</td></tr>"
+            "<tr><td>^GSPC</td><td>invalid index symbol</td></tr>"
+            "</table></body></html>"
+        )
+        tables = extract_tables(page)
+        assert len(tables) == 2
+        assert tables[1][0] == ["Symbol", "Security"]
+        assert tables[1][1][1] == ["BRK.B", "Berkshire Hathaway"]  # nested tag text
+        got = sorted(r["ticker"] for r in universe_from_html(spark, page).collect())
+        assert got == ["AAPL", "BRK.B"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            universe_from_html(spark, "<table><tr><th>Nope</th></tr></table>")
+
     def test_wide_pivot(self, spark):
         from dvmax_spark.sources.files import wide_pivot_indicators
 
