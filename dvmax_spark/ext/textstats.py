@@ -127,44 +127,58 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     documents dominated by repeated tokens / a single repeated n-gram
     are boilerplate or spam and get filtered before pre-training.
 
-      dup_token_frac  — 1 - distinct/total tokens (per-row expression)
+      dup_token_frac  — 1 - distinct/total tokens
       top_bigram_frac — occurrences of the most frequent bigram over
-                        total bigrams (explode → two-level aggregate)
+                        total bigrams
       passes_repetition_gate — the standard keep decision
 
-    Scale shape: one shuffle on (doc_id, gram) for the frequency count,
-    map-side partial aggregation on both levels; everything else is a
-    per-row expression. No Python.
+    Scale shape: ENTIRELY per-row expressions — the top-bigram count is
+    a run-length fold over the SORTED per-doc bigram array (equal grams
+    become adjacent), so there is no explode, no shuffle, and the
+    operator is pure map-side at any corpus size. Per-doc work is
+    O(len·log len), bounded by document length. No Python.
     """
     toks = tokens(text_col)
     n = F.size(toks)
     dup_frac = F.when(
         n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
     ).otherwise(F.lit(0.0))
-    base = df.select(F.col(id_col), F.col(text_col), dup_frac.alias("dup_token_frac"))
 
     grams = F.when(
-        F.size(toks) >= 2,
+        n >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
+            F.sequence(F.lit(0), n - 2),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
-    gram_freq = (
-        exploded.groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .groupBy(id_col)
-        .agg(F.max("freq").alias("top_freq"), F.sum("freq").alias("n_grams"))
+    # longest run of equal adjacent elements in the sorted gram array
+    # == max frequency of any bigram; struct-accumulator fold
+    top_freq = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     # no rounding: plain IEEE divisions are bit-identical across
     # engines, while round() near .5 boundaries (e.g. 1/32) is not
-    out = base.join(gram_freq, id_col, "left").select(
+    top_frac = F.when(
+        F.size(grams) > 0, top_freq.cast("double") / F.size(grams)
+    ).otherwise(F.lit(0.0))
+    out = df.select(
         F.col(id_col),
-        F.col("dup_token_frac"),
-        F.coalesce(F.col("top_freq").cast("double") / F.col("n_grams"), F.lit(0.0)).alias(
-            "top_bigram_frac"
-        ),
+        dup_frac.alias("dup_token_frac"),
+        top_frac.alias("top_bigram_frac"),
     )
     gate = (F.col("dup_token_frac") <= 0.7) & (F.col("top_bigram_frac") <= 0.2)
     return out.withColumn("passes_repetition_gate", gate.cast("int"))

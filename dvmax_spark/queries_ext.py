@@ -129,7 +129,7 @@ def x_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("x_minhash_lsh", ids=("X3",), sql=None)
+@query("x_minhash_lsh", ids=("X3",), bench=True, sql=None)
 def x_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
     join). Approximate by construction → rows-only driver check;
@@ -300,6 +300,7 @@ def x_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x_repetition_stats",
     ids=("X15",),
+    bench=True,
     sql="""
     WITH toks AS (
       SELECT doc_id, str_split(text, ' ') AS t FROM documents
@@ -345,6 +346,7 @@ def x_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x_pii_redact",
     ids=("X16",),
+    bench=True,
     sql="""
     WITH base AS (
       SELECT doc_id,

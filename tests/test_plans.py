@@ -156,3 +156,20 @@ def test_upsert_single_shuffle(spark):
     # hashpartitioning exchanges only; final orderBy adds one range exchange
     n_hash = plan.count("hashpartitioning")
     assert n_hash <= 2, f"{n_hash} hash exchanges:\n{plan}"
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """X15 repetition filters: per-row sorted-array fold, NOT an
+    explode+groupBy — zero hash exchanges (only the final orderBy range
+    exchange) and zero Python, so the filter is pure map-side at 100 TB."""
+    plan = _simple_plan(_q(spark, "x_repetition_stats"))
+    assert plan.count("hashpartitioning") == 0, plan
+    assert "Python" not in plan, plan
+
+
+def test_pii_redact_is_map_side_only(spark):
+    """X16 PII scrub: per-row regex expressions — no exchange at all
+    beyond the final sort, no Python."""
+    plan = _simple_plan(_q(spark, "x_pii_redact"))
+    assert plan.count("hashpartitioning") == 0, plan
+    assert "Python" not in plan, plan
