@@ -184,6 +184,72 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_sql(
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.1,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for the FULL MinHash+LSH pipeline — possible only
+    because every hash is portable (md5-derived, not engine-native).
+    Generated from the same ``_perm_constants`` the Spark side uses, so
+    the two engines share constants by construction. Docs shorter than
+    ``shingle_n`` tokens are excluded on both sides (their shingle set
+    is empty ⇒ no signature)."""
+    assert shingle_n == 2, "oracle generator covers the bigram case"
+    rows = num_hashes // bands
+    perms = _perm_constants(num_hashes)
+    hash_expr = "(('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000007)"
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> (h * {a % _HASH_MOD} + {b % _HASH_MOD})"
+        f" % {_HASH_MOD})) AS s{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"s{b * rows + r}::VARCHAR" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM {table}
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(t, (x, i) -> CASE WHEN i < len(t)
+                                                THEN x || ' ' || t[i + 1] END),
+               g -> g IS NOT NULL)) AS gs
+      FROM toks WHERE len(t) >= 2
+    ), hashed AS (
+      SELECT doc_id, list_transform(gs, g -> {hash_expr}) AS hs
+      FROM grams WHERE len(gs) > 0
+    ), sig AS (
+      SELECT doc_id,
+             {sig_exprs}
+      FROM hashed
+    ), banded AS (
+{band_selects}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           ({eq_terms})::DOUBLE / {float(num_hashes)} AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON p.id_a = sa.doc_id
+    JOIN sig sb ON p.id_b = sb.doc_id
+    WHERE ({eq_terms})::DOUBLE / {float(num_hashes)} >= {threshold}
+    ORDER BY p.id_a, p.id_b
+    """
+
+
 def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
     """64-bit SimHash over word tokens: bit b of the fingerprint is the
     sign of sum over tokens of (+1 / -1) for bit b of the token hash.

@@ -15,6 +15,7 @@ from dvmax_spark.catalog import load_table
 from dvmax_spark.ext.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_sql,
     ngram_jaccard_pairs,
     shingles,
     simhash_near_pairs,
@@ -129,12 +130,18 @@ def x_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("x_minhash_lsh", ids=("X3",), bench=True, sql=None)
+@query("x_minhash_lsh", ids=("X3",), bench=True, sql=minhash_lsh_sql())
 def x_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
-    join). Approximate by construction → rows-only driver check;
-    accuracy vs exact Jaccard is property-tested in tests/test_ext.py."""
-    docs = load_table(spark, "documents", sf)
+    join). Approximate vs true Jaccard, but fully DETERMINISTIC given
+    the portable md5-derived hashes — so the whole pipeline has an
+    exact DuckDB oracle (generated from the same permutation constants,
+    ext/dedup.py:minhash_lsh_sql). Docs shorter than the shingle width
+    are excluded on both sides (empty shingle set ⇒ no signature).
+    Accuracy vs exact Jaccard is additionally property-tested."""
+    docs = load_table(spark, "documents", sf).where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
     return minhash_lsh_pairs(
         docs, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
     ).orderBy("id_a", "id_b")
