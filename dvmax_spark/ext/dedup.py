@@ -314,6 +314,45 @@ def simhash_near_pairs(
     )
 
 
+def simhash_sql(max_hamming: int = 10, table: str = "documents") -> str:
+    """DuckDB oracle for the FULL SimHash pipeline (fingerprint → 4×15-bit
+    band bucketing → hamming filter) — possible because the token hash is
+    portable (md5-derived, ext/dedup.py:_portable_hash), so both engines
+    compute bit-identical fingerprints. Mirrors :func:`simhash` /
+    :func:`simhash_near_pairs` term for term."""
+    hash_expr = "('0x' || substr(md5(x), 1, 15))::BIGINT"
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(60)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * 15}) & 32767 AS band_key FROM fp"
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM {table}
+    ), hashed AS (
+      SELECT doc_id, list_transform(t, x -> {hash_expr}) AS hs FROM toks
+    ), fp AS (
+      SELECT doc_id, ({bit_terms}) AS simhash FROM hashed
+    ), banded AS (
+{band_selects}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS fp_a, b.simhash AS fp_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INTEGER AS hamming
+    FROM pairs
+    WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

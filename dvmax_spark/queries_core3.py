@@ -121,18 +121,35 @@ def a11_mergeschema_union(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("s2_parquet_sink_roundtrip", ids=("S2", "S3", "A11"), sql=None)
+@query(
+    "s2_parquet_sink_roundtrip",
+    ids=("S2", "S3", "A11"),
+    sql="""
+    WITH a AS (SELECT l_quantity FROM lineitem WHERE l_orderkey % 7 = 0),
+         b AS (SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 7 = 1)
+    SELECT (SELECT count(*) FROM a) + (SELECT count(*) FROM b) AS n_rows,
+           (SELECT count(*) FROM a) AS n_qty,
+           (SELECT count(*) FROM b) AS n_extra,
+           (SELECT sum(CAST(round(l_quantity * 100) AS BIGINT)) FROM a) AS sum_qty_c,
+           (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM b) AS sum_price_c
+    """,
+)
 def s2_parquet_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Parquet sink (zstd) + atomic job-commit overwrite + mergeSchema
-    read-back (S2/S3/A11): write two schema-evolving slices, read the
-    union back. Rows-only (sinks have no SQL oracle); the returned
-    frame proves the round-trip."""
+    read-back (S2/S3/A11): write two deterministic schema-evolving
+    slices, read the union back, and checksum the values that went
+    through the sink. The oracle computes the same checksums straight
+    from the source table, so a hash match proves the sink round-trip
+    is lossless (counts AND values, cents-exact integer sums — no
+    float-summation-order drift)."""
     li = load_table(spark, "lineitem", sf)
     out = os.path.join(tempfile.gettempdir(), "dvmax_sink_roundtrip")
-    a = li.select("l_orderkey", "l_linenumber", "l_quantity").limit(100)
+    a = li.where(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
     b = (
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .limit(100)
+        li.where(F.col("l_orderkey") % 7 == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .withColumn("extra", F.lit("v2"))
     )
     a.write.mode("overwrite").option("compression", "zstd").parquet(out)
@@ -142,4 +159,6 @@ def s2_parquet_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("l_quantity").alias("n_qty"),
         F.count("extra").alias("n_extra"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_c"),
     )

@@ -16,6 +16,7 @@ from dvmax_spark.ext.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_sql,
+    simhash_sql,
     ngram_jaccard_pairs,
     shingles,
     simhash_near_pairs,
@@ -147,11 +148,12 @@ def x_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("x_simhash_pairs", ids=("X4",), sql=None)
+@query("x_simhash_pairs", ids=("X4",), sql=simhash_sql(max_hamming=10))
 def x_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 10 (banded
-    lookup). Engine-deterministic (portable md5-derived hashes) but not
-    SQL-expressible compactly → rows-only check."""
+    lookup). Fully deterministic (portable md5-derived hashes), so the
+    whole fingerprint → band → hamming pipeline has an exact DuckDB
+    oracle (ext/dedup.py:simhash_sql)."""
     docs = load_table(spark, "documents", sf)
     return simhash_near_pairs(docs, max_hamming=10).orderBy("id_a", "id_b")
 
