@@ -18,13 +18,24 @@ from dvmax_spark.catalog import load_table
 from dvmax_spark.registry import query
 
 
-@query("s5_rest_ingest_fixture", ids=("S5", "S6", "S7", "S8", "S9"), sql=None)
+@query(
+    "s5_rest_ingest_fixture",
+    ids=("S5", "S6", "S7", "S8", "S9"),
+    sql="""
+    SELECT 2::BIGINT AS n_price_rows, 203.75::DOUBLE AS close_sum,
+           2::BIGINT AS n_wide_rows, 1::BIGINT AS n_cpi,
+           3::BIGINT AS n_html_tickers
+    """,
+)
 def s5_rest_ingest_fixture(spark: SparkSession, sf: str) -> DataFrame:
     """REST/JSON ingest adapters against a fixture transport (the
     reference's FMP/yfinance/WorldBank clients, base.py:16-114, with
     the network swapped for canned payloads): fetch -> typed frame ->
     long->wide indicator pivot; plus real HTML-table universe parsing
-    (S8, ref populate_tickers.py:13-37) over a saved page."""
+    (S8, ref populate_tickers.py:13-37) over a saved page. The
+    fixtures are fully deterministic, so the expected aggregate is a
+    golden row the oracle pins (AAPL/MSFT/BRK.B survive validation;
+    the case-dup and ^GSPC are dropped)."""
     from dvmax_spark.sources.files import wide_pivot_indicators
     from dvmax_spark.sources.html_tables import universe_from_html
     from dvmax_spark.sources.http import HttpClient, RetryPolicy
@@ -82,12 +93,27 @@ def s5_rest_ingest_fixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("s4_pipeline_infra", ids=("S4", "S10", "S11", "S12", "P12"), sql=None)
+@query(
+    "s4_pipeline_infra",
+    ids=("S4", "S10", "S11", "S12", "P12"),
+    sql="""
+    WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 11 = 3)
+    SELECT 2::BIGINT AS n_universe,
+           (SELECT count(*) FROM src) AS n_cached,
+           (SELECT count(*) FROM src) AS n_cached_again,
+           (SELECT count(*) FROM src WHERE l_discount > 0.08) AS n_quarantined,
+           (SELECT count(*) FROM src) AS status_processed,
+           11::BIGINT AS n_prefix_cols
+    """,
+)
 def s4_pipeline_infra(spark: SparkSession, sf: str) -> DataFrame:
     """Pipeline infrastructure round-trip: ticker-universe text scan
     (S4), cached source reuse (S12), quarantine audit sink (S11),
     status JSON sidecar (S10), and prefix-pattern column projection
-    (P12, ref startswith selection ticker_batch_runner.py:245)."""
+    (P12, ref startswith selection ticker_batch_runner.py:245).
+    Deterministic lineitem slice (keyed filter, not limit) so the
+    quarantine/cache counts have an exact DuckDB oracle; the universe
+    and prefix counts are fixture constants the oracle pins."""
     from dvmax_spark.sources.files import read_ticker_universe
 
     tmp = tempfile.mkdtemp(prefix="dvmax_infra_")
@@ -97,7 +123,7 @@ def s4_pipeline_infra(spark: SparkSession, sf: str) -> DataFrame:
     universe = read_ticker_universe(spark, os.path.join(tmp, "tickers.txt"))
 
     # S12: cache + reuse (two actions, one computation)
-    li = load_table(spark, "lineitem", sf).limit(1000).cache()
+    li = load_table(spark, "lineitem", sf).where(F.col("l_orderkey") % 11 == 3).cache()
     n1, n2 = li.count(), li.count()
 
     # S11: quarantine sink
