@@ -184,19 +184,18 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_sql(
+def _minhash_lsh_ctes(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 2,
     threshold: float = 0.1,
     table: str = "documents",
 ) -> str:
-    """DuckDB oracle for the FULL MinHash+LSH pipeline — possible only
-    because every hash is portable (md5-derived, not engine-native).
-    Generated from the same ``_perm_constants`` the Spark side uses, so
-    the two engines share constants by construction. Docs shorter than
-    ``shingle_n`` tokens are excluded on both sides (their shingle set
-    is empty ⇒ no signature)."""
+    """Shared CTE chain (shingle → signature → band → candidate pairs →
+    thresholded ``lsh_pairs``) used by both :func:`minhash_lsh_sql` and
+    :func:`dedup_clusters_sql`. Generated from the same
+    ``_perm_constants`` the Spark side uses, so the two engines share
+    constants by construction."""
     assert shingle_n == 2, "oracle generator covers the bigram case"
     rows = num_hashes // bands
     perms = _perm_constants(num_hashes)
@@ -216,8 +215,7 @@ def minhash_lsh_sql(
     eq_terms = " + ".join(
         f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, str_split(text, ' ') AS t FROM {table}
     ), grams AS (
       SELECT doc_id,
@@ -235,19 +233,149 @@ def minhash_lsh_sql(
       FROM hashed
     ), banded AS (
 {band_selects}
-    ), pairs AS (
+    ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
-    SELECT p.id_a, p.id_b,
-           ({eq_terms})::DOUBLE / {float(num_hashes)} AS est_jaccard
-    FROM pairs p
-    JOIN sig sa ON p.id_a = sa.doc_id
-    JOIN sig sb ON p.id_b = sb.doc_id
-    WHERE ({eq_terms})::DOUBLE / {float(num_hashes)} >= {threshold}
-    ORDER BY p.id_a, p.id_b
+    ), lsh_pairs AS (
+      SELECT p.id_a, p.id_b,
+             ({eq_terms})::DOUBLE / {float(num_hashes)} AS est_jaccard
+      FROM cand p
+      JOIN sig sa ON p.id_a = sa.doc_id
+      JOIN sig sb ON p.id_b = sb.doc_id
+      WHERE ({eq_terms})::DOUBLE / {float(num_hashes)} >= {threshold}
+    )"""
+
+
+def minhash_lsh_sql(
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.1,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for the FULL MinHash+LSH pipeline — possible only
+    because every hash is portable (md5-derived, not engine-native).
+    Docs shorter than ``shingle_n`` tokens are excluded on both sides
+    (their shingle set is empty ⇒ no signature)."""
+    ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b, est_jaccard
+    FROM lsh_pairs
+    ORDER BY id_a, id_b
     """
+
+
+def dedup_clusters_sql(
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.1,
+    table: str = "documents",
+    rank_col: str = "n_chars",
+) -> str:
+    """DuckDB oracle for the FULL near-dup clustering pipeline: MinHash
+    LSH pairs → connected components (recursive reachability; min id
+    per component) → canonical-doc selection. Exactly mirrors
+    :func:`dedup_clusters` over :func:`minhash_lsh_pairs` output."""
+    ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM lsh_pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM lsh_pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM {table}
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+           (row_number() OVER (
+              PARTITION BY c.cluster_id
+              ORDER BY d.{rank_col} DESC, d.doc_id ASC) = 1) AS keep
+    FROM {table} d JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment + canonical selection — the step
+    that turns pairwise near-dup evidence (from any of the pair
+    generators above) into an actual dedup verdict: one kept document
+    per connected component of the similarity graph.
+
+    Components via iterative min-label propagation: every vertex
+    repeatedly takes the min label among itself and its neighbors; a
+    vertex's label converges to the min id of its component in
+    O(component diameter) rounds. Near-dup graphs are star-like
+    (diameter 2-4 — dup families share a common template), so a
+    handful of rounds suffices; ``max_iter`` bounds adversarial
+    chains. Each round is one shuffle join (edges × labels, keyed on
+    vertex id) + one min-aggregate; labels are ``localCheckpoint``-ed
+    per round so the plan doesn't grow with iterations. At 100 TB,
+    the same two primitives compose into the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") for O(log n) worst-case
+    rounds — the data layout and shuffle keys stay identical.
+
+    Canonical rule: per cluster keep the doc with the highest
+    ``rank_col`` (tie-break min id); with ``rank_col=None`` keep the
+    min-id doc.
+
+    Returns one row per input doc: (id, cluster_id, cluster_size,
+    keep) — singletons are their own cluster with keep=true.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .unionAll(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = df.select(F.col(id_col).alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        joined = labels.join(nbr_min, "id", "left").cache()
+        n_changed = joined.where(F.col("nbr") < F.col("label")).count()
+        # least() skips nulls (docs with no neighbors keep their label)
+        labels = joined.select("id", F.least("label", "nbr").alias("label")).localCheckpoint(
+            eager=True
+        )
+        joined.unpersist()
+        if n_changed == 0:
+            break
+
+    comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    rank = F.col(rank_col) if rank_col else F.lit(0)
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(rank.desc(), F.col(id_col).asc())
+    return (
+        df.join(comp, id_col)
+        .select(
+            id_col,
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (F.row_number().over(wr) == 1).alias("keep"),
+        )
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from dvmax_spark.catalog import load_table
 from dvmax_spark.ext.dedup import (
+    dedup_clusters,
+    dedup_clusters_sql,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_sql,
@@ -146,6 +148,27 @@ def x_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
     ).orderBy("id_a", "id_b")
+
+
+@query("x_dedup_clusters", ids=("X17",), sql=dedup_clusters_sql())
+def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster assignment + canonical-doc selection: MinHash
+    LSH pairs → connected components (iterative min-label propagation)
+    → keep the longest doc per cluster. The step that turns pairwise
+    near-dup evidence into a per-document dedup verdict — what a
+    100 TB training-data pipeline actually executes. Deterministic end
+    to end (portable hashes; min-id component labels), so the whole
+    pipeline has an exact DuckDB oracle via a recursive reachability
+    CTE (ext/dedup.py:dedup_clusters_sql)."""
+    docs = load_table(spark, "documents", sf)
+    pairs = minhash_lsh_pairs(
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
+        num_hashes=32,
+        bands=16,
+        shingle_n=2,
+        threshold=0.1,
+    )
+    return dedup_clusters(docs, pairs, rank_col="n_chars").orderBy("doc_id")
 
 
 @query("x_simhash_pairs", ids=("X4",), sql=simhash_sql(max_hamming=10))

@@ -75,7 +75,6 @@ PRIORITY: tuple[str, ...] = (
     # unions/pivot/scalars
     "u1_union_align",
     "u3_pivot",
-    "a11_mergeschema_union",
     "f_scalar_sampler",
     "f11_json_extract",
     "p10_one_hot",
@@ -101,6 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "x_ngram_jaccard",
     "x_minhash_lsh",
     "x_simhash_pairs",
+    "x_dedup_clusters",
     "x_cosine_topk",
     "x_cosine_topk_lsh",
     "x_text_stats",

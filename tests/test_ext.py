@@ -292,3 +292,47 @@ def test_ml_walk_forward_beats_chance(spark, emb):
     n_classes = emb.select("label").distinct().count()
     for r in res:
         assert r["accuracy"] > 1.0 / n_classes  # better than chance
+
+
+def test_dedup_clusters_graph_semantics(spark):
+    """Connected components on a hand-built graph: a 4-chain (worst
+    diameter shape for min propagation), a star, and singletons all
+    resolve to min-id components; canonical = highest rank, tie-break
+    min id; singletons keep themselves."""
+    from dvmax_spark.ext.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, 10 * i) for i in range(1, 10)], "doc_id long, w long"
+    )
+    # chain 1-2-3-4, star 5-(6,7), singletons 8, 9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["keep"])
+        for r in dedup_clusters(docs, pairs, rank_col="w").collect()
+    }
+    assert out[1] == (1, 4, False) and out[4] == (1, 4, True)  # max w=40 kept
+    assert out[2] == (1, 4, False) and out[3] == (1, 4, False)
+    assert out[5] == (5, 3, False) and out[7] == (5, 3, True)
+    assert out[8] == (8, 1, True) and out[9] == (9, 1, True)
+
+
+def test_dedup_clusters_keep_exactly_one_per_cluster(spark, docs):
+    """On the real corpus: every cluster keeps exactly one doc, every
+    doc is assigned, and kept docs count == cluster count."""
+    from dvmax_spark.ext.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
+        num_hashes=32, bands=16, shingle_n=2, threshold=0.1,
+    )
+    cl = dedup_clusters(docs, pairs, rank_col="n_chars").cache()
+    n_docs = docs.count()
+    assert cl.count() == n_docs
+    per = cl.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep")
+    )
+    assert per.where(F.col("n_keep") != 1).count() == 0
+    assert cl.where("keep").count() == per.count()
+    cl.unpersist()
