@@ -33,7 +33,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
         # unless nanosAsLong is on. It's a runtime SQL conf, so set it
         # here rather than relying on whoever built the session (the
-        # driver harness passes its own vanilla SparkSession).
+        # driver harness passes its own vanilla SparkSession). Under
+        # this conf pyspark reads NANOS(isAdjustedToUTC=false) as
+        # TIMESTAMP_NTZ (wall-clock, truncated to µs) — same naive
+        # semantics DuckDB gives the oracle side. Downstream epoch
+        # arithmetic must stay NTZ-safe (functions.scalar.epoch_micros),
+        # since unix_micros/casts would be tz-dependent.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)

@@ -30,6 +30,23 @@ def safe_div(num: Column | str, den: Column | str, default=0.0) -> Column:
     )
 
 
+def epoch_micros(col: Column | str) -> Column:
+    """Microseconds since the epoch for a TIMESTAMP_NTZ column,
+    timezone-independent (F2 calendar arithmetic).
+
+    ``F.unix_micros`` only accepts TIMESTAMP_LTZ, but the testdata's
+    TIMESTAMP(NANOS) parquet reads as TIMESTAMP_NTZ under
+    ``nanosAsLong`` — and casting NTZ->LTZ would shift values by the
+    session timezone (driver sessions don't pin UTC). ``timestampdiff``
+    against an NTZ epoch literal stays in wall-clock space, matching
+    DuckDB's ``epoch_us`` on naive timestamps exactly.
+    """
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise TypeError("epoch_micros needs a column name (SQL expr under the hood)")
+    return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})")
+
+
 def is_finite(col: Column | str) -> Column:
     """F7: non-null, non-NaN, non-infinite."""
     c = _c(col).cast("double")

@@ -921,7 +921,9 @@ def f4_cagr(spark: SparkSession, sf: str) -> DataFrame:
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
     )
-    years = (F.unix_micros("end_ts") - F.unix_micros("start_ts")) / F.lit(31557600000000.0)
+    from dvmax_spark.functions.scalar import epoch_micros
+
+    years = (epoch_micros("end_ts") - epoch_micros("start_ts")) / F.lit(31557600000000.0)
     log_cagr = F.when(
         (F.col("start_v") > 0) & (F.col("end_v") > 0) & (years > 0),
         F.log(F.col("end_v") / F.col("start_v")) / years,

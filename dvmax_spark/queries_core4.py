@@ -59,10 +59,12 @@ def w_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE-based window frame (value range, not row count): trailing
     1-hour sums per user, ordered on exact epoch-microseconds so both
     engines use the identical integer range."""
+    from dvmax_spark.functions.scalar import epoch_micros
+
     ev = load_table(spark, "events", sf)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
