@@ -88,27 +88,56 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # Build grams by zipping n whole-array slices (one O(len) copy each)
+    # instead of transform(sequence, i -> slice(toks, i, n)): a per-
+    # element slice allocates an array per gram under interpreted
+    # higher-order eval and is ~8x slower at corpus scale.
+    cnt = F.size(toks) - n + 1
+    grams = F.slice(toks, 1, cnt)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + k, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Add ``signature: array<bigint>`` — k independent min-hashes over
-    the shingle set. Pure Catalyst (transform/array_min), no UDFs."""
+    """``(id_col, signature: array<bigint>)`` — k independent min-hashes
+    over the shingle set. No UDFs, and no higher-order lambdas in the
+    hot path: shingle hashes are EXPLODED and the k permutation minima
+    run as codegen'd hash-aggregate expressions. Spark's partial
+    aggregation collapses the (doc, shingle) stream to one row per doc
+    per partition before the shuffle, so shuffle volume is
+    O(docs × k × 8B) regardless of document length — the shape that
+    survives 100 TB. (The earlier array_min(transform(...)) form was
+    ~10× slower: interpreted lambda eval per shingle per permutation.)
+
+    A doc whose shingle set is empty keeps a row with an all-null
+    signature (explode_outer), matching ``array_min([]) = null``.
+    """
     sh = shingles(text_col, shingle_n)
     hashed = F.transform(sh, lambda s: _portable_hash(s) % _HASH_MOD)
-    sig_cols = []
-    for a, b in _perm_constants(num_hashes):
-        perm = F.transform(hashed, lambda h: (h * (a % _HASH_MOD) + b) % _HASH_MOD)
-        sig_cols.append(F.array_min(perm))
-    return df.withColumn("signature", F.array(*sig_cols))
+    exploded = df.select(F.col(id_col), F.explode_outer(hashed).alias("_h"))
+    aggs = [
+        F.min((F.col("_h") * ((a % _HASH_MOD)) + (b % _HASH_MOD)) % _HASH_MOD).alias(f"_s{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes))
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -131,9 +160,7 @@ def minhash_lsh_pairs(
     degenerate band keys (see :func:`cap_buckets`).
     """
     rows = num_hashes // bands
-    sig = minhash_signature(df, text_col, num_hashes, shingle_n).select(
-        F.col(id_col), "signature"
-    )
+    sig = minhash_signature(df, text_col, num_hashes, shingle_n, id_col=id_col)
     banded = sig.select(
         id_col,
         "signature",

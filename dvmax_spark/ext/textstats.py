@@ -138,19 +138,32 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     operator is pure map-side at any corpus size. Per-doc work is
     O(len·log len), bounded by document length. No Python.
     """
-    toks = tokens(text_col)
+    # Stage the token and gram arrays as their own projections so each
+    # is built ONCE: inlined into one select, the multiply-referenced
+    # array expressions are re-evaluated per reference under
+    # interpreted higher-order eval (CollapseProject keeps the barrier
+    # for non-cheap, multiply-referenced aliases).
+    staged = df.withColumn("_toks", tokens(text_col))
+    toks = F.col("_toks")
     n = F.size(toks)
+    # zip two whole-array slices rather than slicing per element — the
+    # per-gram slice allocates under interpreted higher-order eval and
+    # was the dominant cost of this operator (~8x)
+    staged = staged.withColumn(
+        "_grams",
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    grams = F.col("_grams")
     dup_frac = F.when(
         n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
     ).otherwise(F.lit(0.0))
-
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     # longest run of equal adjacent elements in the sorted gram array
     # == max frequency of any bigram; struct-accumulator fold
     top_freq = F.aggregate(
@@ -175,7 +188,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     top_frac = F.when(
         F.size(grams) > 0, top_freq.cast("double") / F.size(grams)
     ).otherwise(F.lit(0.0))
-    out = df.select(
+    out = staged.select(
         F.col(id_col),
         dup_frac.alias("dup_token_frac"),
         top_frac.alias("top_bigram_frac"),
