@@ -405,30 +405,37 @@ def dedup_clusters(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    """64-bit SimHash over word tokens: bit b of the fingerprint is the
-    sign of sum over tokens of (+1 / -1) for bit b of the token hash.
-    Implemented as 64 JVM-side aggregate expressions over the token
-    array — no explode, no shuffle."""
+def simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id_col, simhash)`` — 60-bit SimHash over word tokens: bit b of
+    the fingerprint is the sign of sum over tokens of (+1 / -1) for bit
+    b of the token hash.
+
+    Tokens are EXPLODED and the 60 signed bit-sums run as codegen'd
+    hash-aggregate expressions; partial aggregation collapses the
+    (doc, token) stream to one row per doc per partition before the
+    shuffle, so shuffle volume is O(docs × 60 × 8B) at any document
+    length. (The earlier form — 60 interpreted F.aggregate folds, each
+    inlining the md5 token-hash transform — recomputed every token
+    hash per bit.)
+    """
     toks = F.split(F.col(text_col), " ")
-    hashed = F.transform(toks, _portable_hash)
-
-    def bit_sum(b: int):
-        # factory binds b (PySpark higher-order lambdas must take
-        # exactly the declared arity — no extra default params)
-        return F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("_t")).select(
+        F.col(id_col), _portable_hash(F.col("_t")).alias("_h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(60)  # portable hash is 60 bits
+    ]
     fp = F.lit(0).cast("long")
-    for b in range(60):  # portable hash is 60 bits
-        fp = fp + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+    for b in range(60):
+        fp = fp + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return df.withColumn(out, fp)
+    return ex.groupBy(id_col).agg(*aggs).select(F.col(id_col), fp.alias(out))
 
 
 def simhash_near_pairs(
@@ -442,7 +449,7 @@ def simhash_near_pairs(
     16-bit bands (any pair within hamming<=3 of 60 bits shares at
     least one of 4 bands by pigeonhole); ``max_bucket`` bounds the
     within-bucket self-join on degenerate fingerprints."""
-    with_fp = simhash(df, text_col).select(F.col(id_col), "simhash")
+    with_fp = simhash(df, text_col, id_col=id_col)
     bands = [
         F.struct(
             F.lit(b).alias("band"),
