@@ -1,0 +1,237 @@
+"""[EXT] Training-data pipeline stages a 100 TB pre-training corpus
+needs between "raw documents" and "tokens on GPUs": benchmark
+decontamination, deterministic splits, sequence packing, stratified
+sampling (X18-X21).
+
+All four are deterministic by construction (portable md5-derived
+hashes, explicit orderings) so each has an exact DuckDB oracle — the
+SQL generators live next to the Spark implementations and share
+constants by construction.
+
+Scale shapes (the part that matters at 100 TB):
+  * decontamination — eval-set n-grams are tiny next to the corpus
+    (benchmarks are ~1e5 grams): DISTINCT then broadcast; the train
+    side streams map-side through explode -> broadcast semi-join, no
+    corpus-wide shuffle. With a large eval set, drop the broadcast
+    hint and it degrades to a plain shuffled semi-join on the gram.
+  * split / sample — pure per-row hash arithmetic, map-only; the
+    aggregate afterwards is a partial-agg groupBy on a tiny key space.
+  * packing — one shuffle on the synthetic bucket key, then a per-
+    bucket ordered window (streaming single pass); bucket count is the
+    parallelism knob, so no global sort anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dvmax_spark.ext.dedup import _portable_hash, shingles
+
+__all__ = [
+    "hash_bucket",
+    "contaminated_ids",
+    "decontaminate",
+    "train_split",
+    "pack_sequences",
+    "stratified_sample",
+]
+
+# DuckDB twin of ext.dedup._portable_hash — kept adjacent so the two
+# engines can't drift apart.
+_DUCK_HASH = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _duck_bucket(expr: str, mod: int) -> str:
+    return f"{_DUCK_HASH.format(expr=expr)} % {mod})"
+
+
+def hash_bucket(col: Column | str, mod: int) -> Column:
+    """Deterministic engine-portable bucket in [0, mod): md5-derived
+    60-bit hash of the value's string form. Used for splits, sampling
+    and packing so re-runs (and other engines) assign identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _portable_hash(c.cast("string")) % mod
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """IDs of training docs sharing at least one word ``n``-gram with
+    the eval set (the standard benchmark-decontamination test, e.g.
+    GPT-3 appendix C / PaLM §7: drop training docs with n-gram overlap
+    against benchmark data)."""
+    ev = eval_df.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+    return tr.join(ev, "g", "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """``train`` minus contaminated docs (anti-join on contaminated_ids)."""
+    bad = contaminated_ids(train, eval_df, n, id_col, text_col, broadcast_eval)
+    return train.join(bad, id_col, "left_anti")
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pct_train: int = 90,
+    pct_val: int = 5,
+) -> DataFrame:
+    """Add a deterministic ``split`` column (train/val/test) from a
+    portable hash of the id — reproducible across runs, engines and
+    cluster sizes (never ``rand()``: a retried task would re-draw)."""
+    b = hash_bucket(id_col, 100)
+    split = (
+        F.when(b < pct_train, F.lit("train"))
+        .when(b < pct_train + pct_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int = 128,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign docs to fixed-size context windows (GPT-style sequence
+    packing: concatenate docs in a deterministic order, chunk every
+    ``ctx_len`` tokens; a doc belongs to the window its first token
+    lands in).
+
+    Docs are spread over ``n_buckets`` independent streams by portable
+    hash so packing parallelizes (each bucket is one window partition —
+    no global sort); within a bucket the order is ``id_col``. Returns
+    one row per (bucket, seq_id) with doc/token counts.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    staged = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        hash_bucket(id_col, n_buckets).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    cum = F.sum("n_tok").over(w)
+    seqd = staged.select(
+        "bucket",
+        ((cum - F.col("n_tok")) / ctx_len).cast("bigint").alias("seq_id"),
+        "n_tok",
+    )
+    return (
+        seqd.groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+        .orderBy("bucket", "seq_id")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    pct: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep ids whose hash bucket is
+    below ``pct``; report per-stratum totals/kept so the downstream
+    mixture is auditable. Map-only + tiny-key aggregate."""
+    kept = (hash_bucket(id_col, 100) < pct).cast("int")
+    return (
+        df.select(F.col(strata_col), kept.alias("kept"))
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _duck_grams(n: int) -> str:
+    """DuckDB word-n-gram list over str_split alias ``t`` (distinct,
+    nothing emitted for docs shorter than n) — mirrors dedup.shingles."""
+    joins = " || ' ' || ".join(f"t[i+{k}]" for k in range(1, n))
+    return (
+        "list_distinct(list_filter(list_transform(t, (x, i) -> "
+        f"CASE WHEN i + {n - 1} <= len(t) THEN x || ' ' || {joins} END), "
+        "g -> g IS NOT NULL))"
+    )
+
+
+def decontaminate_sql(n: int = 5, eval_source: str = "src0") -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source, unnest({_duck_grams(n)}) AS g FROM toks
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE source = '{eval_source}'
+    ), contam AS (
+      SELECT DISTINCT grams.doc_id FROM grams JOIN ev USING (g)
+      WHERE source <> '{eval_source}'
+    )
+    SELECT d.source, count(*) AS n_docs,
+           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+    FROM documents d LEFT JOIN contam c USING (doc_id)
+    WHERE d.source <> '{eval_source}'
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+def train_split_sql(pct_train: int = 90, pct_val: int = 5) -> str:
+    b = _duck_bucket("doc_id::VARCHAR", 100)
+    return f"""
+    SELECT CASE WHEN {b} < {pct_train} THEN 'train'
+                WHEN {b} < {pct_train + pct_val} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY split ORDER BY split
+    """
+
+
+def pack_sequences_sql(ctx_len: int = 128, n_buckets: int = 8) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS n_tok,
+             {_duck_bucket("doc_id::VARCHAR", n_buckets)} AS bucket
+      FROM documents
+    ), c AS (
+      SELECT bucket, n_tok,
+             sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT bucket, ((cum - n_tok) // {ctx_len}) AS seq_id,
+           count(*) AS n_docs, sum(n_tok) AS seq_tokens
+    FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id
+    """
+
+
+def stratified_sample_sql(pct: int = 20) -> str:
+    b = _duck_bucket("doc_id::VARCHAR", 100)
+    return f"""
+    SELECT lang, count(*) AS n_total,
+           sum(CASE WHEN {b} < {pct} THEN 1 ELSE 0 END) AS n_kept
+    FROM documents GROUP BY lang ORDER BY lang
+    """

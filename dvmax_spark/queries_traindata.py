@@ -1,0 +1,103 @@
+"""[EXT X18-X21] Training-data pipeline queries: benchmark
+decontamination, deterministic splits, sequence packing, stratified
+sampling — each oracled exactly against DuckDB (deterministic portable
+hashes, explicit orderings; generators in ext/traindata.py keep the
+two engines' constants identical by construction).
+
+These run past the external driver's 50-query correctness cap, so
+their primary parity evidence is tests/test_oracle_parity.py (same
+compare) plus tools/driver_sim.py --all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dvmax_spark.catalog import load_table
+from dvmax_spark.ext.traindata import (
+    contaminated_ids,
+    decontaminate_sql,
+    hash_bucket,
+    pack_sequences,
+    pack_sequences_sql,
+    stratified_sample,
+    stratified_sample_sql,
+    train_split,
+    train_split_sql,
+)
+from dvmax_spark.registry import query
+
+
+@query("x_decontaminate", ids=("X18",), sql=decontaminate_sql(n=5, eval_source="src0"))
+def x_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C-style): flag training
+    docs sharing any 5-gram with the eval slice (source='src0'), report
+    per-source totals. Eval grams are DISTINCTed then broadcast — the
+    corpus side never shuffles."""
+    docs = load_table(spark, "documents", sf)
+    ev = docs.where(F.col("source") == "src0")
+    tr = docs.where(F.col("source") != "src0")
+    bad = contaminated_ids(tr, ev, n=5).withColumn("_c", F.lit(1))
+    return (
+        tr.join(bad, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query("x_train_split", ids=("X19",), sql=train_split_sql())
+def x_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split from a portable id
+    hash (reproducible across engines/runs — never rand())."""
+    docs = load_table(spark, "documents", sf)
+    return (
+        train_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query("x_pack_sequences", ids=("X20",), sql=pack_sequences_sql(ctx_len=128, n_buckets=8))
+def x_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing: docs concatenated per hash bucket in
+    doc_id order, chunked into 128-token context windows (a doc belongs
+    to the window its first token lands in). One shuffle on the bucket
+    key; per-bucket streaming window — no global sort."""
+    docs = load_table(spark, "documents", sf)
+    return pack_sequences(docs, ctx_len=128, n_buckets=8)
+
+
+@query("x_stratified_sample", ids=("X21",), sql=stratified_sample_sql(pct=20))
+def x_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20% per-language sample with an audit of the
+    resulting mixture (per-stratum totals vs kept)."""
+    docs = load_table(spark, "documents", sf)
+    return stratified_sample(docs, strata_col="lang", pct=20)
+
+
+@query("x_hash_bucket_balance", ids=("X19",), sql=f"""
+    SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16) AS bucket,
+           count(*) AS n
+    FROM documents GROUP BY bucket ORDER BY bucket
+    """)
+def x_hash_bucket_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-balance audit for the portable hash (skew in the splitter
+    would skew every downstream packing/sampling stage)."""
+    docs = load_table(spark, "documents", sf)
+    return (
+        docs.select(hash_bucket("doc_id", 16).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )

@@ -132,6 +132,13 @@ PRIORITY: tuple[str, ...] = (
     "a_approx_count_distinct",
     "x_embedding_near_dup",
     "x_cosine_topk_ivf",
+    # training-data pipeline (X18-X21; driver cap means evidence comes
+    # from tests/test_oracle_parity.py + driver_sim --all)
+    "x_decontaminate",
+    "x_train_split",
+    "x_pack_sequences",
+    "x_stratified_sample",
+    "x_hash_bucket_balance",
 )
 
 
@@ -144,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import dvmax_spark.queries_ext  # noqa: F401
     import dvmax_spark.queries_infra  # noqa: F401
     import dvmax_spark.queries_ml  # noqa: F401
+    import dvmax_spark.queries_traindata  # noqa: F401
 
     ordered = {name: REGISTRY[name] for name in PRIORITY if name in REGISTRY}
     for name, spec in REGISTRY.items():  # anything not in PRIORITY goes last

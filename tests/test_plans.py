@@ -173,3 +173,31 @@ def test_pii_redact_is_map_side_only(spark):
     plan = _simple_plan(_q(spark, "x_pii_redact"))
     assert plan.count("hashpartitioning") == 0, plan
     assert "Python" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """X18 decontamination: the eval-set gram table must broadcast —
+    the training corpus (the 100 TB side) streams through a broadcast
+    semi-join instead of shuffling on the gram key."""
+    plan = _simple_plan(_q(spark, "x_decontaminate"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_pack_sequences_single_bucket_shuffle(spark):
+    """X20 packing: exactly one hash exchange (the bucket key feeding
+    the per-bucket window + the reuse-aligned groupBy); no global
+    sort-by-everything."""
+    plan = _simple_plan(_q(spark, "x_pack_sequences"))
+    n_hash = plan.count("hashpartitioning")
+    assert n_hash <= 2, f"{n_hash} hash exchanges:\n{plan}"
+    assert "Python" not in plan, plan
+
+
+def test_split_and_sample_are_map_side(spark):
+    """X19/X21: hash split + stratified sample are per-row arithmetic
+    feeding a partial aggregate on a tiny key space — no Python, and
+    only the one agg exchange."""
+    for name in ("x_train_split", "x_stratified_sample", "x_hash_bucket_balance"):
+        plan = _simple_plan(_q(spark, name))
+        assert "Python" not in plan, name
+        assert plan.count("hashpartitioning") <= 1, name
