@@ -56,13 +56,23 @@ def cosine_topk_bruteforce(
     summation orders.
     """
     vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    # Norms are computed in the PRE-join projections (per row, below the
+    # join) rather than inside the per-pair cosine — bit-identical values
+    # (norm(a) is the same either way), but the per-pair work drops to
+    # one dot fold instead of three.
     q = vecs.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("q_v")
+        F.col(id_col).alias("q_id"), F.col("v").alias("q_v"), norm(F.col("v")).alias("q_n")
     )
-    c = vecs.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_v"))
+    c = vecs.select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("c_v"), norm(F.col("v")).alias("c_n")
+    )
     pairs = F.broadcast(q).crossJoin(c).where(F.col("q_id") != F.col("c_id"))
     scored = pairs.select(
-        "q_id", "c_id", F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("cos")
+        "q_id",
+        "c_id",
+        F.round(
+            dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (

@@ -100,3 +100,49 @@ def sql_api_q3(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("customer", "orders", "lineitem"))
     return spark.sql(_Q3_SQL)
+
+
+@query(
+    "a_salted_hot_key",
+    ids=("A1", "A2"),
+    sql="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a_salted_hot_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-proof aggregation demo: events grouped by event_type — a
+    handful of hot keys by construction — via the two-phase salted
+    aggregate (operators/skew.py). One hot key's reducer becomes 16
+    parallel partials; the final combine sees 16 rows per key. The
+    result is identical to a plain GROUP BY (salting is
+    result-invariant for algebraic aggregates), which is exactly what
+    the oracle asserts."""
+    from dvmax_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, "events", sf)
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        partial_aggs={
+            "n_p": F.count(F.lit(1)),
+            "s_p": F.sum("value"),
+            "mn_p": F.min("value"),
+            "mx_p": F.max("value"),
+        },
+        final_aggs={
+            "n": F.sum("n_p"),
+            "s": F.sum("s_p"),
+            "min_value": F.min("mn_p"),
+            "max_value": F.max("mx_p"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("s"), 2).alias("total_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")

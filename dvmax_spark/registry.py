@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "x_pack_sequences",
     "x_stratified_sample",
     "x_hash_bucket_balance",
+    "a_salted_hot_key",
 )
 
 
