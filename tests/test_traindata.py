@@ -1,0 +1,96 @@
+"""Semantic invariants of the training-data pipeline ops (X18-X21) on
+adversarial synthetic corpora — guarantees the oracle hash can't state:
+decontamination actually removes every overlapping doc, splits
+partition exactly, packing assigns every doc exactly once and respects
+context boundaries, sampling is deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dvmax_spark.ext.traindata import (
+    contaminated_ids,
+    decontaminate,
+    hash_bucket,
+    pack_sequences,
+    train_split,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_decontaminate_removes_all_overlap(spark):
+    """Every kept doc must share ZERO n-grams with the eval set —
+    including docs whose overlap is a substring in the middle."""
+    ev = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(
+        spark,
+        [
+            (1, "clean text with completely different words entirely"),
+            (2, "prefix quick brown fox jumps over suffix tokens here"),  # embedded 5-gram
+            (3, "another totally unrelated document body for padding"),
+            (4, "the quick brown fox jumps"),  # exact 5-gram, no more
+        ],
+    )
+    kept = {r["doc_id"] for r in decontaminate(train, ev, n=5).collect()}
+    assert kept == {1, 3}
+    bad = {r["doc_id"] for r in contaminated_ids(train, ev, n=5).collect()}
+    assert bad == {2, 4}
+
+
+def test_decontaminate_short_docs_never_match(spark):
+    """Docs shorter than the n-gram width produce no grams, hence can
+    never be flagged (and an eval set of short docs flags nothing)."""
+    ev = _docs(spark, [(100, "four words only here")])
+    train = _docs(spark, [(1, "four words only here")])  # 4 toks < n=5
+    assert contaminated_ids(train, ev, n=5).count() == 0
+
+
+def test_train_split_is_exact_partition(spark):
+    """split() assigns every row exactly one label, deterministically
+    (same ids -> same splits on a re-run / other cluster size)."""
+    df = _docs(spark, [(i, "x") for i in range(500)])
+    a = {r["doc_id"]: r["split"] for r in train_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in train_split(df).collect()}
+    assert a == b
+    assert set(a) == set(range(500))
+    assert set(a.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * 500 < n_train < 0.97 * 500  # hash balance sanity
+
+
+def test_pack_sequences_covers_all_docs_exactly_once(spark):
+    """Sum of per-sequence doc/token counts equals the corpus totals —
+    nothing dropped, nothing double-packed; and every sequence's
+    START offset respects the ctx boundary (seq_id * ctx <= cumsum)."""
+    rows = [(i, " ".join(["tok"] * (5 + i % 37))) for i in range(300)]
+    df = _docs(spark, rows)
+    packed = pack_sequences(df, ctx_len=64, n_buckets=4).collect()
+    assert sum(r["n_docs"] for r in packed) == 300
+    assert sum(r["seq_tokens"] for r in packed) == sum(5 + i % 37 for i in range(300))
+    for r in packed:
+        assert r["seq_id"] >= 0
+        assert r["n_docs"] >= 1
+    # per-bucket seq ids are dense enough to be windows, not garbage
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r["bucket"], []).append(r["seq_id"])
+    for seqs in by_bucket.values():
+        assert seqs == sorted(seqs)
+
+
+def test_hash_bucket_portable_and_stable(spark):
+    """hash_bucket must be a pure function of the VALUE (not partition,
+    not row order): repartitioned input produces identical buckets."""
+    df = _docs(spark, [(i, "x") for i in range(200)])
+    a = {r["doc_id"]: r["b"] for r in df.select("doc_id", hash_bucket("doc_id", 16).alias("b")).collect()}
+    b = {
+        r["doc_id"]: r["b"]
+        for r in df.repartition(7)
+        .select("doc_id", hash_bucket("doc_id", 16).alias("b"))
+        .collect()
+    }
+    assert a == b
+    assert all(0 <= v < 16 for v in a.values())
