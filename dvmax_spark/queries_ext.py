@@ -485,6 +485,80 @@ def x_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return frame_sample_plan(docs, every_n=10).orderBy("doc_id", "frame_idx")
 
 
+@query(
+    "x_audio_features",
+    ids=("X12",),
+    sql="""
+    SELECT d.doc_id, 8000 AS sample_rate,
+           CAST(400 + (d.doc_id % 5) * 200 AS INT) AS n_samples,
+           (400 + (d.doc_id % 5) * 200) / 8000.0 AS duration_s,
+           CAST(SUM(CAST(((i.i * (37 + d.doc_id % 13)) % 4096) - 2048 AS BIGINT)
+                    * (((i.i * (37 + d.doc_id % 13)) % 4096) - 2048)) AS BIGINT)
+             AS energy_sum,
+           CAST(MAX(ABS(((i.i * (37 + d.doc_id % 13)) % 4096) - 2048)) AS INT) AS peak
+    FROM documents d
+    CROSS JOIN generate_series(0, 1199) AS i(i)
+    WHERE i.i < 400 + (d.doc_id % 5) * 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def x_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal audio path, decode REAL end to end: each doc gets an
+    actual PCM-16 WAV payload (pure-stdlib encoder, sawtooth derived
+    from doc_id), mapInPandas walks the RIFF chunks and extracts sample
+    rate / duration / integer energy / peak; the oracle recomputes the
+    same sawtooth in SQL. energy_sum keeps parity integer-exact (rms is
+    exposed by the operator but excluded from the hash — sqrt differs
+    across libms)."""
+    from dvmax_spark.ext.multimodal import attach_fake_audio, extract_audio_features
+
+    docs = load_table(spark, "documents", sf)
+    feats = extract_audio_features(attach_fake_audio(docs))
+    return feats.select(
+        "doc_id", "sample_rate", "n_samples", "duration_s", "energy_sum", "peak"
+    ).orderBy("doc_id")
+
+
+@query(
+    "x_image_resize",
+    ids=("X11",),
+    sql="""
+    SELECT d.doc_id, 8 AS width, 8 AS height,
+           CAST(SUM((d.doc_id
+                     + ((gx.x * (8 + d.doc_id % 16)) // 8)
+                     + 2 * ((gy.y * (8 + (d.doc_id // 16) % 16)) // 8)) % 256)
+                AS BIGINT) AS luma_sum
+    FROM documents d
+    CROSS JOIN generate_series(0, 7) AS gx(x)
+    CROSS JOIN generate_series(0, 7) AS gy(y)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def x_image_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image RESIZE, real end to end: synth PNG -> decode -> nearest-
+    neighbor resample to 8x8 -> re-encode -> decode AGAIN and hash the
+    resized pixel sum; the oracle recomputes the nearest-neighbor index
+    map ((x*w)//8, (y*h)//8 into the doc_id gradient) in SQL. Proves
+    two full encode/decode cycles plus the resample, integer-exact."""
+    from dvmax_spark.ext.multimodal import (
+        attach_fake_payload,
+        extract_image_features,
+        resize_images,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    resized = resize_images(attach_fake_payload(docs), out_w=8, out_h=8)
+    feats = extract_image_features(resized)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("luma_sum"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- streaming
 
 

@@ -140,6 +140,8 @@ PRIORITY: tuple[str, ...] = (
     "x_stratified_sample",
     "x_hash_bucket_balance",
     "a_salted_hot_key",
+    "x_audio_features",
+    "x_image_resize",
 )
 
 

@@ -336,3 +336,39 @@ def test_dedup_clusters_keep_exactly_one_per_cluster(spark, docs):
     assert per.where(F.col("n_keep") != 1).count() == 0
     assert cl.where("keep").count() == per.count()
     cl.unpersist()
+
+
+def test_wav_roundtrip_exact():
+    """make_wav -> parse_wav_features recovers the exact synthetic
+    waveform facts; garbage and truncation never raise."""
+    from dvmax_spark.ext.multimodal import make_wav, parse_wav_features
+
+    rate, n, dur, energy, rms, peak = parse_wav_features(make_wav(7))
+    assert (rate, n) == (8000, 800)
+    assert dur == 800 / 8000
+    step = 37 + 7 % 13
+    samples = [((i * step) % 4096) - 2048 for i in range(800)]
+    assert energy == sum(s * s for s in samples)
+    assert peak == max(abs(s) for s in samples)
+    assert abs(rms - (energy / 800) ** 0.5) < 1e-12
+    assert parse_wav_features(b"garbage") == (0, 0, 0.0, 0, 0.0, 0)
+    assert parse_wav_features(make_wav(3)[:20])[1] == 0  # truncated: no data chunk
+
+
+def test_resize_gray_png_nearest_neighbor_exact():
+    """8x8 <- 16x16 nearest-neighbor resize picks pixels (2x, 2y) of
+    the source gradient — verified pixel-for-pixel after re-decode."""
+    from dvmax_spark.ext.multimodal import (
+        _png_gray_pixels,
+        make_png,
+        resize_gray_png,
+    )
+
+    src = make_png(16, 16, lambda x, y: (3 * x + 5 * y) % 256)
+    out = resize_gray_png(src, 8, 8)
+    pix = _png_gray_pixels(out)
+    assert pix is not None and len(pix) == 64
+    for y in range(8):
+        for x in range(8):
+            assert pix[y * 8 + x] == (3 * (2 * x) + 5 * (2 * y)) % 256
+    assert resize_gray_png(b"not a png", 4, 4) is None
