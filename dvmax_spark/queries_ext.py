@@ -635,3 +635,108 @@ def t_session_window(spark: SparkSession, sf: str) -> DataFrame:
     reconstructs the identical semantics with lag+cumsum SQL."""
     ev = load_table(spark, "events", sf)
     return session_counts_batch(ev, gap="30 minutes").orderBy("user_id", "session_start")
+
+
+def _curation_funnel_sql() -> str:
+    """Oracle for the full curation funnel, generated from the same
+    LANG_STOPWORDS/constants as the Spark operators (single source of
+    truth for both engines)."""
+    from dvmax_spark.ext.textstats import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    score_exprs = ", ".join(
+        "len(list_filter(t, x -> x IN ({w}))) AS score_{l}".format(
+            w=", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), l=lang
+        )
+        for lang in langs
+    )
+    pred_cases = " ".join(
+        "WHEN {c} THEN '{l}'".format(
+            c=" AND ".join(f"score_{lang} >= score_{o}" for o in langs if o != lang),
+            l=lang,
+        )
+        for lang in langs
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, text, str_split(text, ' ') AS t FROM documents
+    ), q AS (
+      SELECT doc_id, text, t,
+             0.4 * least(len(t)::DOUBLE / 100.0, 1.0)
+           + 0.3 * (CASE WHEN len(t) > 0
+                         THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END)
+           + 0.3 * least((CASE WHEN len(t) > 0
+                               THEN len(list_filter(t, x -> x IN ({en})))::DOUBLE / len(t)
+                               ELSE 0.0 END) * 4.0, 1.0) AS quality,
+             {score_exprs}
+      FROM toks
+    ), lang AS (
+      SELECT q.*, d.lang,
+             CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang
+      FROM q JOIN documents d USING (doc_id)
+    ), grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+               THEN list_filter(list_transform(t, (x, i) ->
+                      CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
+                    g -> g IS NOT NULL) ELSE [] END) AS gram
+      FROM toks
+    ), freq AS (
+      SELECT doc_id, gram, count(*) AS freq FROM grams GROUP BY doc_id, gram
+    ), top AS (
+      SELECT doc_id, max(freq) AS top_freq, sum(freq) AS n_grams FROM freq GROUP BY doc_id
+    ), flags AS (
+      SELECT l.doc_id,
+             CASE WHEN l.quality >= 0.5 THEN 1 ELSE 0 END AS f_q,
+             CASE WHEN l.lang = 'en' THEN 1 ELSE 0 END AS f_l,
+             CASE WHEN (CASE WHEN len(l.t) > 0
+                             THEN 1.0 - len(list_distinct(l.t))::DOUBLE / len(l.t)
+                             ELSE 0.0 END) <= 0.7
+                   AND coalesce(t2.top_freq::DOUBLE / t2.n_grams, 0.0) <= 0.2
+                  THEN 1 ELSE 0 END AS f_r,
+             trim(regexp_replace(lower(l.text), '\\s+', ' ', 'g')) AS norm
+      FROM lang l LEFT JOIN top t2 ON l.doc_id = t2.doc_id
+    )
+    SELECT count(*) AS n_input,
+           sum(f_q) AS n_quality,
+           sum(f_q * f_l) AS n_lang,
+           sum(f_q * f_l * f_r) AS n_repetition,
+           count(DISTINCT CASE WHEN f_q * f_l * f_r = 1 THEN norm END) AS n_dedup
+    FROM flags
+    """
+
+
+@query("x_curation_funnel", ids=("X1", "X8", "X9", "X15"), sql=_curation_funnel_sql())
+def x_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship corpus-curation composition: quality gate (>= 0.5)
+    -> language gate (declared lang = 'en'; the heuristic lang-ID
+    operator is oracled separately in x_lang_id) -> repetition gate (Gopher
+    thresholds) -> exact dedup (distinct normalized text), reported as
+    per-stage survivor counts in ONE distributed pass (flags are
+    per-row expressions; the only aggregation is the final funnel
+    count). Every stage reuses the already-oracled operator — and the
+    funnel itself hash-matches the composed DuckDB oracle, proving the
+    stages compose without drift."""
+    from dvmax_spark.ext.dedup import normalize_text
+    from dvmax_spark.ext.textstats import lang_scores, quality_score, repetition_stats
+
+    docs = load_table(spark, "documents", sf)
+    rep = repetition_stats(docs).select("doc_id", "passes_repetition_gate")
+    flagged = (
+        lang_scores(quality_score(docs))
+        .join(rep, "doc_id")
+        .select(
+            (F.col("quality") >= 0.5).cast("int").alias("f_q"),
+            (F.col("lang") == "en").cast("int").alias("f_l"),
+            F.col("passes_repetition_gate").alias("f_r"),
+            normalize_text(F.col("text")).alias("norm"),
+        )
+    )
+    keep3 = (F.col("f_q") * F.col("f_l") * F.col("f_r") == 1)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("f_q").alias("n_quality"),
+        F.sum(F.col("f_q") * F.col("f_l")).alias("n_lang"),
+        F.sum(F.col("f_q") * F.col("f_l") * F.col("f_r")).alias("n_repetition"),
+        F.countDistinct(F.when(keep3, F.col("norm"))).alias("n_dedup"),
+    )

@@ -142,6 +142,7 @@ PRIORITY: tuple[str, ...] = (
     "a_salted_hot_key",
     "x_audio_features",
     "x_image_resize",
+    "x_curation_funnel",
 )
 
 
