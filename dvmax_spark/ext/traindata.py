@@ -192,7 +192,7 @@ def decontaminate_sql(n: int = 5, eval_source: str = "src0") -> str:
       WHERE source <> '{eval_source}'
     )
     SELECT d.source, count(*) AS n_docs,
-           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
     FROM documents d LEFT JOIN contam c USING (doc_id)
     WHERE d.source <> '{eval_source}'
     GROUP BY d.source ORDER BY d.source
@@ -222,8 +222,8 @@ def pack_sequences_sql(ctx_len: int = 128, n_buckets: int = 8) -> str:
              sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
       FROM t
     )
-    SELECT bucket, ((cum - n_tok) // {ctx_len}) AS seq_id,
-           count(*) AS n_docs, sum(n_tok) AS seq_tokens
+    SELECT bucket, CAST((cum - n_tok) // {ctx_len} AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens
     FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id
     """
 
@@ -232,6 +232,6 @@ def stratified_sample_sql(pct: int = 20) -> str:
     b = _duck_bucket("doc_id::VARCHAR", 100)
     return f"""
     SELECT lang, count(*) AS n_total,
-           sum(CASE WHEN {b} < {pct} THEN 1 ELSE 0 END) AS n_kept
+           CAST(sum(CASE WHEN {b} < {pct} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY lang ORDER BY lang
     """

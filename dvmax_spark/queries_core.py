@@ -867,7 +867,7 @@ def f_scalar_sampler(spark: SparkSession, sf: str) -> DataFrame:
     ids=("F11",),
     sql="""
     SELECT event_type,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,

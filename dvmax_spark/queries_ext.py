@@ -315,10 +315,10 @@ def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     ids=("X10",),
     sql="""
     SELECT doc_id,
-           list_aggregate(
+           CAST(list_aggregate(
              list_transform(str_split(text, ' '),
                             (x, i) -> (('0x' || substr(md5(x), 1, 15))::BIGINT % 1000003) * i),
-             'sum') % 1000000007 AS fingerprint
+             'sum') % 1000000007 AS BIGINT) AS fingerprint
     FROM documents ORDER BY doc_id
     """,
 )
@@ -698,9 +698,9 @@ def _curation_funnel_sql() -> str:
       FROM lang l LEFT JOIN top t2 ON l.doc_id = t2.doc_id
     )
     SELECT count(*) AS n_input,
-           sum(f_q) AS n_quality,
-           sum(f_q * f_l) AS n_lang,
-           sum(f_q * f_l * f_r) AS n_repetition,
+           CAST(sum(f_q) AS BIGINT) AS n_quality,
+           CAST(sum(f_q * f_l) AS BIGINT) AS n_lang,
+           CAST(sum(f_q * f_l * f_r) AS BIGINT) AS n_repetition,
            count(DISTINCT CASE WHEN f_q * f_l * f_r = 1 THEN norm END) AS n_dedup
     FROM flags
     """
