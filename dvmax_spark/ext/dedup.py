@@ -380,13 +380,17 @@ def dedup_clusters(
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("label").alias("nbr"))
         )
-        joined = labels.join(nbr_min, "id", "left").cache()
-        n_changed = joined.where(F.col("nbr") < F.col("label")).count()
-        # least() skips nulls (docs with no neighbors keep their label)
-        labels = joined.select("id", F.least("label", "nbr").alias("label")).localCheckpoint(
-            eager=True
-        )
-        joined.unpersist()
+        # least() skips nulls (docs with no neighbors keep their label);
+        # _changed rides along so ONE action both materializes the
+        # checkpoint (truncating the iterative lineage) and yields the
+        # convergence count — one Spark job per round, not two.
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("label", "nbr").alias("label"),
+            (F.col("nbr") < F.col("label")).cast("int").alias("_changed"),
+        ).localCheckpoint(eager=False)
+        n_changed = stepped.agg(F.sum("_changed")).first()[0] or 0
+        labels = stepped.drop("_changed")
         if n_changed == 0:
             break
 
