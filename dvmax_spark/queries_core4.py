@@ -146,3 +146,45 @@ def a_salted_hot_key(spark: SparkSession, sf: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("event_type")
+
+
+@query(
+    "j_salted_join",
+    ids=("J1", "A2"),
+    sql="""
+    SELECT p.p_brand AS brand, count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY brand
+    """,
+)
+def j_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-proof join demo: lineitem x part through the replicate-and-
+    salt join (operators/skew.py salted_broadcast_left, 8 salts) — a
+    hot part key spreads over 8 tasks instead of one reducer. Salting
+    is result-invariant, which is exactly what the plain-join oracle
+    asserts. (AQE's runtime skew-split covers shuffle joins; this is
+    the explicit-plan variant for when the dim is replicable but not
+    broadcastable whole.)"""
+    from dvmax_spark.operators.skew import salted_broadcast_left
+
+    li = load_table(spark, "lineitem", sf)
+    p = load_table(spark, "part", sf).select("p_partkey", "p_brand")
+    joined = salted_broadcast_left(
+        li.select("l_partkey", "l_extendedprice", "l_discount").withColumnRenamed(
+            "l_partkey", "p_partkey"
+        ),
+        p,
+        on=["p_partkey"],
+        num_salts=8,
+    )
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("brand")
+    )

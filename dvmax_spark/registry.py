@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     "x_audio_features",
     "x_image_resize",
     "x_curation_funnel",
+    "j_salted_join",
 )
 
 
