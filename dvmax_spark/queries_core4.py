@@ -188,3 +188,54 @@ def j_salted_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "w_event_funnel",
+    ids=("A2", "J1", "P2"),
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def w_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered event-sequence funnel: users who viewed, then clicked
+    strictly after their first view, then purchased strictly after that
+    first qualifying click. Each stage is a partial-aggregated min per
+    user joined to the next event slice — the per-stage state is one
+    row per user (bounded), never the event stream itself, so the plan
+    holds at any event volume."""
+    ev = load_table(spark, "events", sf)
+
+    def stage(etype: str, prev):  # prev: (user_id, t)
+        e = ev.where(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            e.join(prev.withColumnRenamed("t", "_pt"), "user_id")
+            .where(F.col("ts") > F.col("_pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(alias))
+        for df, alias in ((v, "n_view"), (c, "n_click_after_view"), (p, "n_purchase_after_click"))
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])

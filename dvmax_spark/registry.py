@@ -144,6 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "x_image_resize",
     "x_curation_funnel",
     "j_salted_join",
+    "w_event_funnel",
 )
 
 
