@@ -150,3 +150,30 @@ class FeatureStore:
         type-lattice union of heterogeneous frames, sorted layout."""
         frames = dfs if dfs else [self.read()]
         return align_and_union(frames).orderBy(*self.keys)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 8,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED managed table (hash-bucketed by
+    ``bucket_cols``, optionally sorted within buckets).
+
+    Bucketing is the co-location contract that removes the shuffle from
+    every subsequent join/aggregate on the bucket key: two tables
+    bucketed the same way join with ZERO Exchange in the plan
+    (asserted in tests/test_plans.py::test_bucketed_join_no_exchange).
+    At 100 TB this converts the nightly fact-fact join from the
+    cluster's largest shuffle into a partition-local zip — you pay one
+    clustered write, then every downstream join is exchange-free.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -201,3 +201,38 @@ def test_split_and_sample_are_map_side(spark):
         plan = _simple_plan(_q(spark, name))
         assert "Python" not in plan, name
         assert plan.count("hashpartitioning") <= 1, name
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path_factory):
+    """Co-located bucketed join: two tables bucketed 8-ways on the join
+    key must join with ZERO shuffle exchange — the contract that turns
+    the nightly fact-fact join into a partition-local merge at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.store import write_bucketed
+
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("va")
+    )
+    b = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("vb")
+    )
+    write_bucketed(a, "bkt_a", "k", num_buckets=8, sort_cols="k")
+    write_bucketed(b, "bkt_b", "k", num_buckets=8, sort_cols="k")
+    # disable broadcast so the planner must pick the shuffle-join path —
+    # at real fact-fact scale neither side broadcasts; bucketing is what
+    # removes the exchange there
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k").select(
+            "k", "va", "vb"
+        )
+        plan = _simple_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
