@@ -259,3 +259,75 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _sum_terms_sql(terms: list[str]) -> str:
+    """Left-associated sum — the same evaluation order as the Spark
+    side's sequential F.aggregate fold, so doubles match bit-for-bit."""
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dot_const_sql(vec: str, plane: list[float], dim: int) -> str:
+    return _sum_terms_sql(
+        [f"{vec}[{i + 1}]::DOUBLE * ({plane[i]!r})" for i in range(dim)]
+    )
+
+
+def _dot_vec_sql(a: str, b: str, dim: int) -> str:
+    return _sum_terms_sql(
+        [f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]::DOUBLE" for i in range(dim)]
+    )
+
+
+def cosine_topk_lsh_sql(
+    query_ids,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`cosine_topk_lsh` — the hyperplanes are
+    deterministic seeded constants, so the WHOLE ANN pipeline (bucket
+    signs -> OR-amplified candidates -> exact rescoring -> top-k) is
+    reproducible in SQL. Every floating-point sum is emitted as a
+    left-associated term chain matching the Spark fold's evaluation
+    order, so projections/cosines agree bit-for-bit and bucket signs
+    can't flip. (Assumes no bucket exceeds max_bucket and no zero-norm
+    vectors — true for the testdata embeddings.)"""
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    per_table = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        bucket = " + ".join(
+            f"(CASE WHEN {_dot_const_sql('embedding', planes[i], dim)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, embedding, {t} AS tbl, ({bucket}) AS bucket FROM embeddings"
+        )
+    bk = "\n      UNION ALL\n".join(per_table)
+    qq = _dot_vec_sql("q.embedding", "q.embedding", dim)
+    cc = _dot_vec_sql("c.embedding", "c.embedding", dim)
+    qc = _dot_vec_sql("q.embedding", "c.embedding", dim)
+    return f"""
+    WITH bk AS (
+      {bk}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id IN ({ids}) AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT cand.q_id, cand.c_id,
+             round({qc} / (sqrt({qq}) * sqrt({cc})), 4) AS cos
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.q_id
+      JOIN embeddings c ON c.vec_id = cand.c_id
+    ), ranked AS (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT q_id, rnk, c_id, cos AS cosine FROM ranked WHERE rnk <= {k}
+    ORDER BY q_id, rnk
+    """

@@ -211,11 +211,20 @@ def x_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, query_ids=range(10), k=3).orderBy("q_id", "rnk")
 
 
-@query("x_cosine_topk_lsh", ids=("X6",), sql=None)
+@query(
+    "x_cosine_topk_lsh",
+    ids=("X6",),
+    sql=__import__("dvmax_spark.ext.similarity", fromlist=["cosine_topk_lsh_sql"]).cosine_topk_lsh_sql(
+        query_ids=range(10), k=3, n_planes=4
+    ),
+)
 def x_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """ANN top-3 via random-hyperplane LSH buckets — the scale path
-    (exact cosine only within shared buckets). Approximate → rows-only
-    check; recall vs brute force property-tested."""
+    (exact cosine only within shared buckets). Approximate ALGORITHM,
+    but fully deterministic given the seeded plane constants — so the
+    entire pipeline has an exact DuckDB oracle (generated from the same
+    constants, every float sum left-associated to match the Spark fold
+    bit-for-bit). Recall vs brute force additionally property-tested."""
     emb = load_table(spark, "embeddings", sf)
     return cosine_topk_lsh(emb, query_ids=range(10), k=3, n_planes=4).orderBy("q_id", "rnk")
 
