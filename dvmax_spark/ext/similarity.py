@@ -331,3 +331,46 @@ def cosine_topk_lsh_sql(
     SELECT q_id, rnk, c_id, cos AS cosine FROM ranked WHERE rnk <= {k}
     ORDER BY q_id, rnk
     """
+
+
+def embedding_near_dup_sql(
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`embedding_near_dup_pairs` — same
+    deterministic-constants argument as :func:`cosine_topk_lsh_sql`.
+    (Assumes no bucket exceeds max_bucket — true for the testdata.)"""
+    per_table = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        bucket = " + ".join(
+            f"(CASE WHEN {_dot_const_sql('embedding', planes[i], dim)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, embedding, {t} AS tbl, ({bucket}) AS bucket FROM embeddings"
+        )
+    bk = "\n      UNION ALL\n".join(per_table)
+    aa = _dot_vec_sql("a.embedding", "a.embedding", dim)
+    bb = _dot_vec_sql("b.embedding", "b.embedding", dim)
+    ab = _dot_vec_sql("a.embedding", "b.embedding", dim)
+    return f"""
+    WITH bk AS (
+      {bk}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT cand.id_a, cand.id_b,
+             round({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.id_a
+      JOIN embeddings b ON b.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    ORDER BY id_a, id_b
+    """

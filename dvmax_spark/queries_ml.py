@@ -35,10 +35,17 @@ def a_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("x_embedding_near_dup", ids=("X6",), sql=None)
+@query(
+    "x_embedding_near_dup",
+    ids=("X6",),
+    sql=__import__("dvmax_spark.ext.similarity", fromlist=["embedding_near_dup_sql"]).embedding_near_dup_sql(
+        threshold=0.45, n_planes=4
+    ),
+)
 def x_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (the
-    embedding leg of the dedup suite)."""
+    embedding leg of the dedup suite). Deterministic seeded planes ->
+    exact DuckDB oracle (left-associated float sums, bit-for-bit)."""
     from dvmax_spark.ext.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, "embeddings", sf)
