@@ -247,3 +247,71 @@ def w_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
         for df, alias in ((v, "n_view"), (c, "n_click_after_view"), (p, "n_purchase_after_click"))
     ]
     return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@query(
+    "a_cohort_retention",
+    ids=("A2", "A9", "F2", "F3"),
+    sql="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_k
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_k, count(*) AS n_active
+    FROM activity WHERE day_k BETWEEN 0 AND 7
+    GROUP BY cohort_day, day_k ORDER BY cohort_day, day_k
+    """,
+)
+def a_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    activity counted per day-offset 0..7. Two partial-aggregated
+    passes over events (first-seen min, then distinct day offsets) —
+    per-user state only, so the shape holds at any event volume."""
+    ev = load_table(spark, "events", sf).select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(first_day, "user_id")
+        .select("user_id", "cohort_day", F.datediff("d", "cohort_day").alias("day_k"))
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_k").between(0, 7))
+        .groupBy("cohort_day", "day_k")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_k")
+    )
+
+
+@query(
+    "a_value_histogram",
+    ids=("A1", "F4", "F5"),
+    sql="""
+    SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events WHERE value IS NOT NULL
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def a_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width value histogram over the event stream (bin width 5):
+    the single-pass partial-aggregate shape of any distribution profile
+    at corpus scale."""
+    ev = load_table(spark, "events", sf).where(F.col("value").isNotNull())
+    return (
+        ev.select(F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )

@@ -145,6 +145,8 @@ PRIORITY: tuple[str, ...] = (
     "x_curation_funnel",
     "j_salted_join",
     "w_event_funnel",
+    "a_cohort_retention",
+    "a_value_histogram",
 )
 
 
