@@ -539,7 +539,7 @@ def a5_yield_vs_median(spark: SparkSession, sf: str) -> DataFrame:
     sql="""
     WITH ratios AS (
       SELECT user_id, ts,
-             value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS ratio
+             value / nullif(lag(value) OVER (PARTITION BY user_id ORDER BY ts), 0) AS ratio
       FROM events
     ), cp AS (
       SELECT user_id, ts,
@@ -558,8 +558,13 @@ def a7_cumprod(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf)
     w = Window.partitionBy("user_id").orderBy("ts")
+    # nullif guards the zero divisor: ANSI Spark raises DIVIDE_BY_ZERO
+    # (DuckDB would yield inf) — both engines instead skip the null
+    # ratio in the running product, consistently
     ratios = ev.select(
-        "user_id", "ts", (F.col("value") / F.lag("value", 1).over(w)).alias("ratio")
+        "user_id",
+        "ts",
+        (F.col("value") / F.nullif(F.lag("value", 1).over(w), F.lit(0))).alias("ratio"),
     )
     cp = cumulative_product(ratios, by="user_id", order="ts", value="ratio", out="cum_ratio")
     return (
@@ -702,10 +707,11 @@ def w5_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
              lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
       FROM events
     )
-    SELECT event_id, user_id, round(greatest(value / prev, prev / value), 4) AS jump_ratio
+    SELECT event_id, user_id,
+           round(greatest(value / nullif(prev, 0), nullif(prev, 0) / nullif(value, 0)), 4) AS jump_ratio
     FROM j
     WHERE prev IS NOT NULL AND prev > 0.01 AND value > 0
-      AND greatest(value / prev, prev / value) > 100
+      AND greatest(value / nullif(prev, 0), nullif(prev, 0) / nullif(value, 0)) > 100
     ORDER BY event_id
     """,
 )
@@ -716,21 +722,25 @@ def w2_jump_check(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, "events", sf)
     w = Window.partitionBy("user_id").orderBy("ts")
     prev = F.lag("value", 1).over(w)
-    ratio = F.greatest(F.col("value") / prev, prev / F.col("value"))
+    # nullif guards: predicate conjunct order is not contractual after
+    # optimization, so the ratio must be safe to evaluate on prev=0 /
+    # value=0 rows (ANSI Spark raises DIVIDE_BY_ZERO); null ratios
+    # compare false and drop out, same as the explicit guards
+    safe_prev = F.nullif(F.col("prev"), F.lit(0))
+    safe_val = F.nullif(F.col("value"), F.lit(0))
+    guarded = F.greatest(F.col("value") / safe_prev, safe_prev / safe_val)
     return (
         ev.select("event_id", "user_id", "value", prev.alias("prev"))
         .where(
             F.col("prev").isNotNull()
             & (F.col("prev") > 0.01)
             & (F.col("value") > 0)
-            & (F.greatest(F.col("value") / F.col("prev"), F.col("prev") / F.col("value")) > 100)
+            & (guarded > 100)
         )
         .select(
             "event_id",
             "user_id",
-            F.round(
-                F.greatest(F.col("value") / F.col("prev"), F.col("prev") / F.col("value")), 4
-            ).alias("jump_ratio"),
+            F.round(guarded, 4).alias("jump_ratio"),
         )
         .orderBy("event_id")
     )

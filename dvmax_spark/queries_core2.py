@@ -200,7 +200,7 @@ def f1_date_parse_flex(spark: SparkSession, sf: str) -> DataFrame:
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), rets AS (
       SELECT user_id, date, close,
-             close / lag(close) OVER w - 1 AS r,
+             close / nullif(lag(close) OVER w, 0) - 1 AS r,
              max(close) OVER (PARTITION BY user_id ORDER BY date
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
       FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY date)
@@ -231,7 +231,7 @@ def fx_price_features(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "date",
         "close",
-        (F.col("close") / F.lag("close", 1).over(w) - 1).alias("ret"),
+        (F.col("close") / F.nullif(F.lag("close", 1).over(w), F.lit(0)) - 1).alias("ret"),
         F.max("close").over(wrun).alias("peak"),
     )
     out = enriched.groupBy("user_id").agg(
