@@ -1,0 +1,21 @@
+"""Every registered query must EXECUTE at sf0.1 — ten times the
+correctness SF. Catches data-dependent landmines the sf0.01 oracle
+pass can't see (e.g. ANSI DIVIDE_BY_ZERO on value=0 rows that only
+exist at larger scale, degenerate LSH buckets, skew blowups). Caught
+a real one: a7_cumprod crashed on value/lag(value) at sf0.1."""
+
+from __future__ import annotations
+
+SF_01 = "/root/testdata/sf0.1"
+
+
+def test_all_queries_execute_at_sf01(spark):
+    from dvmax_spark.registry import all_queries
+
+    failures = []
+    for name, spec in all_queries().items():
+        try:
+            spec.fn(spark, SF_01).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, str(e).split("\n")[0][:160]))
+    assert not failures, failures
