@@ -315,3 +315,51 @@ def a_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "w_twap",
+    ids=("W1", "F2", "A2"),
+    sql="""
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                     ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id, day,
+           round(sum(value * dur_us) / sum(dur_us), 4) AS twap
+    FROM spans WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id, day ORDER BY user_id, day
+    """,
+)
+def w_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average price per user-day: each observation is
+    weighted by its holding duration (microseconds to the next event,
+    the day's last span excluded). The classic TWAP shape: one window
+    pass for lead(), one partial aggregate — and the duration math runs
+    through the NTZ-safe epoch_micros helper (integer µs, no timezone
+    dependence)."""
+    from dvmax_spark.functions.scalar import epoch_micros
+
+    ev = load_table(spark, "events", sf)
+    day = F.col("ts").cast("date").alias("day")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        day,
+        "value",
+        (
+            F.lead(epoch_micros("ts"), 1).over(w) - epoch_micros("ts")
+        ).alias("dur_us"),
+    )
+    return (
+        spans.where(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twap")
+        )
+        .orderBy("user_id", "day")
+    )

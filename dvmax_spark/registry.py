@@ -147,6 +147,7 @@ PRIORITY: tuple[str, ...] = (
     "w_event_funnel",
     "a_cohort_retention",
     "a_value_histogram",
+    "w_twap",
 )
 
 
