@@ -363,3 +363,69 @@ def w_twap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "a_vwap",
+    ids=("A2", "F11", "F4"),
+    sql="""
+    SELECT user_id,
+           round(sum(value * CAST(props->>'$.k' AS BIGINT))
+                 / sum(CAST(props->>'$.k' AS BIGINT)), 4) AS vwap,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS total_volume
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) > 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a_vwap(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume-weighted average price per user, volume extracted from
+    the JSON props payload — the VWAP composition (JSON decode ->
+    weighted partial aggregate), integer weights so parity has no
+    float-order hazards beyond the final rounded division."""
+    ev = load_table(spark, "events", sf)
+    vol = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("user_id", "value", vol.alias("vol"))
+        .where(F.col("vol") > 0)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("vol")) / F.sum("vol"), 4
+            ).alias("vwap"),
+            F.sum("vol").alias("total_volume"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "a_cube",
+    ids=("A12", "A2"),
+    sql="""
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(user_id % 4 AS VARCHAR), 'ALL') AS user_band,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 4 AS VARCHAR))
+    ORDER BY etype, user_band
+    """,
+)
+def a_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, user band): all 2^2 grouping sets in one
+    partial-aggregated pass — the multi-dimensional companion to
+    a_rollup's hierarchy."""
+    ev = load_table(spark, "events", sf).select(
+        "event_type", (F.col("user_id") % 4).cast("string").alias("band"), "value"
+    )
+    return (
+        ev.cube("event_type", "band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("band"), F.lit("ALL")).alias("user_band"),
+            "n",
+            "total_value",
+        )
+        .orderBy("etype", "user_band")
+    )

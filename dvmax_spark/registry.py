@@ -148,6 +148,8 @@ PRIORITY: tuple[str, ...] = (
     "a_cohort_retention",
     "a_value_histogram",
     "w_twap",
+    "a_vwap",
+    "a_cube",
 )
 
 
