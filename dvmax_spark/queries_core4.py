@@ -429,3 +429,64 @@ def a_cube(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("etype", "user_band")
     )
+
+
+@query(
+    "a_percentiles",
+    ids=("A5", "A2"),
+    sql="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolated percentile profile per event type
+    (p25/p50/p75/p95) — Spark `percentile` and DuckDB `quantile_cont`
+    share the interpolation rule, so the profile is value-exact (the
+    median leg of this parity is also proven by a5_yield_vs_median)."""
+    ev = load_table(spark, "events", sf).where(F.col("value").isNotNull())
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "a_corr_stats",
+    ids=("A4", "A2", "F2"),
+    sql="""
+    SELECT user_id,
+           round(corr(value, epoch_us(ts) / 86400000000.0), 4) AS corr_value_time,
+           round(covar_samp(value, epoch_us(ts) / 86400000000.0), 4) AS covar_value_time
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a_corr_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Bivariate statistics per user: correlation and sample covariance
+    of value against time (days since epoch, through the NTZ-safe
+    epoch helper) — drift/trend detection as one partial aggregate."""
+    from dvmax_spark.functions.scalar import epoch_micros
+
+    ev = load_table(spark, "events", sf).where(F.col("value").isNotNull())
+    t_days = epoch_micros("ts") / F.lit(86400000000.0)
+    return (
+        ev.select("user_id", "value", t_days.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.corr("value", "t"), 4).alias("corr_value_time"),
+            F.round(F.covar_samp("value", "t"), 4).alias("covar_value_time"),
+        )
+        .orderBy("user_id")
+    )

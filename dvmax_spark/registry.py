@@ -150,6 +150,8 @@ PRIORITY: tuple[str, ...] = (
     "w_twap",
     "a_vwap",
     "a_cube",
+    "a_percentiles",
+    "a_corr_stats",
 )
 
 
