@@ -35,6 +35,7 @@ __all__ = [
     "train_split",
     "pack_sequences",
     "stratified_sample",
+    "traindata_funnel",
 ]
 
 # DuckDB twin of ext.dedup._portable_hash — kept adjacent so the two
@@ -128,10 +129,14 @@ def pack_sequences(
         hash_bucket(id_col, n_buckets).alias("bucket"),
     )
     w = Window.partitionBy("bucket").orderBy(id_col)
-    cum = F.sum("n_tok").over(w)
-    seqd = staged.select(
+    # `div` = exact integer division (bigint), matching DuckDB's `//`
+    # for ANY ctx_len — true division + cast can round across a window
+    # boundary once cumulative counts pass 2^53.
+    seqd = staged.withColumn(
+        "start", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).select(
         "bucket",
-        ((cum - F.col("n_tok")) / ctx_len).cast("bigint").alias("seq_id"),
+        F.expr(f"start div {int(ctx_len)}").alias("seq_id"),
         "n_tok",
     )
     return (
@@ -225,6 +230,108 @@ def pack_sequences_sql(ctx_len: int = 128, n_buckets: int = 8) -> str:
     SELECT bucket, CAST((cum - n_tok) // {ctx_len} AS BIGINT) AS seq_id,
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens
     FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id
+    """
+
+
+def traindata_funnel(
+    df: DataFrame,
+    n: int = 5,
+    eval_source: str = "src0",
+    ctx_len: int = 128,
+    n_buckets: int = 8,
+    sample_pct: int = 20,
+    min_chars: int = 1,
+) -> DataFrame:
+    """The whole pre-training curation funnel as ONE dataflow — the
+    composition a real pipeline runs, per split:
+
+      clean (drop null text / sub-``min_chars`` docs)
+        -> decontaminate vs the ``eval_source`` slice (X18)
+        -> deterministic train/val/test assignment (X19)
+        -> pack survivors into ``ctx_len``-token windows per
+           (split, bucket) stream (X20)
+        -> deterministic ``sample_pct``% per-doc sample audit (X21)
+
+    Output: one row per split with docs/tokens/context-windows/kept
+    counts. Scale shape is the union of the stages' shapes: broadcast
+    semi-join for decontamination, map-side hash arithmetic for
+    split+sample, ONE shuffle on (split, bucket) for packing — the
+    window count aggregates per bucket stream, never a global sort."""
+    clean = df.where(F.col("text").isNotNull() & (F.col("n_chars") >= min_chars))
+    ev = clean.where(F.col("source") == eval_source)
+    tr = clean.where(F.col("source") != eval_source)
+    surv = decontaminate(tr, ev, n=n)
+    sp = train_split(surv)
+    staged = sp.select(
+        "split",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        hash_bucket("doc_id", n_buckets).alias("bucket"),
+        (hash_bucket("doc_id", 100) < sample_pct).cast("int").alias("kept"),
+    )
+    w = Window.partitionBy("split", "bucket").orderBy("doc_id")
+    seqd = staged.withColumn(
+        "start", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("seq_id", F.expr(f"start div {int(ctx_len)}"))
+    # encode (bucket, seq_id) as one bigint so the distinct-window count
+    # is engine-portable (struct distinct hashing differs across engines)
+    seq_key = F.col("bucket") * F.lit(1_000_000_000_000) + F.col("seq_id")
+    return (
+        seqd.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct(seq_key).alias("n_windows"),
+            F.sum("kept").alias("n_sampled"),
+        )
+        .orderBy("split")
+    )
+
+
+def traindata_funnel_sql(
+    n: int = 5,
+    eval_source: str = "src0",
+    ctx_len: int = 128,
+    n_buckets: int = 8,
+    sample_pct: int = 20,
+    min_chars: int = 1,
+) -> str:
+    b100 = _duck_bucket("doc_id::VARCHAR", 100)
+    return f"""
+    WITH clean AS (
+      SELECT * FROM documents WHERE text IS NOT NULL AND n_chars >= {min_chars}
+    ), toks AS (
+      SELECT doc_id, source, str_split(text, ' ') AS t FROM clean
+    ), grams AS (
+      SELECT doc_id, source, unnest({_duck_grams(n)}) AS g FROM toks
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE source = '{eval_source}'
+    ), contam AS (
+      SELECT DISTINCT grams.doc_id FROM grams JOIN ev USING (g)
+      WHERE source <> '{eval_source}'
+    ), surv AS (
+      SELECT c.* FROM clean c LEFT JOIN contam x USING (doc_id)
+      WHERE c.source <> '{eval_source}' AND x.doc_id IS NULL
+    ), staged AS (
+      SELECT doc_id,
+             CASE WHEN {b100} < 90 THEN 'train'
+                  WHEN {b100} < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(str_split(text, ' ')) AS n_tok,
+             {_duck_bucket("doc_id::VARCHAR", n_buckets)} AS bucket,
+             CASE WHEN {b100} < {sample_pct} THEN 1 ELSE 0 END AS kept
+      FROM surv
+    ), seqd AS (
+      SELECT split, bucket, n_tok, kept,
+             (sum(n_tok) OVER (PARTITION BY split, bucket ORDER BY doc_id)
+              - n_tok) // {ctx_len} AS seq_id
+      FROM staged
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           count(DISTINCT bucket * 1000000000000 + seq_id) AS n_windows,
+           CAST(sum(kept) AS BIGINT) AS n_sampled
+    FROM seqd GROUP BY split ORDER BY split
     """
 
 

@@ -44,7 +44,8 @@ def epoch_micros(col: Column | str) -> Column:
     name = col if isinstance(col, str) else None
     if name is None:
         raise TypeError("epoch_micros needs a column name (SQL expr under the hood)")
-    return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})")
+    quoted = "`" + name.replace("`", "``") + "`"
+    return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {quoted})")
 
 
 def is_finite(col: Column | str) -> Column:

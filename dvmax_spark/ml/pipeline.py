@@ -1,6 +1,7 @@
 """[EXT] MLlib pipeline over the embeddings testdata (BASELINE north
 star: 'MLlib pipeline + DataFrame ops'; README Phase 3's XGBoost walk-
-forward becomes GBT/LogisticRegression + ordered splits).
+forward becomes seeded GBTClassifier + ordered splits — gradient-
+boosted trees are MLlib's native stand-in for XGBoost).
 
 All seeds fixed: training is deterministic for a given input."""
 
@@ -9,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.classification import GBTClassifier
 from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 from pyspark.ml.functions import array_to_vector
 
@@ -47,15 +48,19 @@ def train_eval_classifier(
     n_splits: int = 3,
 ) -> DataFrame:
     """Walk-forward train/eval; returns one row per split with accuracy
-    and f1 (the scoring-report shape of README Phase 4)."""
+    and f1 (the scoring-report shape of README Phase 4). GBT is a
+    binary learner, so the 0-9 class id is binarized (>= 5) — the
+    standard up/down target of the reference's direction classifier."""
     feats = embeddings_to_features(emb).select(
-        "features", F.col(label_col).cast("double").alias("label"), order_col
+        "features",
+        (F.col(label_col).cast("double") >= 5.0).cast("double").alias("label"),
+        order_col,
     )
     rows = []
     for k, (train, test) in enumerate(walk_forward_splits(feats, order_col, n_splits)):
         if train.isEmpty() or test.isEmpty():
             continue
-        model = LogisticRegression(maxIter=25, regParam=0.01).fit(train)
+        model = GBTClassifier(maxIter=10, maxDepth=3, seed=7).fit(train)
         pred = model.transform(test)
         acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
         f1 = MulticlassClassificationEvaluator(metricName="f1").evaluate(pred)

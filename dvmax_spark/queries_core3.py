@@ -104,7 +104,9 @@ def a11_mergeschema_union(spark: SparkSession, sf: str) -> DataFrame:
     plain SQL union — a real on-disk schema-evolution round trip, not
     just unionByName."""
     li = load_table(spark, "lineitem", sf)
-    out = os.path.join(tempfile.gettempdir(), "dvmax_mergeschema_union")
+    out = os.path.join(
+        tempfile.gettempdir(), f"dvmax_mergeschema_union_{sf.strip('/').replace('/', '_')}_{os.getpid()}"
+    )
     a = li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 2000)).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
@@ -130,8 +132,8 @@ def a11_mergeschema_union(spark: SparkSession, sf: str) -> DataFrame:
     SELECT (SELECT count(*) FROM a) + (SELECT count(*) FROM b) AS n_rows,
            (SELECT count(*) FROM a) AS n_qty,
            (SELECT count(*) FROM b) AS n_extra,
-           (SELECT sum(CAST(round(l_quantity * 100) AS BIGINT)) FROM a) AS sum_qty_c,
-           (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM b) AS sum_price_c
+           CAST((SELECT sum(CAST(round(l_quantity * 100) AS BIGINT)) FROM a) AS BIGINT) AS sum_qty_c,
+           CAST((SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM b) AS BIGINT) AS sum_price_c
     """,
 )
 def s2_parquet_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
@@ -143,7 +145,9 @@ def s2_parquet_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     is lossless (counts AND values, cents-exact integer sums — no
     float-summation-order drift)."""
     li = load_table(spark, "lineitem", sf)
-    out = os.path.join(tempfile.gettempdir(), "dvmax_sink_roundtrip")
+    out = os.path.join(
+        tempfile.gettempdir(), f"dvmax_sink_roundtrip_{sf.strip('/').replace('/', '_')}_{os.getpid()}"
+    )
     a = li.where(F.col("l_orderkey") % 7 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )

@@ -25,8 +25,26 @@ from dvmax_spark.ext.traindata import (
     stratified_sample_sql,
     train_split,
     train_split_sql,
+    traindata_funnel,
+    traindata_funnel_sql,
 )
 from dvmax_spark.registry import query
+
+
+@query(
+    "x_traindata_funnel",
+    ids=("X18", "X19", "X20", "X21", "P3", "P4"),
+    sql=traindata_funnel_sql(),
+)
+def x_traindata_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The full curation funnel in one dataflow (in-cap evidence for
+    the whole X18-X21 family): null/short-doc cleaning (P3/P4 as the
+    funnel's admission predicates), 5-gram benchmark decontamination
+    vs the src0 slice (X18), deterministic 90/5/5 split (X19), 128-token
+    sequence packing per (split, bucket) stream (X20), and a 20%
+    deterministic sample audit (X21) — one row per split."""
+    docs = load_table(spark, "documents", sf)
+    return traindata_funnel(docs)
 
 
 @query("x_decontaminate", ids=("X18",), sql=decontaminate_sql(n=5, eval_source="src0"))

@@ -57,7 +57,10 @@ PRIORITY: tuple[str, ...] = (
     # flagship + scan/filter basics
     "s1_scan_project",
     "a1_pricing_summary",
-    "p2_filter_predicates",
+    # whole X18-X21 curation funnel in one query (also the in-cap home
+    # for P3/P4 null/value admission predicates); p2_filter_predicates
+    # moved past-cap — its P2 stays covered by a1 + sql_api_q3
+    "x_traindata_funnel",
     # joins
     "j6_anti_join",
     "j2_asof_backward",
@@ -114,6 +117,7 @@ PRIORITY: tuple[str, ...] = (
     "x_ml_walk_forward",
     "x_score_portfolio",
     # --- everything below is redundant-coverage / variant evidence ---
+    "p2_filter_predicates",
     "t_sliding_window",
     "x_bpe_token_count",
     "j1_inner_join_agg",

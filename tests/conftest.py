@@ -29,11 +29,19 @@ TABLES = (
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     from dvmax_spark.session import get_spark
 
-    s = get_spark("dvmax_tests", shuffle_partitions=8)
+    # warehouse in a temp dir so managed-table side effects (bucketed-
+    # join tests) never leave residue under the repo cwd, even on a
+    # hard kill that skips the tests' DROP TABLE cleanup
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        "dvmax_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
 

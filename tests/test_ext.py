@@ -284,14 +284,62 @@ def test_image_header_parsers():
     assert parse_image_header(make_png(5, 5, lambda x, y: 0)[:20]) == (0, 0, "unknown")
 
 
-def test_ml_walk_forward_beats_chance(spark, emb):
+def test_ml_walk_forward_runs_on_testdata(spark, emb):
+    """The testdata embeddings are i.i.d. w.r.t. label, so the honest
+    assertion here is structural: two splits, deterministic shape, and
+    accuracy in the sane band around binary chance (a broken or
+    anti-correlated model would leave it)."""
     from dvmax_spark.ml.pipeline import train_eval_classifier
 
     res = train_eval_classifier(emb, n_splits=2).collect()
     assert len(res) == 2
-    n_classes = emb.select("label").distinct().count()
     for r in res:
-        assert r["accuracy"] > 1.0 / n_classes  # better than chance
+        assert 0.3 <= r["accuracy"] <= 0.7
+
+
+def test_ml_gbt_metric_floor_on_learnable_data(spark):
+    """Metric floor on data WITH signal: label = sign of a linear
+    score of two coordinates (+ small noise). Seeded GBT must clear
+    0.85 accuracy on every walk-forward split — the learner itself is
+    under test, not the testdata."""
+    import numpy as np
+
+    from dvmax_spark.ml.pipeline import train_eval_classifier
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(600):
+        v = rng.normal(size=8)
+        score = 2.0 * v[0] - 1.5 * v[3] + 0.1 * rng.normal()
+        rows.append((i, [float(x) for x in v], 9 if score > 0 else 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    res = train_eval_classifier(emb, n_splits=2).collect()
+    assert len(res) == 2
+    for r in res:
+        assert r["accuracy"] >= 0.85, res
+
+
+def test_walk_forward_splits_no_lookahead(spark):
+    """Property: for every split k, max(order) in train < min(order) in
+    test, train is a prefix that only grows, and test slices tile the
+    remainder without overlap."""
+    from dvmax_spark.ml.pipeline import walk_forward_splits
+
+    df = spark.range(0, 300).select(F.col("id").alias("t"), (F.col("id") % 7).alias("x"))
+    splits = walk_forward_splits(df, "t", n_splits=3)
+    prev_train_max = None
+    seen_test: set[int] = set()
+    for train, test in splits:
+        tr = sorted(r["t"] for r in train.select("t").collect())
+        te = sorted(r["t"] for r in test.select("t").collect())
+        assert tr and te
+        assert tr[-1] < te[0]  # no lookahead
+        assert tr == list(range(0, tr[-1] + 1))  # train is a prefix
+        if prev_train_max is not None:
+            assert tr[-1] > prev_train_max  # train grows monotonically
+        assert not (seen_test & set(te))  # test slices disjoint
+        seen_test |= set(te)
+        prev_train_max = tr[-1]
 
 
 def test_dedup_clusters_graph_semantics(spark):

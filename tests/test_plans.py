@@ -203,7 +203,7 @@ def test_split_and_sample_are_map_side(spark):
         assert plan.count("hashpartitioning") <= 1, name
 
 
-def test_bucketed_join_no_exchange(spark, tmp_path_factory):
+def test_bucketed_join_no_exchange(spark):
     """Co-located bucketed join: two tables bucketed 8-ways on the join
     key must join with ZERO shuffle exchange — the contract that turns
     the nightly fact-fact join into a partition-local merge at 100 TB."""
