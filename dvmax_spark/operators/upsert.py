@@ -6,8 +6,14 @@ order. The reference relies on implicit row order; Spark rows are
 unordered, so priority is made EXPLICIT via a source-rank column (the
 `_source_rank` design called out in SURVEY §7 hard parts).
 
-One shuffle on the key columns; at scale this is the standard
-row_number-dedup plan (AQE handles skewed keys).
+Plan shape: ONE hash aggregate on the key columns — ``max_by`` of the
+row payload over the (source-rank, order_by…) struct. This beats the
+classic row_number-dedup at scale twice over: partial aggregation
+collapses duplicate keys map-side BEFORE the shuffle (row_number must
+ship every row), and the reducer is a hash lookup, not a per-partition
+sort. AQE still handles skewed keys. Determinism contract is the same
+as row_number's: unique (rank, order_by) per key — callers supply a
+collision-free ordering, as the registry conventions require.
 """
 
 from __future__ import annotations
@@ -21,19 +27,29 @@ _RANK = "__src_rank"
 _RN = "__rn"
 
 
+def _keep_max(df: DataFrame, keys: Sequence[str], order_cols: list) -> DataFrame:
+    """One row per key: the row whose ``order_cols`` struct is maximal
+    (struct comparison is lexicographic by field). Single hash
+    aggregate — map-side combine, no sort."""
+    keys = list(keys)
+    payload = [c for c in df.columns if c not in keys]
+    kept = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("_kept")
+    )
+    return kept.select(*keys, "_kept.*")
+
+
 def dedup_keep_last(
     df: DataFrame, keys: Sequence[str], order_by: Sequence[str] | str = ()
 ) -> DataFrame:
     """Keep one row per key. With ``order_by``, keeps the row with the
-    greatest order value (deterministic); without, an arbitrary row
-    (Spark ``dropDuplicates`` semantics)."""
+    greatest order value (deterministic when the order is collision-free
+    per key); without, an arbitrary row (Spark ``dropDuplicates``
+    semantics)."""
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     if not order_by:
         return df.dropDuplicates(list(keys))
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
-    return (
-        df.withColumn(_RN, F.row_number().over(w)).where(F.col(_RN) == 1).drop(_RN)
-    )
+    return _keep_max(df, keys, [F.col(c) for c in order_by])
 
 
 def upsert_keep_last(
@@ -52,10 +68,6 @@ def upsert_keep_last(
     tagged = existing.withColumn(_RANK, F.lit(0)).unionByName(
         updates.withColumn(_RANK, F.lit(1)), allowMissingColumns=True
     )
-    order = [F.col(_RANK).desc()] + [F.col(c).desc() for c in order_by]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        tagged.withColumn(_RN, F.row_number().over(w))
-        .where(F.col(_RN) == 1)
-        .drop(_RN, _RANK)
-    )
+    order_cols = [F.col(_RANK)] + [F.col(c) for c in order_by]
+    out_cols = [c for c in tagged.columns if c != _RANK]
+    return _keep_max(tagged, keys, order_cols).select(*out_cols)
