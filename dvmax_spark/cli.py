@@ -45,6 +45,65 @@ def _load_inputs(spark, input_dir: str) -> dict:
     return inputs
 
 
+# Feature-group prefixes of the reference's inspection report
+# (reference src/dataprep/constants.py:27-41 GROUP_PREFIXES /
+# SOURCE_HINTS; report printer src/dataprep/visualization/report.py:
+# 20-49). Columns are grouped by name prefix; anything unmatched lands
+# in "Other Features".
+GROUP_PREFIXES = {
+    "Price-Based Features": ["6m_", "12m_", "volatility", "max_drawdown_1y", "sma_"],
+    "Fundamentals": ["net_debt", "ebit_"],
+    "Growth": ["eps_cagr", "fcf_cagr"],
+    "Dividends": ["dividend_", "yield_"],
+    "Valuation": ["pe_ratio", "pfcf_ratio", "payout_ratio"],
+    "Sector Encoding": ["sector_"],
+    "Presence Flags": ["has_"],
+    "Validation": ["validation_"],
+}
+
+
+def print_feature_report(spark, store_root: str, ticker: str, as_of: str | None) -> None:
+    """Grouped single-ticker feature report off the written store — the
+    Spark analog of the reference's print_feature_report_from_df
+    (src/dataprep/visualization/report.py:7-49): one driver-side row
+    (filter is pushed to the parquet scan; nothing else is collected),
+    printed group by group."""
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.store import FeatureStore
+
+    dyn = FeatureStore(spark, os.path.join(store_root, "dynamic"), keys=["ticker", "as_of"])
+    df = dyn.read().where(F.col("ticker") == ticker)
+    if as_of:
+        df = df.where(F.col("as_of") == as_of)
+    else:
+        df = df.orderBy(F.col("as_of").desc())
+    rows = df.limit(1).collect()
+    if not rows:
+        raise SystemExit(f"no feature row for ticker={ticker!r} as_of={as_of or 'latest'}")
+    row = rows[0].asDict()
+
+    print(f"\n=== Feature Report for {row.get('ticker', 'N/A')} ===")
+    print(f"- As of: {row.get('as_of', 'N/A')}")
+    print(f"- Columns: {len(row)}")
+    used = {"ticker", "as_of"}
+    for title, prefixes in GROUP_PREFIXES.items():
+        keys = sorted(k for k in row if any(k.startswith(p) for p in prefixes) and k not in used)
+        if not keys:
+            continue
+        used.update(keys)
+        print(f"\n-> {title}")
+        for k in keys:
+            v = row[k]
+            print(f"{k:25}: {'N/A' if v is None else v}")
+    other = sorted(set(row) - used)
+    if other:
+        print("\n-> Other Features")
+        for k in other:
+            v = row[k]
+            print(f"{k:25}: {'N/A' if v is None else v}")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dvmax_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -64,6 +123,11 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--prices", required=True, help="prices parquet for validation")
     u.add_argument("--out", required=True)
     u.add_argument("--min-closes", type=int, default=5)
+
+    r = sub.add_parser("report", help="pretty-print one ticker's feature row")
+    r.add_argument("--store-root", required=True, help="root written by the ticker pipeline")
+    r.add_argument("--ticker", required=True)
+    r.add_argument("--as-of", help="YYYY-MM-DD (default: latest row for the ticker)")
 
     args = p.parse_args(argv)
     spark = get_spark(f"dvmax_cli_{args.cmd}")
@@ -93,6 +157,8 @@ def main(argv: list[str] | None = None) -> int:
 
         out = run_macro_pipeline(spark, spark.read.parquet(args.input), args.store_root)
         print(json.dumps({"rows": out.count()}))
+    elif args.cmd == "report":
+        print_feature_report(spark, args.store_root, args.ticker, args.as_of)
     elif args.cmd == "universe":
         from dvmax_spark.plans.universe_pipeline import run_universe_pipeline
 

@@ -94,6 +94,24 @@ def test_pipeline_end_to_end(spark, inputs, tmp_path):
     status = json.load(open(os.path.join(root, "status", "last_run.json")))
     assert status["dates"] == 2
 
+    # inspection report (reference report.py analog): grouped print of
+    # one ticker row off the store; latest as_of picked by default
+    import contextlib
+    import io
+
+    from dvmax_spark.cli import print_feature_report
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        print_feature_report(spark, root, "A", None)
+    out = buf.getvalue()
+    assert "Feature Report for A" in out
+    assert "2022-12-30" in out  # latest row wins without --as-of
+    assert "-> Dividends" in out and "dividend_yield" in out
+    assert "-> Validation" in out
+    with pytest.raises(SystemExit):
+        print_feature_report(spark, root, "NOPE", None)
+
 
 def test_macro_pipeline(spark, tmp_path):
     from dvmax_spark.plans.macro_pipeline import run_macro_pipeline
