@@ -57,17 +57,23 @@ def upsert_keep_last(
     updates: DataFrame,
     keys: Sequence[str],
     order_by: Sequence[str] | str = (),
+    rank_dominates: bool = True,
 ) -> DataFrame:
     """Union existing+updates and keep one row per key, updates winning.
 
-    ``order_by`` breaks ties *within* a side (greatest wins); the side
-    rank always dominates, reproducing keep="last" with existing-then-new
-    concat order.
+    With ``rank_dominates=True`` (default — the reference's
+    keep="last" over existing-then-new concat), ``order_by`` only
+    breaks ties *within* a side; an update always beats an existing
+    row. With ``rank_dominates=False``, ``order_by`` wins outright and
+    the side rank is only the tie-break — event-time-wins semantics
+    for OUT-OF-ORDER arrivals (streaming ingest: a late batch must not
+    clobber a newer stored row).
     """
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     tagged = existing.withColumn(_RANK, F.lit(0)).unionByName(
         updates.withColumn(_RANK, F.lit(1)), allowMissingColumns=True
     )
-    order_cols = [F.col(_RANK)] + [F.col(c) for c in order_by]
+    by = [F.col(c) for c in order_by]
+    order_cols = [F.col(_RANK), *by] if rank_dominates else [*by, F.col(_RANK)]
     out_cols = [c for c in tagged.columns if c != _RANK]
     return _keep_max(tagged, keys, order_cols).select(*out_cols)

@@ -102,6 +102,41 @@ def sql_api_q3(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q3_SQL)
 
 
+_Q5_SQL = """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+"""
+
+
+@query("sql_api_q5", ids=("J1", "J7", "P2", "A2", "O3"), bench=True, sql=_Q5_SQL)
+def sql_api_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q5-shaped local-supplier-volume query: a 6-way join where
+    Catalyst must order the join tree and broadcast the three dim
+    tables (region/nation/supplier) while the two facts
+    (orders x lineitem) meet in a shuffled join with both date filters
+    pushed to the scans — the canonical star-plus-fact-fact plan the
+    engine must get right at 100 TB. Submitted through the SQL API;
+    the oracle is the IDENTICAL text on DuckDB."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(
+        spark, sf,
+        names=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return spark.sql(_Q5_SQL)
+
+
 @query(
     "a_salted_hot_key",
     ids=("A1", "A2"),

@@ -35,6 +35,7 @@ from dvmax_spark.registry import query
     "x_traindata_funnel",
     ids=("X18", "X19", "X20", "X21", "P3", "P4"),
     sql=traindata_funnel_sql(),
+    bench=True,
 )
 def x_traindata_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """The full curation funnel in one dataflow (in-cap evidence for

@@ -156,6 +156,7 @@ PRIORITY: tuple[str, ...] = (
     "a_cube",
     "a_percentiles",
     "a_corr_stats",
+    "sql_api_q5",
 )
 
 

@@ -109,14 +109,24 @@ class FeatureStore:
             self._write(fresh, "append")
         return n
 
-    def upsert(self, updates: DataFrame, order_by: list[str] | str = ()) -> None:
+    def upsert(
+        self,
+        updates: DataFrame,
+        order_by: list[str] | str = (),
+        rank_dominates: bool = True,
+    ) -> None:
         """Keep-last merge: updates win per key (ref concat+unique
-        keep='last'). Rewrites only the partitions present in the merged
-        frame (dynamic partition overwrite)."""
+        keep='last'); ``rank_dominates=False`` makes ``order_by`` win
+        outright instead (event-time semantics for out-of-order feeds).
+        Rewrites only the partitions present in the merged frame
+        (dynamic partition overwrite)."""
         if not self.exists():
             self._write(updates, "overwrite")
             return
-        merged = upsert_keep_last(self.read(), updates, keys=self.keys, order_by=order_by)
+        merged = upsert_keep_last(
+            self.read(), updates, keys=self.keys, order_by=order_by,
+            rank_dominates=rank_dominates,
+        )
         # `merged` lazily reads main_path, so overwriting main in place
         # is unsafe even behind cache(): eviction or task retry would
         # recompute against already-deleted files. Materialize durably

@@ -193,6 +193,36 @@ def test_pack_sequences_single_bucket_shuffle(spark):
     assert "Python" not in plan, plan
 
 
+def test_q5_dims_broadcast_and_date_filter_pushed(spark):
+    """TPC-H-Q5 shape: the three dim tables must come in as broadcast
+    joins (never shuffling the fact side on a dim key), and the order-
+    date range predicate must reach the orders parquet scan."""
+    plan = _plan(_q(spark, "sql_api_q5"))
+    simple = _simple_plan(_q(spark, "sql_api_q5"))
+    assert simple.count("BroadcastHashJoin") >= 2, simple
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln or "GreaterThanOrEqual" in ln for ln in pushed), pushed
+
+
+def test_traindata_funnel_plan_shape(spark):
+    """X18-X21 composed: the funnel must keep every stage's scale
+    shape at once — eval grams broadcast (semi-join, corpus never
+    shuffles on the gram), contaminated ids broadcast back (anti-join),
+    split/sample stay per-row arithmetic, and packing contributes the
+    only real hash exchanges; no Python anywhere."""
+    plan = _simple_plan(_q(spark, "x_traindata_funnel"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Python" not in plan, plan
+    # corpus-side shuffles: the (split,bucket) packing window, the
+    # distinct-window agg, and groupBy(split). The two remaining
+    # exchanges partition the TINY broadcast inputs (eval-gram distinct,
+    # contaminated-id distinct) — size-bounded by the eval slice, not
+    # the corpus. Anything beyond these five is a regression.
+    n_hash = plan.count("hashpartitioning")
+    assert n_hash <= 5, f"{n_hash} hash exchanges:\n{plan}"
+
+
 def test_split_and_sample_are_map_side(spark):
     """X19/X21: hash split + stratified sample are per-row arithmetic
     feeding a partial aggregate on a tiny key space — no Python, and
