@@ -35,6 +35,7 @@ __all__ = [
     "train_split",
     "pack_sequences",
     "stratified_sample",
+    "mixture_rebalance",
     "traindata_funnel",
 ]
 
@@ -286,6 +287,90 @@ def traindata_funnel(
         )
         .orderBy("split")
     )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    approximate: bool = False,
+) -> DataFrame:
+    """Balance the corpus mixture: downsample every stratum to the
+    smallest stratum's size (uniform target mixture — the standard
+    rebalancing move before weighting a pre-training mix).
+
+    Selection is deterministic: within a stratum, the quota goes to
+    the lowest portable-hash docs (tie-break id), so re-runs and other
+    engines pick the SAME documents — never ``rand()``.
+
+    Two physical paths:
+      * exact (default): per-stratum row_number over the hash — one
+        shuffle on the stratum key. Parallelism = #strata; right when
+        strata are many or moderate. A single mega-stratum serializes
+        its ranking into one reducer, which is where the
+        ``approximate`` path comes in.
+      * approximate: keep docs whose hash falls below quota/n of the
+        hash space — fully map-side (the stratified_sample shape), no
+        per-stratum sort, binomially-close to quota rather than exact.
+        The 100 TB default.
+
+    Returns the per-stratum audit (n_total, n_kept); the same logic
+    inline selects the rows themselves in a pipeline.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # quota = min stratum size; the counts frame is |strata| rows, so
+    # the empty-partition (single-reducer) window is fine HERE.
+    quota = counts.select(F.min("_n").alias("_quota"))
+    if approximate:
+        frac = F.col("_quota") / F.col("_n")
+        keep = (
+            (_portable_hash(F.col(id_col).cast("string")) % 1_000_000)
+            < (frac * 1_000_000).cast("bigint")
+        ).cast("int")
+        return (
+            df.join(F.broadcast(counts), strata_col)
+            .crossJoin(F.broadcast(quota))
+            .select(strata_col, keep.alias("_keep"))
+            .groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("n_total"), F.sum("_keep").alias("n_kept"))
+            .orderBy(strata_col)
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        _portable_hash(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.select(strata_col, id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+    )
+    return (
+        ranked.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("_rk") <= F.col("_quota")).cast("int")).alias("n_kept"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+def mixture_rebalance_sql(strata_col: str = "source") -> str:
+    h = _DUCK_HASH.format(expr="doc_id::VARCHAR") + ")"
+    return f"""
+    WITH ranked AS (
+      SELECT {strata_col},
+             row_number() OVER (PARTITION BY {strata_col}
+                                ORDER BY {h} ASC, doc_id ASC) AS rk
+      FROM documents
+    ), quota AS (
+      SELECT min(n) AS q FROM (
+        SELECT count(*) AS n FROM documents GROUP BY {strata_col}
+      )
+    )
+    SELECT {strata_col}, count(*) AS n_total,
+           CAST(sum(CASE WHEN rk <= quota.q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked, quota
+    GROUP BY {strata_col} ORDER BY {strata_col}
+    """
 
 
 def traindata_funnel_sql(

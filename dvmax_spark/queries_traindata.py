@@ -19,6 +19,8 @@ from dvmax_spark.ext.traindata import (
     contaminated_ids,
     decontaminate_sql,
     hash_bucket,
+    mixture_rebalance,
+    mixture_rebalance_sql,
     pack_sequences,
     pack_sequences_sql,
     stratified_sample,
@@ -103,6 +105,17 @@ def x_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     resulting mixture (per-stratum totals vs kept)."""
     docs = load_table(spark, "documents", sf)
     return stratified_sample(docs, strata_col="lang", pct=20)
+
+
+@query("x_mixture_rebalance", ids=("X21",), sql=mixture_rebalance_sql())
+def x_mixture_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Uniform mixture rebalancing: every source downsampled to the
+    smallest source's size, quota going to the lowest portable-hash
+    docs — deterministic across engines (exact rank path; the
+    map-side approximate path is the 100 TB default, tested for
+    closeness in tests/test_traindata.py)."""
+    docs = load_table(spark, "documents", sf)
+    return mixture_rebalance(docs)
 
 
 @query("x_hash_bucket_balance", ids=("X19",), sql=f"""

@@ -157,6 +157,7 @@ PRIORITY: tuple[str, ...] = (
     "a_percentiles",
     "a_corr_stats",
     "sql_api_q5",
+    "x_mixture_rebalance",
 )
 
 

@@ -94,3 +94,29 @@ def test_hash_bucket_portable_and_stable(spark):
     }
     assert a == b
     assert all(0 <= v < 16 for v in a.values())
+
+
+def test_mixture_rebalance_exact_and_approximate(spark):
+    """Exact path: every stratum's kept count equals the smallest
+    stratum's size exactly. Approximate (map-side) path: within
+    binomial noise of the quota, deterministic across calls."""
+    from dvmax_spark.ext.traindata import mixture_rebalance
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(400)]
+        + [(2000 + i, "small") for i in range(150)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    exact = {r["source"]: r for r in mixture_rebalance(df).collect()}
+    assert exact["big"]["n_total"] == 900 and exact["big"]["n_kept"] == 150
+    assert exact["mid"]["n_kept"] == 150
+    assert exact["small"]["n_kept"] == 150
+
+    approx = {r["source"]: r for r in mixture_rebalance(df, approximate=True).collect()}
+    for s, quota in (("big", 150), ("mid", 150), ("small", 150)):
+        # binomial(n, quota/n): 4 sigma ~ 4*sqrt(150) ~ 49
+        assert abs(approx[s]["n_kept"] - quota) <= 50, (s, approx[s])
+    approx2 = {r["source"]: r for r in mixture_rebalance(df, approximate=True).collect()}
+    assert approx == approx2  # deterministic, no rand()
