@@ -149,6 +149,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = 1000,
+    rejoin_signatures: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -158,46 +159,90 @@ def minhash_lsh_pairs(
     (band, band_hash) — never materializes the n² pair space, and
     ``max_bucket`` caps the within-bucket quadratic blowup on
     degenerate band keys (see :func:`cap_buckets`).
+
+    ``rejoin_signatures`` picks the candidate-stage physical shape
+    (identical results either way — asserted by a parity test):
+      * False (default): band rows carry the signature inline; one
+        self-join produces scored pairs directly. Fewest stages —
+        fastest until the band shuffle (~bands x 8B x num_hashes per
+        doc) dominates.
+      * True: band rows carry ONLY ids; signatures re-attach by join
+        after candidate dedup, and the signature table is checkpointed
+        so the aggregation runs once. Cuts the band-shuffle payload
+        ~``bands``x at the cost of two extra id-joins — the right
+        trade once docs x num_hashes x bands outgrows cluster shuffle
+        capacity (mega-corpus dedup).
     """
     rows = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_n, id_col=id_col)
-    banded = sig.select(
-        id_col,
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("signature")[b * rows + r] for r in range(rows)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "signature", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    banded = cap_buckets(banded, ["band", "band_key"], max_bucket)
+    if rejoin_signatures:
+        sig = sig.localCheckpoint(eager=False)
+    band_structs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col("signature")[b * rows + r] for r in range(rows)]
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bk")
 
-    left = banded.select(
-        F.col("band"),
-        F.col("band_key"),
-        F.col(id_col).alias("id_a"),
-        F.col("signature").alias("sig_a"),
-    )
-    right = banded.select(
-        F.col("band"),
-        F.col("band_key"),
-        F.col(id_col).alias("id_b"),
-        F.col("signature").alias("sig_b"),
-    )
-    pairs = (
-        left.join(right, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if rejoin_signatures:
+        banded = sig.select(F.col(id_col), band_structs).select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+        )
+        banded = cap_buckets(banded, ["band", "band_key"], max_bucket)
+        cand = (
+            banded.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a"))
+            .join(
+                banded.select(
+                    F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b")
+                ),
+                ["band", "band_key"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.join(
+            sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
+            "id_a",
+        ).join(
+            sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
+            "id_b",
+        )
+    else:
+        banded = sig.select(F.col(id_col), F.col("signature"), band_structs).select(
+            id_col,
+            "signature",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        banded = cap_buckets(banded, ["band", "band_key"], max_bucket)
+        pairs = (
+            banded.select(
+                F.col("band"),
+                F.col("band_key"),
+                F.col(id_col).alias("id_a"),
+                F.col("signature").alias("sig_a"),
+            )
+            .join(
+                banded.select(
+                    F.col("band"),
+                    F.col("band_key"),
+                    F.col(id_col).alias("id_b"),
+                    F.col("signature").alias("sig_b"),
+                ),
+                ["band", "band_key"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda eq: eq
