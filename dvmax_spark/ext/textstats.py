@@ -81,6 +81,59 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", score)
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistics quality score (a CCNet-style LM filter,
+    reduced to its order-0 core): each doc's mean log10 probability of
+    its tokens under the CORPUS unigram distribution. Docs of rare
+    gibberish score low; docs of common fluent words score high —
+    unlike the per-doc heuristics above, this signal is data-dependent
+    (two passes over the corpus).
+
+    Scale shape: explode -> hash-agg builds the frequency table (vocab
+    is Heaps-sublinear in corpus size), token stream joins back on the
+    token (shuffle join; broadcast it when the vocab fits), one final
+    per-doc aggregate. No Python anywhere.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("N"))
+    # rename before the join: `total` derives from `freq`, so keeping
+    # the name `n` on both branches trips self-join attribute ambiguity
+    scored = toks.join(freq.withColumnRenamed("n", "tok_n"), "tok").crossJoin(
+        F.broadcast(total)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log10(F.col("tok_n") / F.col("N"))), 4).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def unigram_logprob_sql(table: str = "documents") -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM {table}
+    ), t AS (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), freq AS (
+      SELECT tok, count(*) AS n FROM t GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS N FROM freq
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(log10(freq.n / tot.N)), 4) AS avg_logprob
+    FROM t JOIN freq USING (tok), tot
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+
+
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language stopword-hit counts (with multiplicity) + predicted
     language (argmax, ties broken by LANG_STOPWORDS key order)."""

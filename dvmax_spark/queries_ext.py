@@ -298,6 +298,24 @@ def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "x_unigram_logprob",
+    ids=("X8",),
+    sql=__import__(
+        "dvmax_spark.ext.textstats", fromlist=["unigram_logprob_sql"]
+    ).unigram_logprob_sql(),
+)
+def x_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-unigram LM quality score (CCNet-style order-0 filter):
+    mean log10 token probability under the corpus distribution —
+    data-dependent, unlike the per-doc heuristics (two corpus passes:
+    frequency table, then score join)."""
+    from dvmax_spark.ext.textstats import unigram_logprob
+
+    docs = load_table(spark, "documents", sf)
+    return unigram_logprob(docs)
+
+
 @query("x_lang_id", ids=("X9",), sql=lang_id_sql())
 def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-heuristic language ID: per-language hit counts +

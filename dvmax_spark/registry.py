@@ -158,6 +158,7 @@ PRIORITY: tuple[str, ...] = (
     "a_corr_stats",
     "sql_api_q5",
     "x_mixture_rebalance",
+    "x_unigram_logprob",
 )
 
 

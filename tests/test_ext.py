@@ -420,3 +420,16 @@ def test_resize_gray_png_nearest_neighbor_exact():
         for x in range(8):
             assert pix[y * 8 + x] == (3 * (2 * x) + 5 * (2 * y)) % 256
     assert resize_gray_png(b"not a png", 4, 4) is None
+
+
+def test_unigram_logprob_orders_fluent_above_gibberish(spark):
+    """A doc of corpus-common words must outscore a doc of hapaxes —
+    the signal the heuristic quality score cannot see."""
+    from dvmax_spark.ext.textstats import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "the cat sat on the mat"))   # fluent: common words
+    rows.append((101, "zxqv bnmp qwrt lkjh gfds"))  # gibberish hapaxes
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df).collect()}
+    assert got[100] > got[101]
