@@ -95,7 +95,7 @@ def s5_rest_ingest_fixture(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "s4_pipeline_infra",
-    ids=("S4", "S10", "S11", "S12", "P12"),
+    ids=("S4", "S10", "S11", "S12", "P12", "A12"),
     sql="""
     WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 11 = 3)
     SELECT 2::BIGINT AS n_universe,

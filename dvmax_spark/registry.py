@@ -81,7 +81,11 @@ PRIORITY: tuple[str, ...] = (
     "f_scalar_sampler",
     "f11_json_extract",
     "p10_one_hot",
-    "a_rollup",
+    # mixture rebalancing inside the evidence window; a_rollup moved
+    # past-cap (its A2 stays on a1/w1/sql_api_q3, its A12 run-counter
+    # coverage is genuinely exercised — and now tagged — on
+    # s4_pipeline_infra's status-sidecar round trip)
+    "x_mixture_rebalance",
     "p8_f7_flags_and_finiteness",
     # validation
     "v1_range_validation",
@@ -118,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "x_score_portfolio",
     # --- everything below is redundant-coverage / variant evidence ---
     "p2_filter_predicates",
+    "a_rollup",
     "t_sliding_window",
     "x_bpe_token_count",
     "j1_inner_join_agg",
@@ -157,7 +162,6 @@ PRIORITY: tuple[str, ...] = (
     "a_percentiles",
     "a_corr_stats",
     "sql_api_q5",
-    "x_mixture_rebalance",
     "x_unigram_logprob",
 )
 
