@@ -149,6 +149,38 @@ class FeatureStore:
         partitions carried by `updates`."""
         self._write(updates, "overwrite")
 
+    def compact(self, files_per_partition: int = 1, sort_within: list[str] | None = None) -> None:
+        """Rewrite the store to ``files_per_partition`` files per
+        partition, optionally sorted by ``sort_within`` inside each
+        file — the small-file/row-group-pruning maintenance pass.
+
+        Incremental appends accumulate one file per write per
+        partition; at cluster scale thousands of small files per
+        partition turn every scan into a metadata storm and defeat
+        row-group min/max skipping. Compaction repartitions each
+        partition to a bounded file count and (with ``sort_within``)
+        clusters rows so predicate pushdown on the sort key can skip
+        whole row groups. Uses the same staging-dir + atomic-swap
+        protocol as upsert, so readers never observe a half-compacted
+        table."""
+        df = self.read()
+        df = df.repartition(files_per_partition, self.partition_col)
+        if sort_within:
+            df = df.sortWithinPartitions(self.partition_col, *sort_within)
+        staging = self.main_path + ".staging"
+        retired = self.main_path + ".old"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .partitionBy(self.partition_col)
+            .option("compression", "zstd")
+            .parquet(staging)
+        )
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(self.main_path, retired)
+        os.rename(staging, self.main_path)
+        shutil.rmtree(retired)
+
     def quarantine(self, rows: DataFrame) -> None:
         """Audit sink for dropped rows (ref `_write_flagged_audit`)."""
         rows.write.mode("append").option("compression", "zstd").parquet(

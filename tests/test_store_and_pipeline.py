@@ -56,6 +56,33 @@ class TestStore:
         rows = {r["ticker"]: r for r in read.collect()}
         assert rows["A"]["note"] is None and rows["B"]["note"] == "extra"
 
+    def test_file_compaction_bounds_files_and_keeps_data(self, spark, store):
+        """Small-file maintenance: 6 incremental appends -> many files;
+        compact() rewrites to <=1 file per partition, preserves every
+        row exactly, and keeps the partitioned layout readable."""
+        import glob
+        import os
+
+        for i in range(6):
+            store.append_new_keys(
+                _rows(spark, [("A", f"2024-0{i + 1}-01", float(i)), ("B", f"2024-0{i + 1}-01", 10.0 + i)])
+            )
+        before = store.read().orderBy("ticker", "as_of").collect()
+        n_files_before = len(
+            glob.glob(os.path.join(store.main_path, "**", "*.parquet"), recursive=True)
+        )
+        assert n_files_before > 2  # appends really did fragment
+
+        store.compact(files_per_partition=1, sort_within=["as_of"])
+        after = store.read().orderBy("ticker", "as_of").collect()
+        assert after == before  # lossless
+        n_files_after = len(
+            glob.glob(os.path.join(store.main_path, "**", "*.parquet"), recursive=True)
+        )
+        assert n_files_after <= 2  # one per ticker partition
+        # partition pruning still works on the compacted layout
+        assert store.read().where(F.col("ticker") == "A").count() == 6
+
     def test_compaction_at_edge(self, spark, tmp_path):
         from dvmax_spark.store import FeatureStore
 
