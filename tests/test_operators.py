@@ -189,3 +189,46 @@ class TestTopK:
         out = top_k_per_group(df, "g", [F.col("v").desc()], k=2, keep_rank="rnk")
         got = {(r["g"], r["rnk"]): r["v"] for r in out.collect()}
         assert got[("a", 1)] == 9.0 and got[("a", 2)] == 8.0 and got[("b", 1)] == 7.0
+
+
+def test_upsert_modes_match_sequential_semantics(spark):
+    """Property (randomized rounds, fixed seed): both merge modes must
+    equal their sequential reference semantics —
+      rank_dominates=True  == 'replay updates after existing'
+      rank_dominates=False == 'greatest order_by wins globally, update
+                               breaks exact ties'."""
+    import random
+
+    from dvmax_spark.operators.upsert import upsert_keep_last
+
+    rng = random.Random(13)
+    for _ in range(5):
+        existing = [(k, rng.randint(0, 9), f"e{k}") for k in rng.sample(range(12), 6)]
+        updates = [(k, rng.randint(0, 9), f"u{k}") for k in rng.sample(range(12), 6)]
+        df_e = spark.createDataFrame(existing, "k int, ver int, who string")
+        df_u = spark.createDataFrame(updates, "k int, ver int, who string")
+
+        # sequential reference: dict replay
+        ref_rank: dict[int, tuple] = {}
+        for k, v, w in sorted(existing, key=lambda r: r[1]):
+            ref_rank[k] = (v, w)
+        for k, v, w in sorted(updates, key=lambda r: r[1]):
+            ref_rank[k] = (v, w)  # updates always win; highest ver within side
+
+        got_rank = {
+            r["k"]: (r["ver"], r["who"])
+            for r in upsert_keep_last(df_e, df_u, keys=["k"], order_by="ver").collect()
+        }
+        assert got_rank == ref_rank
+
+        ref_time: dict[int, tuple] = {}
+        rows = [(k, v, w, 0) for k, v, w in existing] + [(k, v, w, 1) for k, v, w in updates]
+        for k, v, w, side in sorted(rows, key=lambda r: (r[1], r[3])):
+            ref_time[k] = (v, w)  # greatest (ver, side) wins
+        got_time = {
+            r["k"]: (r["ver"], r["who"])
+            for r in upsert_keep_last(
+                df_e, df_u, keys=["k"], order_by="ver", rank_dominates=False
+            ).collect()
+        }
+        assert got_time == ref_time

@@ -178,6 +178,71 @@ def test_stateful_apply_in_pandas_with_state(spark, events_dir):
         assert final[r["user_id"]] == r["n"]
 
 
+def test_watermark_append_mode_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics: a window only emits once the
+    watermark passes its end, and rows later than the watermark are
+    dropped — the contract that bounds state at 100 TB. Driven with a
+    two-batch file source so the watermark actually advances."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(d)
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+
+    out = str(tmp_path / "late_out")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(d)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.sum("v").alias("total"))
+            .select(F.col("w.start").alias("start"), "total")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        emitted = spark.read.parquet(out)
+        return {str(r["start"]): r["total"] for r in emitted.collect()}
+
+    # run 1: on-time rows to 10:59 -> watermark persisted at 10:49; no
+    # window end <= 10:49 yet, so append emits nothing
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:59:00"]),
+            "v": [1.0, 2.0],
+        }
+    ).to_parquet(os.path.join(d, "b1.parquet"), coerce_timestamps="us", allow_truncated_timestamps=True)
+    assert run() == {}
+
+    # run 2 (same checkpoint -> watermark restored): a row >1h LATE
+    # (09:30 < 10:49) plus a fresh 12:00 row advancing the watermark
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 09:30:00", "2024-01-01 12:00:00"]),
+            "v": [100.0, 3.0],
+        }
+    ).to_parquet(os.path.join(d, "b2.parquet"), coerce_timestamps="us", allow_truncated_timestamps=True)
+    rows = run()
+    # 10:00 window closes at watermark 11:50 with its on-time total
+    # ONLY; the late 09:30 row was dropped (no 09:00 window row); the
+    # 12:00 window is still open, so append hasn't emitted it
+    assert rows == {"2024-01-01 10:00:00": 3.0}
+
+
 def test_stream_upsert_into_store_keep_last(spark, events_dir, tmp_path):
     """Streaming ingest -> FeatureStore: drain the events stream into a
     keyed store with keep-last merge; the result must equal the batch
