@@ -285,6 +285,38 @@ def j2_asof_backward(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "j_asof_forward",
+    ids=("J2",),
+    sql="""
+    SELECT v.event_id, v.user_id, v.ts,
+           p.value AS next_purchase_value, p.ts AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND p.ts >= v.ts
+    ORDER BY v.event_id
+    """,
+)
+def j_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join (the strategy='forward' branch of
+    operators/asof.py — ref join_asof direction flag): each view event
+    gets the EARLIEST same-user purchase at ts >= view.ts (time-to-
+    conversion shape). Same single-shuffle union+window plan as j2."""
+    ev = load_table(spark, "events", sf)
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        views, purchases, on="ts", by="user_id", strategy="forward", right_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("next_purchase_value"),
+        F.col("ts_right").alias("next_purchase_ts"),
+    ).orderBy("event_id")
+
+
+@query(
     "j3_nearest_le_lookup",
     ids=("J3", "A6"),
     sql="""

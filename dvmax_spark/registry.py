@@ -163,6 +163,7 @@ PRIORITY: tuple[str, ...] = (
     "a_corr_stats",
     "sql_api_q5",
     "x_unigram_logprob",
+    "j_asof_forward",
 )
 
 
