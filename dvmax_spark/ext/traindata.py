@@ -23,6 +23,8 @@ Scale shapes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,6 +39,7 @@ __all__ = [
     "stratified_sample",
     "mixture_rebalance",
     "traindata_funnel",
+    "write_training_shards",
 ]
 
 # DuckDB twin of ext.dedup._portable_hash — kept adjacent so the two
@@ -287,6 +290,83 @@ def traindata_funnel(
         )
         .orderBy("split")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    ctx_len: int = 128,
+    n_buckets: int = 8,
+    seqs_per_shard: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The pipeline's LAST step: materialize packed training sequences
+    as bounded-size zstd parquet shards plus a JSON manifest — what a
+    training job actually mounts.
+
+    Each output row is one context window: (bucket, seq_id, doc_ids in
+    packing order, n_docs, seq_tokens). Shard size is bounded by
+    repartitioning the window table to ceil(windows / seqs_per_shard)
+    writer tasks; at cluster scale that bound is what keeps shards
+    loader-friendly (hundreds of MB) regardless of corpus size. The
+    doc list per window is sort_array(collect_list(...)) so shard
+    contents are deterministic — a re-run byte-compares equal.
+
+    Returns the manifest (windows/docs/tokens/shards) which is also
+    written to ``out_dir/manifest.json``.
+    """
+    import json
+    import math
+
+    staged = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+        hash_bucket(id_col, n_buckets).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    seqd = staged.withColumn(
+        "start", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("seq_id", F.expr(f"start div {int(ctx_len)}"))
+    windows = (
+        seqd.groupBy("bucket", "seq_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("start", F.col(id_col)))).alias("_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+        .select(
+            "bucket",
+            "seq_id",
+            F.transform("_docs", lambda s: s[id_col]).alias("doc_ids"),
+            "n_docs",
+            "seq_tokens",
+        )
+    )
+    n_windows = windows.count()
+    n_shards = max(1, math.ceil(n_windows / seqs_per_shard))
+    (
+        windows.repartition(n_shards, "bucket", "seq_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    agg = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    ).first()
+    manifest = {
+        "ctx_len": ctx_len,
+        "n_buckets": n_buckets,
+        "n_windows": int(n_windows),
+        "n_docs": int(agg["n_docs"]),
+        "n_tokens": int(agg["n_tokens"]),
+        "n_shards": n_shards,
+        "seqs_per_shard": seqs_per_shard,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
 
 
 def mixture_rebalance(

@@ -120,3 +120,41 @@ def test_mixture_rebalance_exact_and_approximate(spark):
         assert abs(approx[s]["n_kept"] - quota) <= 50, (s, approx[s])
     approx2 = {r["source"]: r for r in mixture_rebalance(df, approximate=True).collect()}
     assert approx == approx2  # deterministic, no rand()
+
+
+def test_write_training_shards_deterministic_and_complete(spark, tmp_path):
+    """Shard writer invariants: every doc appears in exactly one window,
+    window token sums cover the corpus, the manifest matches the data,
+    and a re-run produces identical shard contents (deterministic)."""
+    import json
+
+    from dvmax_spark.ext.traindata import write_training_shards
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 30))) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    out1 = str(tmp_path / "s1")
+    m1 = write_training_shards(df, out1, ctx_len=64, seqs_per_shard=32)
+    shards = spark.read.parquet(out1 + "/shards")
+
+    assert m1["n_docs"] == 500
+    assert m1["n_windows"] == shards.count()
+    got_docs = sorted(
+        d for r in shards.select("doc_ids").collect() for d in r["doc_ids"]
+    )
+    assert got_docs == sorted(r[0] for r in rows)  # exactly-once cover
+    from pyspark.sql import functions as F
+
+    assert (
+        shards.agg(F.sum("seq_tokens")).first()[0] == m1["n_tokens"]
+    )
+    assert json.load(open(out1 + "/manifest.json")) == m1
+
+    out2 = str(tmp_path / "s2")
+    m2 = write_training_shards(df, out2, ctx_len=64, seqs_per_shard=32)
+    assert m2 == m1
+    a = sorted(map(tuple, spark.read.parquet(out1 + "/shards").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2 + "/shards").collect()))
+    assert [r[:2] + (list(r[2]),) + r[3:] for r in a] == [
+        r[:2] + (list(r[2]),) + r[3:] for r in b
+    ]
