@@ -664,6 +664,44 @@ def t_session_window(spark: SparkSession, sf: str) -> DataFrame:
     return session_counts_batch(ev, gap="30 minutes").orderBy("user_id", "session_start")
 
 
+@query(
+    "t_interval_join",
+    ids=("J4", "T1"),
+    sql="""
+    SELECT v.event_id AS view_id, v.user_id,
+           p.ts AS buy_ts, p.value AS buy_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id, buy_ts, buy_value
+    """,
+)
+def t_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-interval equi-join (streaming/ops.py interval_join — the
+    stream-stream join shape, run on the batch frame for the oracle):
+    every purchase within 1h after a same-user view. On streams both
+    sides carry watermarks so the join state is bounded
+    (batch-equivalence proven in tests/test_streaming.py)."""
+    from dvmax_spark.streaming.ops import interval_join
+
+    ev = load_table(spark, "events", sf)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("value").alias("buy_value")
+    )
+    return (
+        interval_join(
+            views, buys, keys=["user_id"], left_ts="view_ts", right_ts="buy_ts",
+            lower="0 seconds", upper="1 hour",
+        )
+        .select("view_id", "user_id", "buy_ts", "buy_value")
+        .orderBy("view_id", "buy_ts", "buy_value")
+    )
+
+
 def _curation_funnel_sql() -> str:
     """Oracle for the full curation funnel, generated from the same
     LANG_STOPWORDS/constants as the Spark operators (single source of

@@ -164,6 +164,7 @@ PRIORITY: tuple[str, ...] = (
     "sql_api_q5",
     "x_unigram_logprob",
     "j_asof_forward",
+    "t_interval_join",
 )
 
 

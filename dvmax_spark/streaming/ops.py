@@ -78,6 +78,48 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key join with a time-interval condition:
+    ``left_ts + lower <= right_ts <= left_ts + upper``.
+
+    Works identically on batch and streaming frames. For stream-stream
+    joins, BOTH sides get event-time watermarks — the condition plus
+    the watermarks are what let Spark bound the join state (drop
+    buffered rows once they can no longer match), which is the
+    difference between an unbounded-state join and one that runs
+    forever at cluster scale. Outer stream-stream joins additionally
+    emit unmatched rows only after the watermark closes their window.
+    """
+    lf = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rf = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    la, ra = lf.alias("_l"), rf.alias("_r")
+    # the interval bound must be part of the JOIN condition (not a
+    # post-filter): that is what lets Spark expire buffered state, and
+    # what keeps outer-join null rows correct
+    cond = (
+        (F.col(f"_r.{right_ts}") >= F.col(f"_l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"_r.{right_ts}") <= F.col(f"_l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    for k in keys:
+        cond = (F.col(f"_l.{k}") == F.col(f"_r.{k}")) & cond
+    out_cols = (
+        [F.col(f"_l.{k}").alias(k) for k in keys]
+        + [F.col(f"_l.{c}") for c in lf.columns if c not in keys]
+        + [F.col(f"_r.{c}") for c in rf.columns if c not in keys]
+    )
+    return la.join(ra, cond, how).select(*out_cols)
+
+
 def read_events_stream(spark: SparkSession, path_dir: str, max_files: int = 1) -> DataFrame:
     """File-based streaming source over a directory of event parquet
     (the Kafka stand-in for local verification)."""

@@ -178,6 +178,52 @@ def test_stateful_apply_in_pandas_with_state(spark, events_dir):
         assert final[r["user_id"]] == r["n"]
 
 
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream inner join (views x purchases, same user, purchase
+    within 1h AFTER the view) must equal the batch join over the same
+    data. Both sides carry watermarks so Spark can bound the join state
+    — the required shape for unbounded stream-stream joins at scale."""
+    from dvmax_spark.catalog import load_table
+
+    def views(df):
+        return df.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+
+    def purchases(df):
+        return df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        )
+
+    from dvmax_spark.streaming.ops import interval_join
+
+    joined = interval_join(
+        views(_read_stream(spark, events_dir)),
+        purchases(_read_stream(spark, events_dir)),
+        keys=["user_id"],
+        left_ts="view_ts",
+        right_ts="buy_ts",
+        lower="0 seconds",
+        upper="1 hour",
+        # files arrive in arbitrary order: watermark must span the data
+        watermark="40 days",
+    )
+    got = _run_to_memory(joined, "t_ssj", mode="append")
+
+    ev = load_table(spark, "events", SF)
+    expect = interval_join(
+        views(ev), purchases(ev), keys=["user_id"],
+        left_ts="view_ts", right_ts="buy_ts", lower="0 seconds", upper="1 hour",
+    )
+    keys = ["view_id", "user_id", "buy_ts", "buy_value"]
+    assert _canon(got, keys) == _canon(expect, keys)
+    assert got.count() > 0  # the window actually matched something
+
+
 def test_watermark_append_mode_drops_late_rows(spark, tmp_path):
     """Append-mode watermark semantics: a window only emits once the
     watermark passes its end, and rows later than the watermark are
