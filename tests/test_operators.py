@@ -232,3 +232,52 @@ def test_upsert_modes_match_sequential_semantics(spark):
             ).collect()
         }
         assert got_time == ref_time
+
+
+def test_asof_join_matches_reference_model(spark):
+    """Randomized reference-model check for the as-of join: backward and
+    forward, with and without tolerance, against a brute-force Python
+    model (unique right timestamps per key, so matches are unique)."""
+    import random
+
+    from dvmax_spark.operators.asof import asof_join
+
+    rng = random.Random(29)
+    for _ in range(3):
+        keys = ["a", "b", "c"]
+        left = [
+            (k, t) for k in keys for t in rng.sample(range(100), 10)
+        ]
+        right = [
+            (k, t, t * 10.0) for k in keys for t in rng.sample(range(100), 8)
+        ]
+        df_l = spark.createDataFrame(left, "k string, t int")
+        df_r = spark.createDataFrame(right, "k string, t int, v double")
+        rmap = {}
+        for k, t, v in right:
+            rmap.setdefault(k, []).append((t, v))
+
+        def model(strategy, tol):
+            out = {}
+            for k, t in left:
+                cands = rmap.get(k, [])
+                if strategy == "backward":
+                    cands = [c for c in cands if c[0] <= t and (tol is None or c[0] >= t - tol)]
+                    pick = max(cands) if cands else None
+                else:
+                    cands = [c for c in cands if c[0] >= t and (tol is None or c[0] <= t + tol)]
+                    pick = min(cands) if cands else None
+                out[(k, t)] = pick
+            return out
+
+        for strategy in ("backward", "forward"):
+            for tol in (None, 5):
+                got = {
+                    (r["k"], r["t"]): (
+                        None if r["t_right"] is None else (r["t_right"], r["v"])
+                    )
+                    for r in asof_join(
+                        df_l, df_r, on="t", by="k", strategy=strategy, tolerance=tol
+                    ).collect()
+                }
+                assert got == model(strategy, tol), (strategy, tol)
