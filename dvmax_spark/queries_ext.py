@@ -702,6 +702,37 @@ def t_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "f_variant_json",
+    ids=("F11",),
+    sql="""
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def f_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json into a
+    VARIANT column, typed extraction with variant_get — the
+    shredding-friendly engine-native alternative to per-access string
+    re-parsing (get_json_object). Same answers as the string path by
+    construction; the oracle is DuckDB JSON extraction."""
+    ev = load_table(spark, "events", sf)
+    v = ev.withColumn("pv", F.parse_json("props"))
+    k = F.expr("variant_get(pv, '$.k', 'long')")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _curation_funnel_sql() -> str:
     """Oracle for the full curation funnel, generated from the same
     LANG_STOPWORDS/constants as the Spark operators (single source of

@@ -165,6 +165,7 @@ PRIORITY: tuple[str, ...] = (
     "x_unigram_logprob",
     "j_asof_forward",
     "t_interval_join",
+    "f_variant_json",
 )
 
 
