@@ -836,3 +836,52 @@ def x_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("f_q") * F.col("f_l") * F.col("f_r")).alias("n_repetition"),
         F.countDistinct(F.when(keep3, F.col("norm"))).alias("n_dedup"),
     )
+
+
+@query(
+    "t_stateful_session",
+    ids=("T2", "T3"),
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                + INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def t_stateful_session(spark: SparkSession, sf: str) -> DataFrame:
+    """T3: CUSTOM stateful streaming operator (applyInPandasWithState).
+
+    This runs a REAL multi-micro-batch streaming query, not a batch
+    stand-in: the events slice is staged into time-ordered files, read
+    back one file per trigger, and per-user session state (start, last
+    ts, count, running value sum — a payload `session_window` cannot
+    carry) persists across micro-batches through the state store. A
+    per-key flush sentinel closes open sessions at end-of-stream, so
+    the emitted sessions are deterministic and hash-match the
+    gaps-and-islands oracle. State is one fixed-width row per live
+    user — at 100 TB the state store scales with |active keys|, not
+    |events| (streaming/stateful.py design note)."""
+    from dvmax_spark.streaming.stateful import run_sessionize_stream
+
+    ev = load_table(spark, "events", sf)
+    out = run_sessionize_stream(spark, ev, gap_seconds=4 * 3600, n_files=3)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    ).orderBy("user_id", "session_start")

@@ -81,11 +81,13 @@ PRIORITY: tuple[str, ...] = (
     "f_scalar_sampler",
     "f11_json_extract",
     "p10_one_hot",
-    # mixture rebalancing inside the evidence window; a_rollup moved
-    # past-cap (its A2 stays on a1/w1/sql_api_q3, its A12 run-counter
-    # coverage is genuinely exercised — and now tagged — on
-    # s4_pipeline_infra's status-sidecar round trip)
-    "x_mixture_rebalance",
+    # T3 custom stateful op (applyInPandasWithState) takes the in-cap
+    # slot x_mixture_rebalance held: X21 stays covered in-cap by
+    # x_traindata_funnel, while T3 has no other covering query. (Earlier
+    # swap rationale: a_rollup past-cap — its A2 stays on
+    # a1/w1/sql_api_q3, its A12 run-counter coverage is tagged on
+    # s4_pipeline_infra's status-sidecar round trip.)
+    "t_stateful_session",
     "p8_f7_flags_and_finiteness",
     # validation
     "v1_range_validation",
