@@ -333,15 +333,16 @@ def cosine_topk_lsh_sql(
     """
 
 
-def embedding_near_dup_sql(
-    threshold: float = 0.95,
-    dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+def _near_dup_ctes(
+    threshold: float,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
 ) -> str:
-    """DuckDB oracle for :func:`embedding_near_dup_pairs` — same
-    deterministic-constants argument as :func:`cosine_topk_lsh_sql`.
-    (Assumes no bucket exceeds max_bucket — true for the testdata.)"""
+    """Shared CTE chain ``bk -> cand -> scored -> nd_pairs`` replaying
+    the seeded-hyperplane LSH near-dup pipeline in DuckDB (same
+    deterministic-constants + left-associated-sums argument as
+    :func:`cosine_topk_lsh_sql`)."""
     per_table = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=42 + t)
@@ -357,8 +358,7 @@ def embedding_near_dup_sql(
     aa = _dot_vec_sql("a.embedding", "a.embedding", dim)
     bb = _dot_vec_sql("b.embedding", "b.embedding", dim)
     ab = _dot_vec_sql("a.embedding", "b.embedding", dim)
-    return f"""
-    WITH bk AS (
+    return f"""bk AS (
       {bk}
     ), cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -370,7 +370,91 @@ def embedding_near_dup_sql(
       FROM cand
       JOIN embeddings a ON a.vec_id = cand.id_a
       JOIN embeddings b ON b.vec_id = cand.id_b
-    )
-    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    ), nd_pairs AS (
+      SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    )"""
+
+
+def embedding_near_dup_sql(
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`embedding_near_dup_pairs` — same
+    deterministic-constants argument as :func:`cosine_topk_lsh_sql`.
+    (Assumes no bucket exceeds max_bucket — true for the testdata.)"""
+    ctes = _near_dup_ctes(threshold, dim, n_planes, n_tables)
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b, cosine FROM nd_pairs
     ORDER BY id_a, id_b
+    """
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine near-dup
+    pairs (seeded-hyperplane LSH buckets) -> connected components ->
+    keep ONE representative (min id) per semantic group.
+
+    The scale shape is the composition of two already-bounded pieces:
+    the pair stage shuffles once on (table, bucket) with ``max_bucket``
+    capping degenerate buckets, and component labeling is the iterative
+    min-label propagation of ext/dedup.py (one shuffle join + one
+    min-aggregate per round, checkpointed). Returns one row per vector:
+    (id, cluster_id, cluster_size, keep)."""
+    from dvmax_spark.ext.dedup import dedup_clusters
+
+    pairs = embedding_near_dup_pairs(
+        emb,
+        threshold=threshold,
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket=max_bucket,
+    )
+    return dedup_clusters(emb, pairs, id_col=id_col, rank_col=None)
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`semantic_dedup`: the near-dup pair CTEs
+    plus recursive reachability (connected components as min reachable
+    id) and the min-id representative rule."""
+    ctes = _near_dup_ctes(threshold, dim, n_planes, n_tables)
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM nd_pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM nd_pairs
+    ),
+    reach(src, node) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, min(src) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT e.vec_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+           (e.vec_id = c.cluster_id) AS keep
+    FROM embeddings e JOIN comp c USING (vec_id)
+    ORDER BY e.vec_id
     """

@@ -185,3 +185,23 @@ def x_score_portfolio(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("weight"), "s_suppkey")
     )
+
+
+@query(
+    "x_semantic_dedup",
+    ids=("X6", "X17"),
+    sql=__import__("dvmax_spark.ext.similarity", fromlist=["semantic_dedup_sql"]).semantic_dedup_sql(
+        threshold=0.45, n_planes=4
+    ),
+)
+def x_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: LSH near-dup pairs over the
+    embedding column -> connected components -> keep the min-id
+    representative per semantic group. Fully oracled end to end (seeded
+    hyperplanes replayed in SQL + recursive-CTE reachability), so the
+    whole pipeline — bucketing, scoring, clustering, representative
+    selection — is value-exact, not rows-only."""
+    from dvmax_spark.ext.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf)
+    return semantic_dedup(emb, threshold=0.45, n_planes=4).orderBy("vec_id")

@@ -433,3 +433,33 @@ def test_unigram_logprob_orders_fluent_above_gibberish(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df).collect()}
     assert got[100] > got[101]
+
+
+def test_semantic_dedup_invariants(spark, emb):
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.ext.similarity import embedding_near_dup_pairs, semantic_dedup
+
+    res = semantic_dedup(emb, threshold=0.45, n_planes=4).cache()
+    # exactly one representative per cluster, and it is the min id
+    per = res.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.min("vec_id").alias("min_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bad = per.where((F.col("n_keep") != 1) | (F.col("min_id") != F.col("cluster_id"))).count()
+    assert bad == 0
+    # cluster_size is consistent with the actual member count
+    assert res.join(per, "cluster_id").where(F.col("cluster_size") != F.col("n")).count() == 0
+    # every near-dup pair ended up in the same cluster
+    pairs = embedding_near_dup_pairs(emb, threshold=0.45, n_planes=4)
+    lab = res.select("vec_id", "cluster_id")
+    split = (
+        pairs.join(lab.withColumnRenamed("vec_id", "id_a"), "id_a")
+        .withColumnRenamed("cluster_id", "ca")
+        .join(lab.withColumnRenamed("vec_id", "id_b"), "id_b")
+        .where(F.col("ca") != F.col("cluster_id"))
+        .count()
+    )
+    assert split == 0
+    res.unpersist()
