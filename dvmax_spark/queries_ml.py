@@ -205,3 +205,35 @@ def x_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf)
     return semantic_dedup(emb, threshold=0.45, n_planes=4).orderBy("vec_id")
+
+
+@query("a_hll_sketch_rollup", ids=("A10",), sql=None)
+def a_hll_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (ext/sketches.py) with the
+    full persistence round trip: per-(event_type, day) sketches written
+    to parquet as binary, read back, UNIONED per event_type, estimated.
+    This is the no-rescan incremental-rollup pattern — at 100 TB the
+    all-time distinct-users query touches |groups|x|days| sketch rows
+    instead of the raw events. No SQL oracle (DataSketches HLL is
+    engine-specific); the exact count rides along in the output and
+    tests/test_ext.py asserts the estimate lands within 5%."""
+    import os as _os
+
+    from dvmax_spark.ext.sketches import (
+        daily_distinct_sketches,
+        rollup_distinct_from_sketches,
+    )
+
+    ev = load_table(spark, "events", sf)
+    daily = daily_distinct_sketches(ev, "event_type", "ts", "user_id")
+    path = f"/tmp/dvmax_hll_{_os.getpid()}_{abs(hash(sf)) % 10**8}"
+    daily.write.mode("overwrite").parquet(path)
+    rolled = rollup_distinct_from_sketches(spark.read.parquet(path), "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select("event_type", "est_distinct", "exact_distinct", "n_rows")
+        .orderBy("event_type")
+    )

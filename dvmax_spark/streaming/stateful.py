@@ -212,6 +212,7 @@ def run_sessionize_stream(
     oldest-first ordering is deterministic.
     """
     run_id = uuid.uuid4().hex[:12]
+    auto_dir = base_dir is None
     base = base_dir or f"/tmp/dvmax_stateful_{os.getpid()}_{run_id}"
     in_dir = os.path.join(base, "in")
     ckpt = os.path.join(base, "ckpt")
@@ -280,4 +281,8 @@ def run_sessionize_stream(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if auto_dir:
+        # the memory sink holds the materialized rows after the query
+        # terminates — the staging/checkpoint dirs are dead weight
+        shutil.rmtree(base, ignore_errors=True)
     return spark.table(qname)

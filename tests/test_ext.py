@@ -463,3 +463,14 @@ def test_semantic_dedup_invariants(spark, emb):
     )
     assert split == 0
     res.unpersist()
+
+
+def test_hll_sketch_rollup_error_bound(spark):
+    from dvmax_spark.registry import all_queries
+
+    rows = all_queries()["a_hll_sketch_rollup"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.exact_distinct > 0
+        rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+        assert rel <= 0.05, (r.event_type, r.est_distinct, r.exact_distinct)
