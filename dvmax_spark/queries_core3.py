@@ -166,3 +166,57 @@ def s2_parquet_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_c"),
     )
+
+
+@query(
+    "s13_format_matrix",
+    ids=("S13",),
+    sql="""
+    WITH c AS (
+      SELECT count(*) AS n_rows,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(event_id AS BIGINT)) AS BIGINT) AS id_sum,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events
+    )
+    SELECT 'jsonl' AS fmt, n_rows, n_users, id_sum, min_value, max_value FROM c
+    UNION ALL
+    SELECT 'orc'   AS fmt, n_rows, n_users, id_sum, min_value, max_value FROM c
+    ORDER BY fmt
+    """,
+)
+def s13_format_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """S13: cross-format sink/scan matrix — the same events slice is
+    written to ORC (zstd) and JSON-lines, read back through each
+    format's scan, and checksummed per format. The oracle computes the
+    checksums once from the parquet source and expects them VERBATIM
+    for every format row, so a hash match proves both round trips are
+    lossless (bigint sums exact; doubles via order-independent min/max
+    — JSON doubles round-trip through shortest-repr text). Formats are
+    engine built-ins: columnar ORC keeps predicate pushdown/column
+    pruning; JSONL is the interchange path."""
+    ev = load_table(spark, "events", sf).select("event_id", "user_id", "value")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dvmax_format_matrix_{sf.strip('/').replace('/', '_')}_{os.getpid()}",
+    )
+    orc_path, json_path = base + "_orc", base + "_jsonl"
+    ev.write.mode("overwrite").option("compression", "zstd").orc(orc_path)
+    ev.write.mode("overwrite").json(json_path)
+    json_schema = "event_id bigint, user_id bigint, value double"
+
+    def checks(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("event_id").cast("bigint")).alias("id_sum"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    return (
+        checks(spark.read.json(json_path, schema=json_schema), "jsonl")
+        .unionByName(checks(spark.read.orc(orc_path), "orc"))
+        .orderBy("fmt")
+    )

@@ -103,7 +103,11 @@ PRIORITY: tuple[str, ...] = (
     "s4_pipeline_infra",
     # streaming-semantics windows
     "t_tumbling_window",
-    "t_session_window",
+    # S13 cross-format matrix took t_session_window's slot:
+    # t_session_window's T2 stays covered in-cap by t_stateful_session
+    # (which runs the native-gap semantics through the stateful op),
+    # while S13 has no other covering query.
+    "s13_format_matrix",
     # LLM-data-pipeline operators
     "x_exact_dedup",
     "x_ngram_jaccard",
