@@ -1,0 +1,104 @@
+"""Hypertable-style continuous aggregate: an incrementally-maintained
+time rollup (the TimescaleDB "continuous aggregate" / materialized
+rollup pattern, re-expressed Spark-first).
+
+The rollup table holds MERGEABLE partial aggregates per (group, day):
+count / sum / min / max. Maintaining it on new data aggregates only the
+DELTA and merges it with the stored partials — the same algebra Spark's
+partial aggregation uses map-side, lifted across batch boundaries. At
+100 TB this is the difference between touching yesterday's raw events
+(delta-sized work) and rescanning a year of history per refresh.
+Derived measures (avg = sum/n) are computed at read time, so they stay
+exact under merging. Writes go through staging + atomic rename
+(store.py S3 contract) so readers never see a half-written rollup.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MERGE_AGGS = (
+    ("n", F.sum, "n"),
+    ("sum_value", F.sum, "sum_value"),
+    ("min_value", F.min, "min_value"),
+    ("max_value", F.max, "max_value"),
+)
+
+
+def aggregate_delta(batch: DataFrame, group_col: str, ts_col: str, val_col: str) -> DataFrame:
+    """New raw rows -> partial-aggregate rows, same schema as the
+    rollup table. One map-side-combined shuffle over the DELTA only."""
+    return batch.groupBy(
+        F.col(group_col).alias("grp"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(val_col)).alias("sum_value"),
+        F.min(F.col(val_col)).alias("min_value"),
+        F.max(F.col(val_col)).alias("max_value"),
+    )
+
+
+def merge_partials(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two partial-aggregate tables keyed on (grp, day): count
+    and sum merge by +, min/max by min/max — the commutative-monoid
+    merge, shuffled on the rollup key (tiny: |groups| x |days| rows)."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("grp", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+class ContinuousRollup:
+    """Persisted incrementally-maintained rollup over a parquet path."""
+
+    def __init__(self, spark: SparkSession, path: str, group_col: str, ts_col: str, val_col: str):
+        self.spark = spark
+        self.path = path
+        self.group_col, self.ts_col, self.val_col = group_col, ts_col, val_col
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def refresh(self, batch: DataFrame) -> None:
+        """Fold a new raw batch into the stored rollup: aggregate the
+        delta, merge with stored partials, atomic-replace the table."""
+        delta = aggregate_delta(batch, self.group_col, self.ts_col, self.val_col)
+        merged = merge_partials(self.read_partials(), delta) if self.exists() else delta
+        staging = f"{self.path}__staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.replace(self.path, old)
+        os.replace(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def read_partials(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def read(self) -> DataFrame:
+        """User-facing view: derived measures computed from partials at
+        read time (exact under any merge history)."""
+        p = self.read_partials()
+        return p.select(
+            "grp",
+            "day",
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+            (F.col("sum_value") / F.col("n")).alias("avg_value"),
+        )
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -4,6 +4,8 @@ SURVEY §3 'DataFrame API call -> Catalyst' lifecycle)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -525,3 +527,53 @@ def a_corr_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "a_continuous_rollup",
+    ids=("A1", "A2", "S3"),
+    sql="""
+    SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY grp, day
+    """,
+)
+def a_continuous_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (plans/rollup.py): the
+    events table arrives as THREE time-ordered batches; each refresh
+    aggregates only the delta and merges it into the persisted rollup
+    (staging + atomic rename per refresh). The oracle computes the same
+    rollup from the full raw table in one shot — a hash match proves
+    delta-merge maintenance converges to the full recompute, i.e. the
+    incremental path can replace the year-rescan at 100 TB."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window as _W
+
+    from dvmax_spark.plans.rollup import ContinuousRollup
+
+    ev = load_table(spark, "events", sf)
+    path = os.path.join(
+        _tf.gettempdir(),
+        f"dvmax_rollup_{sf.strip('/').replace('/', '_')}_{os.getpid()}",
+    )
+    roll = ContinuousRollup(spark, path, "event_type", "ts", "value")
+    roll.drop()
+    sliced = ev.withColumn("_b", F.ntile(3).over(_W.orderBy("ts", "event_id")))
+    for b in (1, 2, 3):
+        roll.refresh(sliced.where(F.col("_b") == b).drop("_b"))
+    out = roll.read().select(
+        "grp",
+        "day",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 4).alias("avg_value"),
+    ).orderBy("grp", "day")
+    return out
