@@ -577,3 +577,37 @@ def a_continuous_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.round("avg_value", 4).alias("avg_value"),
     ).orderBy("grp", "day")
     return out
+
+
+@query(
+    "u_unpivot_melt",
+    ids=("U3",),
+    sql="""
+    WITH b AS (SELECT DISTINCT user_id % 10 AS bucket FROM events),
+         t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+         c AS (SELECT user_id % 10 AS bucket, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT b.bucket, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM b CROSS JOIN t
+    LEFT JOIN c ON c.bucket = b.bucket AND c.event_type = t.event_type
+    ORDER BY b.bucket, t.event_type
+    """,
+)
+def u_unpivot_melt(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (wide -> long, the inverse of U3's pivot): the
+    pivoted event-type count matrix is melted back to (bucket,
+    event_type, n) with `DataFrame.unpivot`, zero cells preserved. The
+    oracle reconstructs the dense long form with a bucket x type frame.
+    Proves the reshape pair round-trips losslessly."""
+    from dvmax_spark.queries_core import u3_pivot
+
+    wide = u3_pivot(spark, sf)
+    return (
+        wide.unpivot(
+            ["bucket"],
+            ["click", "error", "purchase", "signup", "view"],
+            "event_type",
+            "n",
+        )
+        .orderBy("bucket", "event_type")
+    )

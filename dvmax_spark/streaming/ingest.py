@@ -75,3 +75,51 @@ def stream_upsert_into_store(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_rollup(
+    stream_df: DataFrame,
+    rollup,
+    checkpoint_dir: str,
+    query_name: str = "rollup_ingest",
+    available_now: bool = True,
+):
+    """Maintain a :class:`~dvmax_spark.plans.rollup.ContinuousRollup`
+    from a stream: each micro-batch is delta-aggregated and
+    monoid-merged into the persisted rollup (a streaming materialized
+    view). NOTE: unlike the keyed upsert above, a partial-aggregate
+    merge is NOT idempotent under batch replay — foreachBatch can
+    replay the LAST batch after a crash, double-counting it. Exactly-
+    once here needs the batch_id recorded with the rollup (skip if
+    already applied), which is what ``_applied_batch`` does.
+    Returns the StreamingQuery (caller awaits termination)."""
+    import json
+    import os
+
+    marker = os.path.join(checkpoint_dir, "_applied_batch")
+
+    def _applied(batch_id: int) -> bool:
+        try:
+            with open(marker) as fh:
+                return json.load(fh)["batch_id"] >= batch_id
+        except (OSError, ValueError, KeyError):
+            return False
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _applied(batch_id) or batch_df.isEmpty():
+            return
+        rollup.refresh(batch_df)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, marker)
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

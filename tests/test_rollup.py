@@ -49,3 +49,29 @@ def test_refresh_leaves_no_staging_residue(spark, tmp_path):
         assert r.n == 2 * base.n
         assert abs(r.sum_value - 2 * base.sum_value) < 1e-9
         assert r.min_value == base.min_value and r.max_value == base.max_value
+
+
+def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
+    from dvmax_spark.streaming.ingest import stream_into_rollup
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value"
+    )
+    in_dir = tmp_path / "in"
+    sliced = ev.withColumn("_b", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+    for b in (1, 2, 3):
+        sliced.where(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    roll = ContinuousRollup(spark, str(tmp_path / "roll"), "event_type", "ts", "value")
+    q = stream_into_rollup(stream, roll, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    full = _norm(aggregate_delta(ev, "event_type", "ts", "value").collect())
+    assert _norm(roll.read_partials().collect()) == full
