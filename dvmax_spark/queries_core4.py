@@ -611,3 +611,68 @@ def u_unpivot_melt(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@query(
+    "a_grouping_sets",
+    ids=("A12", "A2"),
+    sql="""
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(user_id % 4 AS VARCHAR), 'ALL') AS user_band,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 4 AS VARCHAR)), ())
+    ORDER BY etype, user_band
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form of a_rollup/a_cube:
+    exactly the requested combinations, one partial-aggregated pass)
+    through the DataFrame `groupingSets` API (Spark 4). Nulls for
+    non-grouped dims coalesce to 'ALL' so both engines order alike."""
+    ev = load_table(spark, "events", sf).select(
+        "event_type", (F.col("user_id") % 4).cast("string").alias("band"), "value"
+    )
+    return (
+        ev.groupingSets(
+            [[F.col("event_type")], [F.col("band")], []], "event_type", "band"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("band"), F.lit("ALL")).alias("user_band"),
+            "n",
+            "total_value",
+        )
+        .orderBy("etype", "user_band")
+    )
+
+
+_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@query("sql_api_q18", ids=("J1", "A1", "O3", "O4"), sql=_Q18_SQL)
+def sql_api_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-customer query: IN-subquery with
+    HAVING (Catalyst rewrites it to a semi-join on the aggregated
+    lineitem), two fact joins, group + top-100. The subquery aggregate
+    is the scale pivot: it pre-shrinks lineitem to qualifying orderkeys
+    BEFORE the 3-way join — at 100 TB the semi-join probe side is tiny.
+    Identical SQL text runs on both engines."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("customer", "orders", "lineitem"))
+    return spark.sql(_Q18_SQL)

@@ -237,3 +237,26 @@ def a_hll_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", "est_distinct", "exact_distinct", "n_rows")
         .orderBy("event_type")
     )
+
+
+@query("a_approx_percentile", ids=("A5",), sql=None)
+def a_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile, Greenwald-Khanna
+    style): per-group p50/p90 estimates next to the exact percentiles.
+    At 100 TB the sketch is the only option — exact percentile needs a
+    per-group sort, the sketch merges map-side like any partial
+    aggregate. accuracy=10000 bounds rank error at 1/10000. No SQL
+    oracle (sketch internals are engine-specific); the exact values
+    ride along and tests assert the estimates' rank-error envelope."""
+    ev = load_table(spark, "events", sf)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50_approx"),
+            F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 6).alias("p90_approx"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

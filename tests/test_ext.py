@@ -474,3 +474,15 @@ def test_hll_sketch_rollup_error_bound(spark):
         assert r.exact_distinct > 0
         rel = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
         assert rel <= 0.05, (r.event_type, r.est_distinct, r.exact_distinct)
+
+
+def test_approx_percentile_rank_error(spark):
+    from dvmax_spark.registry import all_queries
+
+    rows = all_queries()["a_approx_percentile"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        # with accuracy=10000 and n ~ thousands the estimate must be an
+        # actual order statistic within a tight quantile band
+        assert abs(r.p50_approx - r.p50_exact) <= abs(r.p50_exact) * 0.02 + 0.5
+        assert abs(r.p90_approx - r.p90_exact) <= abs(r.p90_exact) * 0.02 + 0.5
