@@ -676,3 +676,39 @@ def sql_api_q18(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("customer", "orders", "lineitem"))
     return spark.sql(_Q18_SQL)
+
+
+_GAPFILL_SQL = """
+    WITH RECURSIVE cal(day) AS (
+      SELECT CAST(min(ts) AS DATE) FROM events
+      UNION ALL
+      SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM cal
+      WHERE day < (SELECT CAST(max(ts) AS DATE) FROM events)
+    ),
+    d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events WHERE user_id = 7 AND event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT cal.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           coalesce(d.sum_value, 0.0) AS sum_value
+    FROM cal LEFT JOIN d ON d.day = cal.day
+    ORDER BY cal.day
+"""
+
+
+@query("f_recursive_gapfill", ids=("F2", "A1"), sql=_GAPFILL_SQL)
+def f_recursive_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the full
+    calendar spine between the table's min/max dates, then gap-fill a
+    sparse per-day series (one user's purchases) with explicit zeros —
+    the time-series densification every downstream window/SMA needs.
+    The IDENTICAL SQL text runs on both engines. The recursion depth is
+    |days| (driver-side loop of tiny one-row steps); the joins/aggs
+    stay distributed — the right shape for a spine of thousands of days
+    against 100 TB of facts."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("events",))
+    return spark.sql(_GAPFILL_SQL)

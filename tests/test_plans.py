@@ -266,3 +266,52 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_rollup_delta_aggregate_is_partial_single_shuffle(spark):
+    """Continuous-rollup maintenance: the delta aggregate must be
+    map-side combined (partial -> final HashAggregate pair) around ONE
+    exchange, and the partial merge adds exactly one more shuffle on
+    the tiny (grp, day) key — never a resort of the raw batch."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.plans.rollup import aggregate_delta, merge_partials
+
+    ev = load_table(spark, "events", SF_DIR_SMOKE)
+    delta = aggregate_delta(ev, "event_type", "ts", "value")
+    p = _simple_plan(delta)
+    assert p.count("Exchange") == 1, p
+    assert "partial_sum" in p and "SortAggregate" not in p
+    merged = merge_partials(delta, delta)
+    mp = _simple_plan(merged)
+    assert mp.count("Exchange") <= 3, mp  # 2 inputs + 1 merge key
+    assert "SortAggregate" not in mp
+
+
+def test_semantic_dedup_pair_stage_is_bucket_join(spark):
+    """SemDeDup pair generation must join on (tbl, bucket) — never a
+    cartesian/broadcast-nested-loop over the corpus."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, "embeddings", SF_DIR_SMOKE)
+    p = _plan(embedding_near_dup_pairs(emb, threshold=0.45, n_planes=4))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_orc_scan_is_column_pruned(spark, tmp_path):
+    """S13: the ORC leg must keep columnar pruning — a 2-column read
+    over a 3-column file."""
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.catalog import load_table
+
+    ev = load_table(spark, "events", SF_DIR_SMOKE).select("event_id", "user_id", "value")
+    path = str(tmp_path / "orc")
+    ev.write.mode("overwrite").orc(path)
+    two = spark.read.orc(path).select("event_id", "user_id")
+    p = _plan(two)
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]+)", p)
+    assert m and "value" not in m.group(1), p
