@@ -486,3 +486,33 @@ def test_approx_percentile_rank_error(spark):
         # actual order statistic within a tight quantile band
         assert abs(r.p50_approx - r.p50_exact) <= abs(r.p50_exact) * 0.02 + 0.5
         assert abs(r.p90_approx - r.p90_exact) <= abs(r.p90_exact) * 0.02 + 0.5
+
+
+def test_semantic_dedup_collapses_planted_duplicates(spark):
+    """Planted-duplicate property: N groups of identical vectors must
+    collapse to exactly one kept representative each (identical vectors
+    share every LSH bucket, cosine 1.0), and distinct random vectors
+    must survive."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.ext.similarity import semantic_dedup
+
+    rng = _r.Random(7)
+    rows = []
+    vid = 0
+    for g in range(10):  # 10 dup groups x 4 copies
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(4):
+            rows.append((vid, [float(x) for x in base])); vid += 1
+    for _ in range(40):  # 40 singletons
+        rows.append((vid, [float(rng.gauss(0, 1)) for _ in range(16)])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = semantic_dedup(emb, threshold=0.999, dim=16, n_planes=6).cache()
+    kept = res.where("keep").count()
+    assert kept == 10 + 40, kept
+    # every 4-copy group is one cluster of size >= 4
+    g4 = res.where(F.col("vec_id") < 40).groupBy("cluster_id").count().collect()
+    assert len(g4) == 10 and all(r["count"] == 4 for r in g4), g4
+    res.unpersist()
