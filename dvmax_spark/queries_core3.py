@@ -220,3 +220,50 @@ def s13_format_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(checks(spark.read.orc(orc_path), "orc"))
         .orderBy("fmt")
     )
+
+
+@query(
+    "s5_python_datasource",
+    ids=("S5",),
+    sql="""
+    WITH gs AS (SELECT unnest(generate_series(0, 799)) AS item_id),
+    src AS (
+      SELECT item_id,
+             ['AAA','BBB','CCC','DDD','EEE'][CAST(item_id % 5 AS INT) + 1] AS symbol,
+             CAST((item_id * 37 + 11) % 100000 AS DOUBLE) / 100 AS px
+      FROM gs
+    )
+    SELECT symbol, count(*) AS n,
+           CAST(sum(CAST(round(px * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           min(px) AS min_px, max(px) AS max_px
+    FROM src GROUP BY symbol ORDER BY symbol
+    """,
+)
+def s5_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Python Data Source API connector (Spark 4, sources/pyds.py): the
+    paged REST-style source as a REAL `spark.read.format(...)` — one
+    input partition per page read by executors in parallel (ingest
+    scales with the cluster, not the driver), with connector-level
+    filter pushdown pruning page partitions at planning time. The page
+    payload is deterministic integer arithmetic, so the oracle
+    regenerates the entire feed in SQL and the aggregate checksums are
+    cents-exact."""
+    from dvmax_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("dvmax_paged_rest")
+        .option("pages", 8)
+        .option("page_size", 100)
+        .load()
+    )
+    return (
+        df.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("px") * 100).cast("bigint")).alias("total_cents"),
+            F.min("px").alias("min_px"),
+            F.max("px").alias("max_px"),
+        )
+        .orderBy("symbol")
+    )

@@ -1,0 +1,78 @@
+"""Python Data Source API connector (Spark 4): a paginated REST-style
+market-data source as a FIRST-CLASS `spark.read.format(...)` connector
+rather than a driver-side fetch (the Spark-native answer to the
+reference's paged HTTP ingestion, `src/dataprep/fetcher/*` — same
+page/params surface, but each page becomes an input partition that
+executors read in parallel, so ingest scales with the cluster instead
+of serializing through the driver).
+
+The transport is injectable like sources/rest.py: by default pages are
+synthesized deterministically (seeded arithmetic — CI/oracle mode); a
+real deployment points ``endpoint`` at an HTTP pager. Filter pushdown:
+an equality filter on ``page`` prunes input partitions at planning
+time (pushFilters), the connector-level analog of partition pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+
+SYMBOLS = ("AAA", "BBB", "CCC", "DDD", "EEE")
+
+
+def synth_page(page: int, page_size: int) -> Iterator[tuple]:
+    """Deterministic page payload — pure integer arithmetic so a SQL
+    oracle can regenerate it exactly (no floats until the final
+    division by 100, which is exact for 2-decimal cents)."""
+    for i in range(page_size):
+        item_id = page * page_size + i
+        symbol = SYMBOLS[item_id % len(SYMBOLS)]
+        px_cents = (item_id * 37 + 11) % 100_000
+        yield (page, item_id, symbol, px_cents / 100.0)
+
+
+class PagedRestReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_pages = int(options.get("pages", 4))
+        self.page_size = int(options.get("page_size", 100))
+        self.page_filter: int | None = None
+
+    def pushFilters(self, filters: Sequence):  # noqa: N802 (API name)
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("page",):
+                self.page_filter = int(f.value)
+            else:
+                yield f  # not handled -> Spark re-applies it
+
+    def partitions(self):
+        pages = range(self.n_pages)
+        if self.page_filter is not None:
+            pages = [p for p in pages if p == self.page_filter]
+        return [InputPartition(p) for p in pages]
+
+    def read(self, partition: InputPartition):
+        yield from synth_page(partition.value, self.page_size)
+
+
+class PagedRestDataSource(DataSource):
+    """``spark.read.format("dvmax_paged_rest")`` — one input partition
+    per page; executors fetch pages concurrently."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dvmax_paged_rest"
+
+    def schema(self) -> str:
+        return "page int, item_id bigint, symbol string, px double"
+
+    def reader(self, schema) -> DataSourceReader:
+        return PagedRestReader(self.options)
+
+
+def register(spark) -> None:
+    # connector-level filter pushdown is opt-in for Python sources;
+    # runtime conf, set here so vanilla (driver) sessions work too
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedRestDataSource)

@@ -186,3 +186,24 @@ class TestFileSources:
         rows = {r["year"]: r for r in wide.collect()}
         assert rows[2020]["GDP"] == 100.0 and rows[2020]["CPI"] == 2.0
         assert rows[2021]["CPI"] is None
+
+
+def test_python_datasource_partitions_and_pushdown(spark):
+    """sources/pyds.py: one input partition per page (parallel ingest),
+    and an equality filter on page prunes partitions at PLANNING time
+    (connector pushdown), not post-scan."""
+    from dvmax_spark.sources.pyds import register, synth_page
+
+    register(spark)
+    rd = lambda: (
+        spark.read.format("dvmax_paged_rest").option("pages", 6).option("page_size", 10).load()
+    )
+    full = rd()
+    assert full.rdd.getNumPartitions() == 6
+    assert full.count() == 60
+    pruned = rd().where("page = 2")
+    assert pruned.rdd.getNumPartitions() == 1
+    assert pruned.count() == 10
+    # deterministic payload: the DataFrame rows equal the pure function
+    got = sorted(tuple(r) for r in rd().where("page = 0").collect())
+    assert got == sorted(synth_page(0, 10))
