@@ -17,7 +17,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SYMBOLS = ("AAA", "BBB", "CCC", "DDD", "EEE")
 
@@ -70,9 +76,38 @@ class PagedRestDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return PagedRestReader(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        return PagedRestStreamReader(self.options)
+
 
 def register(spark) -> None:
     # connector-level filter pushdown is opt-in for Python sources;
     # runtime conf, set here so vanilla (driver) sessions work too
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedRestDataSource)
+
+
+class PagedRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: the pager as a Structured Streaming SOURCE —
+    offset = next page to fetch, one page per micro-batch. Offsets make
+    the feed REPLAYABLE: after a crash Spark re-asks for
+    [start, end) via readBetweenOffsets and gets identical rows
+    (deterministic pages), which is what upgrades checkpoint recovery
+    to exactly-once ingestion."""
+
+    def __init__(self, options):
+        self.n_pages = int(options.get("pages", 4))
+        self.page_size = int(options.get("page_size", 100))
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def read(self, start):
+        p = int(start["page"])
+        if p >= self.n_pages:
+            return iter([]), start  # drained: offset unchanged
+        return iter(list(synth_page(p, self.page_size))), {"page": p + 1}
+
+    def readBetweenOffsets(self, start, end):
+        for p in range(int(start["page"]), int(end["page"])):
+            yield from synth_page(p, self.page_size)

@@ -207,3 +207,38 @@ def test_python_datasource_partitions_and_pushdown(spark):
     # deterministic payload: the DataFrame rows equal the pure function
     got = sorted(tuple(r) for r in rd().where("page = 0").collect())
     assert got == sorted(synth_page(0, 10))
+
+
+def test_python_datasource_streaming_drains_pages(spark, tmp_path):
+    """Streaming flavor of the paged connector: offsets advance one
+    page per micro-batch until the feed is drained; the sink ends up
+    with exactly the deterministic payload of every page."""
+    import time
+    import uuid
+
+    from dvmax_spark.sources.pyds import register, synth_page
+
+    register(spark)
+    qn = f"pyds_stream_{uuid.uuid4().hex[:6]}"
+    stream = (
+        spark.readStream.format("dvmax_paged_rest")
+        .option("pages", 5)
+        .option("page_size", 20)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table(qn).count() < 100 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table(qn).collect())
+    expected = sorted(t for p in range(5) for t in synth_page(p, 20))
+    assert got == expected
