@@ -281,3 +281,30 @@ def test_asof_join_matches_reference_model(spark):
                     ).collect()
                 }
                 assert got == model(strategy, tol), (strategy, tol)
+
+
+def test_observation_metrics_single_pass(spark):
+    """A12 run counters via the Observation API: accumulator-style
+    metrics (rows seen, nulls, value sum) collected DURING the one
+    action instead of a second aggregation pass — at 100 TB the
+    difference between one scan and two."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    n_out = observed.where(F.col("value") > 0).count()  # the real action
+    m = obs.get
+    assert m["n_rows"] == ev.count()
+    assert m["n_null_value"] == 0
+    assert n_out <= m["n_rows"]
+    exp = round(ev.agg(F.sum("value")).first()[0], 2)
+    assert abs(m["sum_value"] - exp) < 0.02
