@@ -140,17 +140,34 @@ def cosine_topk_lsh(
         emb.select(F.col(id_col), as_double(vec_col).alias("v")), dim, n_planes, n_tables
     )
     vecs = cap_buckets(vecs, ["tbl", "bucket"], max_bucket)
+    # norms staged per ROW below the join (bit-identical values, but
+    # one dot fold per pair instead of three — the same optimization
+    # cosine_topk_bruteforce carries)
     q = vecs.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("q_v"), "tbl", "bucket"
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("q_v"),
+        norm(F.col("v")).alias("q_n"),
+        "tbl",
+        "bucket",
     )
-    c = vecs.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_v"), "tbl", "bucket")
+    c = vecs.select(
+        F.col(id_col).alias("c_id"),
+        F.col("v").alias("c_v"),
+        norm(F.col("v")).alias("c_n"),
+        "tbl",
+        "bucket",
+    )
     pairs = (
         q.join(c, ["tbl", "bucket"])
         .where(F.col("q_id") != F.col("c_id"))
         .dropDuplicates(["q_id", "c_id"])
     )
     scored = pairs.select(
-        "q_id", "c_id", F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("cos")
+        "q_id",
+        "c_id",
+        F.round(
+            dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
@@ -246,8 +263,21 @@ def embedding_near_dup_pairs(
         emb.select(F.col(id_col), as_double(vec_col).alias("v")), dim, n_planes, n_tables
     )
     vecs = cap_buckets(vecs, ["tbl", "bucket"], max_bucket)
-    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), "tbl", "bucket")
-    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), "tbl", "bucket")
+    # per-row norms staged below the self-join (see cosine_topk_lsh)
+    a = vecs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("v_a"),
+        norm(F.col("v")).alias("n_a"),
+        "tbl",
+        "bucket",
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("v_b"),
+        norm(F.col("v")).alias("n_b"),
+        "tbl",
+        "bucket",
+    )
     pairs = (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -255,7 +285,11 @@ def embedding_near_dup_pairs(
     )
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine")
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
