@@ -100,41 +100,62 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
     gap_us = int(gap_seconds) * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
+        # VECTORIZED per (key, micro-batch): break detection is one
+        # numpy comparison over the sorted batch, sessions aggregate
+        # via a groupby — no per-event Python. At 100 TB the Python
+        # work per task is O(sessions), not O(events).
+        import numpy as np
+
         (user_id,) = key
-        if state.exists:
-            start, last, n, tot = state.get
-        else:
-            start = None
-            last = n = 0
-            tot = 0.0
+        chunks = [p for p in pdf_iter if not p.empty]
+        carried = state.get if state.exists else None
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["ts", "event_id"])
+        ts = _ts_to_us(pdf["ts"])
+        vals = pdf["value"].fillna(0.0).to_numpy()
+        fl = (pdf["event_type"] == FLUSH).to_numpy()
+        m = len(ts)
+
+        brk = np.empty(m, dtype=bool)
+        brk[1:] = (ts[1:] >= ts[:-1] + gap_us) | fl[:-1]
+        brk[0] = carried is None or ts[0] >= carried[1] + gap_us
+        sid = np.cumsum(brk)  # 0 == continuation of the carried session
+
+        real = ~fl
+        g = (
+            pd.DataFrame({"sid": sid[real], "t": ts[real], "v": vals[real]})
+            .groupby("sid", sort=True)
+            .agg(start=("t", "first"), end=("t", "last"), n=("t", "size"), tot=("v", "sum"))
+        )
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ts_us = _ts_to_us(pdf["ts"])
-            vals = pdf["value"].fillna(0.0).to_numpy()
-            kinds = pdf["event_type"].to_numpy()
-            for t_us, v, k in zip(ts_us, vals, kinds):
-                if k == FLUSH:
-                    if start is not None:
-                        closed.append((user_id, start, last, n, tot))
-                        start = None
-                    continue
-                if start is None:
-                    start, last, n, tot = t_us, t_us, 1, float(v)
-                elif t_us >= last + gap_us:
-                    closed.append((user_id, start, last, n, tot))
-                    start, last, n, tot = t_us, t_us, 1, float(v)
-                else:
-                    last = int(t_us)
-                    n += 1
-                    tot += float(v)
-        if start is None:
+        if carried is not None:
+            c_start, c_last, c_n, c_tot = carried
+            if 0 in g.index:
+                g.loc[0, ["start", "n", "tot"]] = (
+                    c_start,
+                    g.loc[0, "n"] + c_n,
+                    g.loc[0, "tot"] + c_tot,
+                )
+            else:  # flush (or gap) closed the carried session with no new rows
+                closed.append((user_id, c_start, c_last, c_n, c_tot))
+        open_sid = int(sid[-1]) if real[-1] else None
+
+        new_state = None
+        for s, row in g.iterrows():
+            rec = (user_id, int(row["start"]), int(row["end"]), int(row["n"]), float(row["tot"]))
+            if s == open_sid:
+                new_state = rec[1:]
+            else:
+                closed.append(rec)
+
+        if new_state is None:
             if state.exists:
                 state.remove()
         else:
-            state.update((int(start), int(last), int(n), float(tot)))
+            state.update(tuple(new_state))
         if closed:
             out = pd.DataFrame(
                 closed,

@@ -131,3 +131,19 @@ def test_streaming_matches_reference_on_real_events(spark):
     )
     got = _got_sessions(run_sessionize_stream(spark, ev, gap_seconds=4 * 3600, n_files=3))
     assert got == _expected_sessions(spark, ev, 4 * 3600)
+
+
+def test_mid_stream_flush_splits_session(spark):
+    # a flush BETWEEN events (within the gap) must close the running
+    # session and start a fresh one after — the barrier semantics the
+    # vectorized break detection has to honor exactly.
+    ev = _events(spark, [(1, 0, 5, 1.0), (2, 4, 5, 2.0), (4, 8, 5, 4.0)])
+    flush_row = spark.createDataFrame(
+        [(3, T0 + dt.timedelta(minutes=6), 5, FLUSH, 0.0)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    res = sessionize_stateful(ev.unionByName(flush_row), gap_seconds=1800)
+    got = _got_sessions(res)
+    # session 1 closed by the flush at minute 6; the minute-8 event
+    # starts a new session that stays OPEN (dropped at batch end)
+    assert got == {(5, T0, T0 + dt.timedelta(minutes=4), 2, 3.0)}
