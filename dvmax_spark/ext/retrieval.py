@@ -1,0 +1,263 @@
+"""[EXT] Corpus retrieval / indexing operators: vocabulary building,
+BM25 ranking, and cross-document duplicated-span statistics — the IR
+layer a pre-training corpus pipeline needs next to dedup (vocabulary
+for tokenizer training, BM25 for quality-by-query mining, span stats
+for RefinedWeb-style repeated-passage removal).
+
+All deterministic, all oracle-able: tokenization is the same
+space-split convention as ext/textstats.py, gram construction mirrors
+ext/dedup.py:shingles (SQL twins generated next to the Spark code).
+
+Scale shapes (100 TB contract):
+  * vocabulary  — explode → partial hash-agg (map-side combine
+    collapses each partition to |vocab| rows) → single top-k sort on
+    an aggregate that is at most |vocab| rows, not |tokens|.
+  * BM25        — the per-(doc, term) tf aggregation filters to the
+    query's terms BEFORE the shuffle (predicate on the exploded token
+    stream), so shuffle volume is O(matching tokens), not O(corpus);
+    document frequencies and avgdl are tiny aggregates broadcast back.
+  * dup spans   — inverted-index shape shared with exact Jaccard
+    (ext/dedup.py): one shuffle of gram occurrences, gram-level doc
+    counts joined back. At 100 TB add a document-frequency cap on hot
+    grams exactly as exact_jaccard does — boilerplate grams are noise.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "shingle_seq",
+    "vocabulary",
+    "vocabulary_sql",
+    "bm25_rank",
+    "bm25_rank_sql",
+    "dup_span_stats",
+    "dup_span_stats_sql",
+]
+
+
+def shingle_seq(text: Column | str, n: int) -> Column:
+    """Ordered, NON-distinct word n-gram sequence (one gram per token
+    position). Same zip-of-slices construction as ext.dedup.shingles,
+    but keeping every occurrence: span statistics count positions, not
+    set membership. Docs with fewer than ``n`` tokens yield []."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    cnt = F.size(toks) - n + 1
+    grams = F.slice(toks, 1, cnt)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + k, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------- vocabulary
+
+def vocabulary(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-``k`` tokens by occurrence count
+    (tokenizer-training prerequisite). Deterministic tie-break on the
+    token string. Plan: explode → partial hash-agg → one final sort of
+    ≤|vocab| aggregated rows."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def vocabulary_sql(table: str = "documents", text_col: str = "text", k: int = 100) -> str:
+    return f"""
+    SELECT tok AS token, count(*) AS n_occ
+    FROM (SELECT unnest(str_split({text_col}, ' ')) AS tok FROM {table})
+    GROUP BY tok
+    ORDER BY n_occ DESC, token ASC
+    LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------- BM25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of documents against a fixed bag-of-words query
+    (Robertson/Sparck-Jones; the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)) so idf stays positive).
+
+    Plan shape: the exploded token stream is filtered to the query's
+    terms BEFORE any aggregation (shuffle is O(matching tokens));
+    document frequencies (|terms| rows) and the avgdl scalar are tiny
+    aggregates joined back via broadcast. Ranking sorts on the
+    pre-ROUNDED score (cross-engine float policy) with id tie-break.
+    """
+    toks = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    hits = toks.where(F.col("token").isin(*terms))
+    tf = hits.groupBy(id_col, "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"), F.avg(
+        F.size(F.split(F.col(text_col), " "))).alias("avgdl"))
+    dfreq = (
+        hits.select(id_col, "token").distinct()
+        .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * norm), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def bm25_rank_sql(
+    terms: tuple[str, ...],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, len(str_split({text_col}, ' ')) AS dl,
+             unnest(str_split({text_col}, ' ')) AS token
+      FROM {table}
+    ),
+    hits AS (SELECT * FROM toks WHERE token IN ({term_list})),
+    tf AS (
+      SELECT {id_col}, dl, token, count(*) AS tf
+      FROM hits GROUP BY {id_col}, dl, token
+    ),
+    corpus AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             avg(len(str_split({text_col}, ' ')))::DOUBLE AS avgdl
+      FROM {table}
+    ),
+    dfreq AS (
+      SELECT token, count(DISTINCT {id_col})::DOUBLE AS df
+      FROM hits GROUP BY token
+    )
+    SELECT {id_col},
+           round(sum(
+             ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / c.avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN dfreq d USING (token) CROSS JOIN corpus c
+    GROUP BY {id_col}
+    ORDER BY bm25 DESC, {id_col} ASC
+    LIMIT {k}
+    """
+
+
+# ------------------------------------------------------- duplicated spans
+
+def dup_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-span fraction: the share of
+    a doc's word ``n``-gram POSITIONS whose gram also occurs in at
+    least one OTHER document (RefinedWeb/C4-style repeated-passage
+    signal — docs that are mostly spans seen elsewhere are boilerplate
+    or near-dup fragments).
+
+    Inverted-index shape (one shuffle of gram occurrences, gram-level
+    distinct-doc counts joined back); docs shorter than ``n`` tokens
+    report 0 spans / fraction 0.0.
+    """
+    grams = df.select(F.col(id_col), shingle_seq(text_col, n).alias("gs"))
+    occ = grams.select(id_col, F.explode("gs").alias("g"))
+    gdocs = (
+        occ.distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    dup = (
+        occ.join(gdocs, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    base = grams.select(id_col, F.size("gs").alias("n_spans"))
+    return (
+        base.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            F.round(
+                F.when(
+                    F.col("n_spans") > 0,
+                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def dup_span_stats_sql(
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, str_split({text_col}, ' ') AS tk FROM {table}
+    ),
+    occ AS (
+      SELECT {id_col}, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+      FROM t, unnest(range(1, len(tk) - {n} + 2)) u(i)
+    ),
+    gdocs AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT {id_col}) >= 2
+    ),
+    dup AS (
+      SELECT {id_col}, count(*) AS n_dup
+      FROM occ SEMI JOIN gdocs USING (g)
+      GROUP BY {id_col}
+    ),
+    base AS (
+      SELECT {id_col}, greatest(len(tk) - {n} + 1, 0) AS n_spans FROM t
+    )
+    SELECT b.{id_col}, b.n_spans,
+           coalesce(d.n_dup, 0) AS n_dup,
+           round(CASE WHEN b.n_spans > 0
+                 THEN coalesce(d.n_dup, 0)::DOUBLE / b.n_spans
+                 ELSE 0.0 END, 4) AS dup_frac
+    FROM base b LEFT JOIN dup d USING ({id_col})
+    ORDER BY b.{id_col}
+    """

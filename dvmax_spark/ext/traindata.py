@@ -174,6 +174,32 @@ def stratified_sample(
     )
 
 
+def group_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pct_train: int = 80,
+    pct_val: int = 10,
+) -> DataFrame:
+    """Leakage-safe split: near-duplicate documents must land in the
+    SAME split, or eval leaks training data (the well-known dedup-
+    before-split rule). Composition of two existing bounded pieces:
+    connected components over near-dup pairs (ext.dedup.dedup_clusters)
+    → portable hash of the CLUSTER id, so every member of a component
+    draws the same split. Adds no new scale surface beyond clustering
+    itself; the split is map-side arithmetic on the component label."""
+    from dvmax_spark.ext.dedup import dedup_clusters
+
+    comp = dedup_clusters(df, pairs, id_col=id_col).select(id_col, "cluster_id")
+    b = hash_bucket(F.col("cluster_id").cast("string"), 100)
+    split = (
+        F.when(b < pct_train, F.lit("train"))
+        .when(b < pct_train + pct_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return comp.select(id_col, "cluster_id", split.alias("split"))
+
+
 # ---------------------------------------------------------------- oracles
 
 
@@ -506,4 +532,35 @@ def stratified_sample_sql(pct: int = 20) -> str:
     SELECT lang, count(*) AS n_total,
            CAST(sum(CASE WHEN {b} < {pct} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
+def group_split_sql(pct_train: int = 80, pct_val: int = 10) -> str:
+    """DuckDB twin of :func:`group_split` over MinHash-LSH components
+    (same CTE chain as dedup_clusters_sql, same portable bucket)."""
+    from dvmax_spark.ext.dedup import _minhash_lsh_ctes
+
+    ctes = _minhash_lsh_ctes(32, 16, 2, 0.1, "documents")
+    b = _duck_bucket("c.cluster_id::VARCHAR", 100)
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM lsh_pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM lsh_pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, c.cluster_id,
+           CASE WHEN {b} < {pct_train} THEN 'train'
+                WHEN {b} < {pct_train + pct_val} THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp c
+    ORDER BY c.doc_id
     """

@@ -712,3 +712,64 @@ def f_recursive_gapfill(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("events",))
     return spark.sql(_GAPFILL_SQL)
+
+
+_SCD2_SQL = """
+    WITH runs AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                  THEN 1 ELSE 0 END AS chg,
+             min(o_orderkey) OVER (PARTITION BY o_custkey) AS first_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    versions AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      FROM runs WHERE chg = 1 OR o_orderkey = first_key
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(lead(o_orderdate) OVER v AS DATE) AS valid_to
+      FROM versions
+      WINDOW v AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT custkey, status, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM hist
+    ORDER BY custkey, valid_from, status
+"""
+
+
+@query("j_scd2_history", ids=("J5", "W1", "A9"), sql=_SCD2_SQL)
+def j_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: collapse a change-event stream
+    (per-customer order-status updates) into versioned validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    warehouse-dimension history the reference's keep-last upsert
+    (ref store.py upsert) truncates away. Two windows over ONE
+    partitioning (custkey): change detection via lag, interval close
+    via lead — a single shuffle; at 100 TB the same plan partitions by
+    the dimension key and streams each key group once."""
+    o = load_table(spark, "orders", sf)
+    wkey = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = o.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+        (~F.lag("o_orderstatus").over(wkey).eqNullSafe(F.col("o_orderstatus")))
+        .cast("int").alias("chg"),
+        F.min("o_orderkey").over(Window.partitionBy("o_custkey")).alias("first_key"),
+    )
+    versions = runs.where(
+        (F.col("chg") == 1) | (F.col("o_orderkey") == F.col("first_key"))
+    )
+    v = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = versions.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lead("o_orderdate").over(v).cast("date").alias("valid_to"),
+    )
+    return hist.select(
+        "custkey", "status", "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("custkey", "valid_from", "status")

@@ -1,0 +1,52 @@
+"""[EXT] Retrieval / corpus-indexing queries: vocabulary building,
+BM25 ranking, duplicated-span statistics. The IR layer next to the
+dedup stack (ref has no counterpart — these are the pre-training
+pipeline extensions the brief names as first-class).
+
+Past the external driver's 50-query cap; parity evidence is
+tests/test_oracle_parity.py + tools/driver_sim.py --all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dvmax_spark.catalog import load_table
+from dvmax_spark.ext.retrieval import (
+    bm25_rank,
+    bm25_rank_sql,
+    dup_span_stats,
+    dup_span_stats_sql,
+    vocabulary,
+    vocabulary_sql,
+)
+from dvmax_spark.registry import query
+
+# A fixed bag-of-words query against the synthetic corpus vocabulary.
+_BM25_TERMS = ("table", "spark", "join", "customer")
+
+
+@query("x_vocab_topk", ids=("X7",), sql=vocabulary_sql(k=100))
+def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by occurrence (tokenizer-
+    training prerequisite). Explode → partial hash-agg → final sort of
+    ≤|vocab| aggregated rows — never a sort of the token stream."""
+    return vocabulary(load_table(spark, "documents", sf), k=100)
+
+
+@query("x_bm25_rank", ids=("X7", "X8"), sql=bm25_rank_sql(_BM25_TERMS, k=20))
+def x_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 docs for a fixed bag-of-words query (quality-by-
+    query mining over the corpus). Token stream filtered to the query
+    terms BEFORE any shuffle; df/avgdl broadcast back; ranking on the
+    pre-rounded score with doc-id tie-break."""
+    return bm25_rank(load_table(spark, "documents", sf), _BM25_TERMS, k=20)
+
+
+@query("x_dup_span_stats", ids=("X10", "X15"), sql=dup_span_stats_sql(n=8))
+def x_dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated 8-gram-span fraction per doc
+    (RefinedWeb-style repeated-passage signal). Inverted-index shape
+    shared with exact Jaccard: one gram-occurrence shuffle, gram-level
+    distinct-doc counts semi-joined back."""
+    return dup_span_stats(load_table(spark, "documents", sf), n=8)

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from dvmax_spark.catalog import load_table
 from dvmax_spark.ext.traindata import (
     contaminated_ids,
+    group_split,
+    group_split_sql,
     decontaminate_sql,
     hash_bucket,
     mixture_rebalance,
@@ -133,3 +135,23 @@ def x_hash_bucket_balance(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+@query("x_group_split", ids=("X19", "X17"), sql=group_split_sql())
+def x_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup CLUSTERS (MinHash
+    LSH → connected components) drawn as units, so no document can sit
+    in train while its near-duplicate sits in eval. Split assignment is
+    a portable hash of the component label — map-side arithmetic on top
+    of the existing clustering pipeline."""
+    docs = load_table(spark, "documents", sf)
+    from dvmax_spark.ext.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
+        num_hashes=32,
+        bands=16,
+        shingle_n=2,
+        threshold=0.1,
+    )
+    return group_split(docs, pairs).orderBy("doc_id")

@@ -184,6 +184,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import dvmax_spark.queries_ext  # noqa: F401
     import dvmax_spark.queries_infra  # noqa: F401
     import dvmax_spark.queries_ml  # noqa: F401
+    import dvmax_spark.queries_retrieval  # noqa: F401
     import dvmax_spark.queries_traindata  # noqa: F401
 
     ordered = {name: REGISTRY[name] for name in PRIORITY if name in REGISTRY}

@@ -1,0 +1,141 @@
+"""Semantic + plan-shape tests for the retrieval/IR additions
+(vocabulary, BM25, duplicated spans), the leakage-safe group split,
+and SCD Type-2 history. Exact-value parity vs DuckDB is covered by
+the parametrized sweep in test_oracle_parity.py; these pin the
+operator SEMANTICS and the 100 TB plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dvmax_spark.ext.retrieval import bm25_rank, dup_span_stats, vocabulary
+from tests.conftest import SF_DIR_CORRECT
+from tests.test_plans import _plan, _q
+
+
+def _docs(spark):
+    from dvmax_spark.catalog import load_table
+
+    return load_table(spark, "documents", SF_DIR_CORRECT)
+
+
+# ------------------------------------------------------------- vocabulary
+
+
+def test_vocabulary_counts_partition_the_token_stream(spark):
+    """Top-|vocab| vocabulary counts must sum to the corpus token count
+    (the synthetic vocab is ~31 tokens, well under k=100)."""
+    docs = _docs(spark)
+    vocab = vocabulary(docs, k=100).toPandas()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n")
+    ).collect()[0]["n"]
+    assert vocab["n_occ"].sum() == total_tokens
+    # ordering contract: non-increasing counts, token tie-break
+    assert list(vocab["n_occ"]) == sorted(vocab["n_occ"], reverse=True)
+
+
+def test_vocabulary_is_partial_agg(spark):
+    """The vocab groupBy must map-side combine — the shuffle carries
+    ≤|vocab| rows per partition, not the token stream."""
+    assert "partial_" in _plan(vocabulary(_docs(spark), k=100))
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def test_bm25_scores_positive_and_bounded_topk(spark):
+    terms = ("table", "spark", "join", "customer")
+    top = bm25_rank(_docs(spark), terms, k=20).toPandas()
+    assert len(top) == 20
+    assert (top["bm25"] > 0).all()
+    assert list(top["bm25"]) == sorted(top["bm25"], reverse=True)
+
+
+def test_bm25_monotone_in_term_coverage(spark):
+    """A doc matching ZERO query terms must never outscore one that
+    matches: absent docs (score undefined) stay absent from the
+    ranking, and every ranked doc contains ≥1 query term."""
+    terms = ("table", "spark")
+    docs = _docs(spark)
+    ranked = bm25_rank(docs, terms, k=500).toPandas()
+    has_term = (
+        docs.select(
+            "doc_id",
+            F.arrays_overlap(
+                F.split(F.col("text"), " "), F.array(*[F.lit(t) for t in terms])
+            ).alias("hit"),
+        )
+        .toPandas()
+        .set_index("doc_id")["hit"]
+    )
+    assert all(has_term[d] for d in ranked["doc_id"])
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """df/avgdl joins must broadcast (tiny aggregates), never shuffle
+    the tf table on the term key."""
+    plan = _plan(bm25_rank(_docs(spark), ("table", "spark"), k=20))
+    assert "BroadcastExchange" in plan
+
+
+# ------------------------------------------------------------- dup spans
+
+
+def test_dup_span_stats_flags_planted_duplicates(spark):
+    """Two synthetic docs sharing an 8-token span must both report
+    duplicated spans; a unique-vocab doc must report zero."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "z y a b c d e f g h x"),
+        (3, "q w e r t u i o p s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_span_stats(df, n=8).toPandas().set_index("doc_id")
+    # doc1: spans abc..h, bcd..i, cde..j -> first shared with doc2
+    assert out.loc[1, "n_dup"] == 1 and out.loc[2, "n_dup"] == 1
+    assert out.loc[3, "n_dup"] == 0 and out.loc[3, "dup_frac"] == 0.0
+    assert out.loc[1, "n_spans"] == 3 and out.loc[2, "n_spans"] == 4
+
+
+def test_dup_span_short_docs_report_zero_spans(spark):
+    df = spark.createDataFrame([(1, "only three tokens")], "doc_id long, text string")
+    out = dup_span_stats(df, n=8).toPandas()
+    assert out.loc[0, "n_spans"] == 0 and out.loc[0, "dup_frac"] == 0.0
+
+
+# ------------------------------------------------------------ group split
+
+
+def test_group_split_keeps_clusters_together(spark):
+    """Leakage-safety invariant: every near-dup cluster draws exactly
+    ONE split — no component straddles train/eval."""
+    out = _q_sf001(spark, "x_group_split").toPandas()
+    per_cluster = out.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # split must actually partition the corpus
+    assert len(out) == out["doc_id"].nunique()
+
+
+def _q_sf001(spark, name):
+    from dvmax_spark.registry import all_queries
+
+    return all_queries()[name].fn(spark, SF_DIR_CORRECT)
+
+
+# ------------------------------------------------------------------- SCD2
+
+
+def test_scd2_intervals_are_disjoint_and_exhaustive(spark):
+    hist = _q_sf001(spark, "j_scd2_history").toPandas()
+    for _, g in hist.groupby("custkey"):
+        # exactly one open (current) version per key, closing the chain
+        assert g["is_current"].sum() == 1
+        cur = g[g["is_current"]]
+        assert cur["valid_from"].iloc[0] == g["valid_from"].max()
+        # intervals chain: every close date is the next version's open
+        # date (multiset compare — same-date versions make a strict
+        # positional compare ill-defined without the change sequence)
+        closed = sorted(g["valid_to"].dropna())
+        assert closed == sorted(g["valid_from"])[1:]
