@@ -773,3 +773,74 @@ def j_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
         "custkey", "status", "valid_from", "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     ).orderBy("custkey", "valid_from", "status")
+
+
+_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_api_q10", ids=("J1", "J7", "P2", "A2", "O3", "O4"), sql=_Q10_SQL)
+def sql_api_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item reporting: who returned the most
+    revenue last quarter. Fact-fact join (orders x lineitem, both date
+    and returnflag filters pushed to the scans) into broadcast
+    customer/nation dims, then a top-20 on the aggregated revenue —
+    the churn-investigation shape. Identical SQL text on both engines."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_Q10_SQL)
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey  = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l.l_shipdate AS DATE) <  DATE '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_api_q7", ids=("J1", "J7", "P2", "A2", "F3"), sql=_Q7_SQL)
+def sql_api_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q7-shaped volume-shipping query: bilateral trade between
+    two nations by year. The nation table joins TWICE under different
+    aliases (supplier side and customer side) with a disjunctive
+    cross-pair predicate — the self-dim-alias pattern Catalyst must
+    broadcast twice while the fact chain shuffles once. Identical SQL
+    text on both engines."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(
+        spark, sf, names=("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    return spark.sql(_Q7_SQL)

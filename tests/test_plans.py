@@ -315,3 +315,43 @@ def test_orc_scan_is_column_pruned(spark, tmp_path):
 
     m = re.search(r"ReadSchema: ([^\n]+)", p)
     assert m and "value" not in m.group(1), p
+
+
+def test_runtime_bloom_filter_prunes_fact_probe_side(spark):
+    """Fact-fact joins with a selective build side must accept Spark's
+    runtime bloom-filter injection: the probe scan gains a
+    might_contain(bloom) condition built from the filtered side, so at
+    100 TB the big fact's rows die at the scan instead of riding the
+    shuffle. (Thresholds lowered to make toy-scale sides eligible;
+    broadcast disabled to force the shuffle-join shape the filter
+    targets.)"""
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.catalog import load_table
+
+    knobs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, "orders", SF_DIR_SMOKE).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, "lineitem", SF_DIR_SMOKE)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
