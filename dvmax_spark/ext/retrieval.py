@@ -261,3 +261,64 @@ def dup_span_stats_sql(
     FROM base b LEFT JOIN dup d USING ({id_col})
     ORDER BY b.{id_col}
     """
+
+
+# ------------------------------------------------------------- chunking
+
+def doc_chunks(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping chunking: fixed ``window``-token chunks
+    every ``stride`` tokens (tail partial chunk kept — standard
+    retrieval-chunker semantics). Emits (doc, chunk ordinal, token
+    count, portable md5 fingerprint) — the fingerprint is what a
+    downstream chunk-dedup or chunk-index keys on.
+
+    Map-side only: chunk starts come from a per-row sequence explode;
+    each chunk is one slice of the already-split token array. No
+    shuffle anywhere — at 100 TB this is a pure map over the corpus,
+    parallelized by input partition."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    staged = df.select(
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n"),
+        F.explode(starts).alias("_start"),
+    ).where((F.col("_start") < F.col("_n")) & (F.col("_n") > 0))
+    chunk = F.array_join(F.slice(F.col("_tk"), F.col("_start") + 1, window), " ")
+    return staged.select(
+        id_col,
+        (F.col("_start") / stride).cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(window), F.col("_n") - F.col("_start")).alias("chunk_tokens"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy(id_col, "chunk_idx")
+
+
+def doc_chunks_sql(
+    window: int = 64,
+    stride: int = 32,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, str_split({text_col}, ' ') AS tk, len(str_split({text_col}, ' ')) AS n
+      FROM {table}
+    ),
+    st AS (
+      SELECT {id_col}, tk, n, unnest(range(0, n, {stride})) AS s
+      FROM t WHERE n > 0
+    )
+    SELECT {id_col},
+           CAST(s // {stride} AS BIGINT) AS chunk_idx,
+           least({window}, n - s) AS chunk_tokens,
+           md5(array_to_string(tk[s + 1:s + {window}], ' ')) AS chunk_md5
+    FROM st
+    ORDER BY {id_col}, chunk_idx
+    """

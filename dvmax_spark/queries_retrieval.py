@@ -15,6 +15,8 @@ from dvmax_spark.catalog import load_table
 from dvmax_spark.ext.retrieval import (
     bm25_rank,
     bm25_rank_sql,
+    doc_chunks,
+    doc_chunks_sql,
     dup_span_stats,
     dup_span_stats_sql,
     vocabulary,
@@ -50,3 +52,12 @@ def x_dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     shared with exact Jaccard: one gram-occurrence shuffle, gram-level
     distinct-doc counts semi-joined back."""
     return dup_span_stats(load_table(spark, "documents", sf), n=8)
+
+
+@query("x_doc_chunks", ids=("X7", "X10"), sql=doc_chunks_sql())
+def x_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style overlapping chunker: 64-token windows every 32 tokens,
+    tail partials kept, portable md5 chunk fingerprints (what a chunk
+    index or chunk-level dedup keys on). Map-side only — zero shuffles
+    at any corpus size."""
+    return doc_chunks(load_table(spark, "documents", sf))

@@ -139,3 +139,36 @@ def test_scd2_intervals_are_disjoint_and_exhaustive(spark):
         # positional compare ill-defined without the change sequence)
         closed = sorted(g["valid_to"].dropna())
         assert closed == sorted(g["valid_from"])[1:]
+
+
+# -------------------------------------------------------------- chunking
+
+
+def test_doc_chunks_overlap_and_tail_semantics(spark):
+    """64/32 chunking of an n-token doc yields ceil(n/32) chunks with
+    starts 0,32,64,... and the tail partial kept."""
+    from dvmax_spark.ext.retrieval import doc_chunks
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    out = doc_chunks(df, window=64, stride=32).toPandas()
+    assert list(out["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(out["chunk_tokens"]) == [64, 64, 36, 4]
+    # identical token content -> identical fingerprints across docs
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out2 = doc_chunks(df2, window=64, stride=32).toPandas()
+    assert out2["chunk_md5"].nunique() == 1
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """The chunker must be a pure map over the corpus (explode + slice,
+    no exchange) — its 100 TB contract."""
+    from dvmax_spark.ext.retrieval import doc_chunks
+
+    plan = _plan(doc_chunks(_docs(spark)).where(F.col("doc_id") < 10))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the only exchange allowed is the final presentation orderBy
+    assert body.count("Exchange") <= 1, plan
