@@ -42,12 +42,14 @@ class FeatureStore:
         keys: list[str],
         partition_col: str | None = None,
         compact_round: int | None = None,
+        keep_snapshots: int = 0,
     ) -> None:
         self.spark = spark
         self.root = root
         self.keys = list(keys)
         self.partition_col = partition_col or self.keys[0]
         self.compact_round = compact_round
+        self.keep_snapshots = keep_snapshots
 
     # ------------------------------------------------------------ paths
     @property
@@ -57,6 +59,66 @@ class FeatureStore:
     @property
     def quarantine_path(self) -> str:
         return os.path.join(self.root, "_audit")
+
+    @property
+    def snapshots_path(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    # ------------------------------------------------------- snapshots
+    def snapshots(self) -> list[int]:
+        """Retained snapshot versions, oldest first."""
+        if not os.path.isdir(self.snapshots_path):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(self.snapshots_path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read of a retained snapshot (the table state
+        BEFORE the swap that created version ``version``)."""
+        path = os.path.join(self.snapshots_path, f"v{version}")
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"snapshot v{version} not retained (have {self.snapshots()})"
+            )
+        return self.spark.read.option("mergeSchema", "true").parquet(path)
+
+    def restore(self, version: int) -> None:
+        """Roll the main table back to snapshot ``version`` (the
+        snapshot directory is PROMOTED by rename; the displaced current
+        state becomes a new snapshot, so restore is itself undoable)."""
+        src = os.path.join(self.snapshots_path, f"v{version}")
+        if not os.path.isdir(src):
+            raise ValueError(
+                f"snapshot v{version} not retained (have {self.snapshots()})"
+            )
+        self._swap_in(src, snapshot_current=True)
+
+    def _swap_in(self, staging: str, snapshot_current: bool | None = None) -> None:
+        """Atomic promote of ``staging`` to main. The displaced current
+        table is RENAMED into the snapshot log (zero data copy) when
+        snapshots are enabled, else deleted; retention prunes the log
+        to ``keep_snapshots`` entries. Directory renames keep readers
+        from ever observing a half-written table — same protocol the
+        reference uses at file granularity (temp-file replace)."""
+        keep = self.keep_snapshots if snapshot_current is None else (
+            max(self.keep_snapshots, 1) if snapshot_current else 0
+        )
+        retired = self.main_path + ".old"
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(self.main_path, retired)
+        os.rename(staging, self.main_path)
+        if keep > 0:
+            os.makedirs(self.snapshots_path, exist_ok=True)
+            versions = self.snapshots()
+            nxt = (versions[-1] + 1) if versions else 1
+            os.rename(retired, os.path.join(self.snapshots_path, f"v{nxt}"))
+            for v in self.snapshots()[:-keep]:
+                shutil.rmtree(os.path.join(self.snapshots_path, f"v{v}"))
+        else:
+            shutil.rmtree(retired)
 
     # ------------------------------------------------------------ io
     def exists(self) -> bool:
@@ -135,13 +197,9 @@ class FeatureStore:
         # carries every partition, so a full rewrite costs nothing
         # extra over dynamic overwrite here).
         staging = self.main_path + ".staging"
-        retired = self.main_path + ".old"
         shutil.rmtree(staging, ignore_errors=True)
         self._write(merged, "overwrite", path=staging)
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(self.main_path, retired)
-        os.rename(staging, self.main_path)
-        shutil.rmtree(retired)
+        self._swap_in(staging)
 
     def overwrite_partition_values(self, updates: DataFrame) -> None:
         """Partition-level replace (ref macro delete-year-then-append,
@@ -168,7 +226,6 @@ class FeatureStore:
         if sort_within:
             df = df.sortWithinPartitions(self.partition_col, *sort_within)
         staging = self.main_path + ".staging"
-        retired = self.main_path + ".old"
         shutil.rmtree(staging, ignore_errors=True)
         (
             df.write.mode("overwrite")
@@ -176,10 +233,7 @@ class FeatureStore:
             .option("compression", "zstd")
             .parquet(staging)
         )
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(self.main_path, retired)
-        os.rename(staging, self.main_path)
-        shutil.rmtree(retired)
+        self._swap_in(staging)
 
     def quarantine(self, rows: DataFrame) -> None:
         """Audit sink for dropped rows (ref `_write_flagged_audit`)."""
