@@ -44,3 +44,92 @@ def rollup_distinct_from_sketches(sketches: DataFrame, group_col: str) -> Column
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+# ----------------------------------------------------- quantile sketches
+
+def daily_quantile_sketches(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """One KLL quantile sketch (DataSketches) per (group, day) — the
+    persistable partial for percentile rollups. Same no-rescan pattern
+    as the HLL distinct counts: exact percentiles need a per-group
+    sort of the raw events; KLL sketches merge like any partial
+    aggregate, so a year of p99s touches |groups|×|days| sketch rows."""
+    return df.groupBy(
+        F.col(group_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.kll_sketch_agg_double(F.col(val_col).cast("double")).alias("qsketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def rollup_quantiles_from_sketches(
+    sketches: DataFrame, group_col: str, quantiles: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """Merge persisted per-day KLL sketches and read out quantile
+    estimates per group."""
+    # kll_sketch_merge_double is a BINARY scalar merge (no agg form in
+    # this Spark): fold the per-day sketch list. |days| per group is
+    # small by construction — the fold is over a bounded array.
+    merged = (
+        sketches.groupBy(group_col)
+        .agg(
+            F.collect_list("qsketch").alias("ls"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .withColumn(
+            "m",
+            F.expr(
+                "aggregate(slice(ls, 2, size(ls) - 1), element_at(ls, 1),"
+                " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ),
+        )
+    )
+    cols = [F.col(group_col), F.col("n_rows")]
+    for q in quantiles:
+        cols.append(
+            F.round(
+                F.kll_sketch_get_quantile_double(F.col("m"), F.lit(q)), 6
+            ).alias(f"p{int(q * 100)}_est")
+        )
+    return merged.select(*cols)
+
+
+# ------------------------------------------------------- theta set algebra
+
+def audience_sketches(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """One theta sketch of distinct ids per group — unlike HLL, theta
+    sketches support INTERSECTION and DIFFERENCE, which distinct
+    counts can't answer mergeably at all (|A∩B| needs the id sets)."""
+    return df.groupBy(group_col).agg(
+        F.theta_sketch_agg(F.col(id_col)).alias("tsketch")
+    )
+
+
+def audience_overlap(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """Pairwise audience-overlap estimates between groups: |A|, |B|,
+    |A∪B|, |A∩B|, |A\\B| from theta sketches. The sketch table is one
+    row per group (tiny) — the pair join is broadcast; the only pass
+    over the raw data is the sketch aggregation itself."""
+    sk = audience_sketches(df, group_col, id_col)
+    a = sk.select(F.col(group_col).alias("grp_a"), F.col("tsketch").alias("sk_a"))
+    b = sk.select(F.col(group_col).alias("grp_b"), F.col("tsketch").alias("sk_b"))
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("grp_a") < F.col("grp_b"))
+    est = F.theta_sketch_estimate
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        F.round(est(F.col("sk_a")), 1).alias("est_a"),
+        F.round(est(F.col("sk_b")), 1).alias("est_b"),
+        F.round(est(F.theta_union(F.col("sk_a"), F.col("sk_b"))), 1).alias("est_union"),
+        F.round(est(F.theta_intersection(F.col("sk_a"), F.col("sk_b"))), 1).alias(
+            "est_intersect"
+        ),
+        F.round(est(F.theta_difference(F.col("sk_a"), F.col("sk_b"))), 1).alias(
+            "est_a_minus_b"
+        ),
+    ).orderBy("grp_a", "grp_b")

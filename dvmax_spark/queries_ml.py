@@ -260,3 +260,53 @@ def a_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("a_kll_quantile_rollup", ids=("A5", "A10"), sql=None)
+def a_kll_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (ext/sketches.py) with the full
+    persistence round trip: per-(event_type, day) sketches written to
+    parquet as binary, read back, MERGED per event_type, quantiles read
+    out next to the exact percentiles. The no-rescan percentile-rollup
+    pattern — exact p50/p90 over a year needs a per-group sort of the
+    raw events; the sketch path touches |groups|x|days| rows. No SQL
+    oracle (DataSketches KLL is engine-specific); exact values ride
+    along and tests assert the rank-error envelope."""
+    import os as _os
+
+    from dvmax_spark.ext.sketches import (
+        daily_quantile_sketches,
+        rollup_quantiles_from_sketches,
+    )
+
+    ev = load_table(spark, "events", sf)
+    daily = daily_quantile_sketches(ev, "event_type", "ts", "value")
+    path = f"/tmp/dvmax_kll_{_os.getpid()}_{abs(hash(sf)) % 10**8}"
+    daily.write.mode("overwrite").parquet(path)
+    rolled = rollup_quantiles_from_sketches(
+        spark.read.parquet(path), "event_type", quantiles=(0.5, 0.9)
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select("event_type", "n_rows", "p50_est", "p90_est", "p50_exact", "p90_exact")
+        .orderBy("event_type")
+    )
+
+
+@query("a_theta_audience_overlap", ids=("A10",), sql=None)
+def a_theta_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch audience overlap: |A|, |B|, |A∪B|, |A∩B|, |A\\B|
+    between event-type audiences — set algebra HLL cannot do (union
+    only) and exact distinct cannot do mergeably at all. One pass over
+    events builds a one-row-per-group sketch table; the pair join is
+    broadcast. No SQL oracle (DataSketches theta is engine-specific);
+    tests assert the estimates against exact set sizes computed from
+    the raw data."""
+    from dvmax_spark.ext.sketches import audience_overlap
+
+    ev = load_table(spark, "events", sf)
+    return audience_overlap(ev, "event_type", "user_id")

@@ -516,3 +516,44 @@ def test_semantic_dedup_collapses_planted_duplicates(spark):
     g4 = res.where(F.col("vec_id") < 40).groupBy("cluster_id").count().collect()
     assert len(g4) == 10 and all(r["count"] == 4 for r in g4), g4
     res.unpersist()
+
+
+def test_kll_quantile_rollup_error_bound(spark):
+    """Merged-from-daily KLL estimates must sit in a tight band around
+    the exact percentiles (k=200 default: rank error ~1.65% at 99%
+    confidence; band allows 3% + epsilon for value-space spread)."""
+    from dvmax_spark.registry import all_queries
+
+    rows = all_queries()["a_kll_quantile_rollup"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.p50_est - r.p50_exact) <= abs(r.p50_exact) * 0.03 + 0.5
+        assert abs(r.p90_est - r.p90_exact) <= abs(r.p90_exact) * 0.03 + 0.5
+
+
+def test_theta_overlap_matches_exact_set_algebra(spark):
+    """Theta union/intersection/difference estimates vs exact set sizes
+    computed from the raw ids — 5% envelope plus small absolute slack
+    for tiny intersections."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.registry import all_queries
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01")
+    sets = {
+        r.event_type: set()
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        sets[r.event_type].add(r.user_id)
+    rows = all_queries()["a_theta_audience_overlap"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        a, b = sets[r.grp_a], sets[r.grp_b]
+        for est, exact in (
+            (r.est_a, len(a)),
+            (r.est_b, len(b)),
+            (r.est_union, len(a | b)),
+            (r.est_intersect, len(a & b)),
+            (r.est_a_minus_b, len(a - b)),
+        ):
+            assert abs(est - exact) <= exact * 0.05 + 2, (r, exact)
