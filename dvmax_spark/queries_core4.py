@@ -844,3 +844,48 @@ def sql_api_q7(spark: SparkSession, sf: str) -> DataFrame:
         spark, sf, names=("supplier", "lineitem", "orders", "customer", "nation")
     )
     return spark.sql(_Q7_SQL)
+
+
+_WMEDIAN_SQL = """
+    WITH o AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v, l_quantity AS w,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag, min(v) FILTER (WHERE cw >= tw / 2) AS wmedian
+    FROM o GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("a_weighted_median_udaf", ids=("A5",), sql=_WMEDIAN_SQL)
+def a_weighted_median_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-agg pandas_udf (UDAF surface, SURVEY §2.10): exact
+    quantity-weighted median price per return flag — an aggregate Spark
+    has no built-in for. Arrow ships each group's two columns to one
+    vectorized numpy reduction; since quantities are whole numbers the
+    cumulative weights are exact in both engines, so even this UDAF is
+    value-exact against a SQL window oracle (no float drift: the result
+    is an input VALUE, not arithmetic on one). At 100 TB the plan is a
+    normal partial-less hash aggregate: one shuffle on the group key,
+    each group reduced in a single Arrow batch — use only when the
+    aggregate genuinely has no Catalyst form, per the UDF policy."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: PEP-563 string annotations (module-wide
+    # `from __future__ import annotations`) defeat hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(v, w):
+        d = pd.DataFrame({"v": v, "w": w}).sort_values("v", kind="mergesort")
+        cw = d["w"].cumsum()
+        return float(d["v"][cw >= d["w"].sum() / 2.0].iloc[0])
+
+    li = load_table(spark, "lineitem", sf)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wmedian("l_extendedprice", "l_quantity").alias("wmedian"))
+        .orderBy("l_returnflag")
+    )
