@@ -61,3 +61,43 @@ def x_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     index or chunk-level dedup keys on). Map-side only — zero shuffles
     at any corpus size."""
     return doc_chunks(load_table(spark, "documents", sf))
+
+
+@query("x_doc_chunks_udtf", ids=("X7", "X10"), sql=doc_chunks_sql())
+def x_doc_chunks_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF surface (SURVEY §2.10; Spark 4 @udtf): the SAME
+    chunker semantics as x_doc_chunks expressed as a table function in
+    a SQL LATERAL join — one input row yields N chunk rows. Python
+    md5 == Spark md5 == DuckDB md5 (all RFC 1321 over utf-8), so even
+    the UDTF path is value-exact against the doc_chunks SQL oracle.
+    The Catalyst expression form (x_doc_chunks) is the production
+    path — this pins the API surface and its exactness, and documents
+    the cost: per-row Python eval vs whole-stage codegen."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_tokens int, chunk_md5 string")
+    class ChunkDoc:
+        def eval(self, text):  # noqa: ANN001 - UDTF contract
+            toks = text.split(" ") if text else []
+            n = len(toks)
+            for i, start in enumerate(range(0, n, 32)):
+                chunk = " ".join(toks[start : start + 64])
+                yield (
+                    i,
+                    min(64, n - start),
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_md5
+        FROM documents d, LATERAL chunk_doc(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
