@@ -36,7 +36,7 @@ def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     return vocabulary(load_table(spark, "documents", sf), k=100)
 
 
-@query("x_bm25_rank", ids=("X7", "X8"), sql=bm25_rank_sql(_BM25_TERMS, k=20))
+@query("x_bm25_rank", ids=("X7", "X8"), bench=True, sql=bm25_rank_sql(_BM25_TERMS, k=20))
 def x_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 top-20 docs for a fixed bag-of-words query (quality-by-
     query mining over the corpus). Token stream filtered to the query
@@ -54,7 +54,7 @@ def x_dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     return dup_span_stats(load_table(spark, "documents", sf), n=8)
 
 
-@query("x_doc_chunks", ids=("X7", "X10"), sql=doc_chunks_sql())
+@query("x_doc_chunks", ids=("X7", "X10"), bench=True, sql=doc_chunks_sql())
 def x_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-style overlapping chunker: 64-token windows every 32 tokens,
     tail partials kept, portable md5 chunk fingerprints (what a chunk
