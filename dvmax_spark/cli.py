@@ -129,6 +129,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--ticker", required=True)
     r.add_argument("--as-of", help="YYYY-MM-DD (default: latest row for the ticker)")
 
+    c = sub.add_parser(
+        "corpus", help="curate a documents corpus into packed training shards"
+    )
+    c.add_argument("--input", required=True, help="documents parquet (doc_id, text, source, n_chars)")
+    c.add_argument("--out", required=True, help="output dir for shards + manifest")
+    c.add_argument("--eval-source", default="src0", help="source value held out as the eval slice")
+    c.add_argument("--ctx-len", type=int, default=128)
+    c.add_argument("--min-chars", type=int, default=1)
+
     args = p.parse_args(argv)
     spark = get_spark(f"dvmax_cli_{args.cmd}")
 
@@ -170,6 +179,29 @@ def main(argv: list[str] | None = None) -> int:
             min_closes=args.min_closes,
         )
         print(json.dumps({"n_tickers": len(tickers)}))
+    elif args.cmd == "corpus":
+        from pyspark.sql import functions as F
+
+        from dvmax_spark.ext.traindata import (
+            decontaminate,
+            train_split,
+            write_training_shards,
+        )
+
+        docs = spark.read.parquet(args.input)
+        clean = docs.where(
+            F.col("text").isNotNull() & (F.col("n_chars") >= args.min_chars)
+        )
+        ev = clean.where(F.col("source") == args.eval_source)
+        tr = clean.where(F.col("source") != args.eval_source)
+        surv = train_split(decontaminate(tr, ev))
+        train = surv.where(F.col("split") == "train")
+        manifest = write_training_shards(train, args.out, ctx_len=args.ctx_len)
+        counts = {
+            r["split"]: r["n"]
+            for r in surv.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(json.dumps({"splits": counts, **manifest}))
     return 0
 
 

@@ -65,3 +65,34 @@ def test_cli_universe_subprocess(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1]) == {"n_tickers": 2}
     assert out.read_text().splitlines() == ["AAPL", "MSFT"]
+
+
+def test_cli_corpus_subprocess(tmp_path):
+    """corpus subcommand: decontaminate -> split -> pack -> shards, end
+    to end off the real documents parquet, manifest checked."""
+    import os
+
+    out = tmp_path / "shards"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dvmax_spark.cli",
+            "corpus",
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["splits"]["train"] > 0
+    assert stats["n_windows"] > 0 and stats["n_shards"] >= 1
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["n_windows"] == stats["n_windows"]
+    assert (out / "shards").exists()
