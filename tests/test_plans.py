@@ -355,3 +355,37 @@ def test_runtime_bloom_filter_prunes_fact_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """MIN/MAX/COUNT with no filter must be answerable from parquet
+    footer statistics under DSv2 (PushedAggregation in the scan) — at
+    100 TB that's a metadata read instead of a table scan. V1 reader
+    and timestamp columns don't support it, so the knobs are scoped
+    here; values must equal the normal scan's."""
+    from pyspark.sql import functions as F
+
+    knobs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    saved = {k: spark.conf.get(k, None) for k in knobs}
+    path = f"{SF_DIR_SMOKE}/lineitem.parquet"
+    aggs = [
+        F.min("l_orderkey").alias("mn"),
+        F.max("l_orderkey").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    baseline = spark.read.parquet(path).agg(*aggs).collect()[0]
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(path).agg(*aggs)
+        assert "PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]" in _plan(df)
+        assert df.collect()[0] == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
