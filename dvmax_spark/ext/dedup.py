@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _MERSENNE = (1 << 61) - 1
@@ -623,3 +623,163 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ------------------------------------------------------ incremental dedup
+
+
+class MinHashIndex:
+    """Persisted banded-LSH index for INCREMENTAL dedup — the
+    production shape: a daily batch dedups against the historical
+    corpus by joining the persisted band table, instead of recomputing
+    signatures corpus-wide.
+
+    The store is one zstd parquet table (band, band_key, doc_id,
+    signature) partitioned by band: work per batch is O(batch) for
+    signatures + one shuffle join on (band, band_key) against the
+    index; the corpus is touched only through the band table, which
+    the scan prunes by band. ``max_bucket`` caps degenerate band keys
+    on both sides (same guard as the batch path). Matching new-vs-old
+    is value-exact against the full-corpus LSH oracle restricted to
+    cross pairs (tests + x_incremental_dedup).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 32,
+        bands: int = 16,
+        shingle_n: int = 2,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        assert num_hashes % bands == 0
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _banded(self, docs: DataFrame) -> DataFrame:
+        rows = self.num_hashes // self.bands
+        sig = minhash_signature(
+            docs, self.text_col, self.num_hashes, self.shingle_n, id_col=self.id_col
+        )
+        bk = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.col("signature")[b * rows + r] for r in range(rows)],
+                        ).alias("band_key"),
+                    )
+                    for b in range(self.bands)
+                ]
+            )
+        ).alias("bk")
+        return sig.select(F.col(self.id_col), F.col("signature"), bk).select(
+            self.id_col,
+            "signature",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+
+    def build(self, docs: DataFrame) -> None:
+        (
+            self._banded(docs)
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .option("compression", "zstd")
+            .parquet(self.path)
+        )
+
+    def append(self, docs: DataFrame) -> None:
+        """Admit a new batch into the index (after matching it)."""
+        (
+            self._banded(docs)
+            .write.mode("append")
+            .partitionBy("band")
+            .option("compression", "zstd")
+            .parquet(self.path)
+        )
+
+    def match_new(
+        self,
+        new_docs: DataFrame,
+        threshold: float = 0.5,
+        max_bucket: int | None = 1000,
+    ) -> DataFrame:
+        """Near-dup pairs (new_id, old_id, est_jaccard) between the
+        incoming batch and the INDEXED corpus. One shuffle join on the
+        band key; neither corpus signatures nor corpus text are
+        recomputed."""
+        new_banded = cap_buckets(
+            self._banded(new_docs), ["band", "band_key"], max_bucket
+        )
+        stored = cap_buckets(
+            self.spark.read.parquet(self.path), ["band", "band_key"], max_bucket
+        )
+        pairs = (
+            new_banded.select(
+                "band",
+                "band_key",
+                F.col(self.id_col).alias("new_id"),
+                F.col("signature").alias("sig_new"),
+            )
+            .join(
+                stored.select(
+                    "band",
+                    "band_key",
+                    F.col(self.id_col).alias("old_id"),
+                    F.col("signature").alias("sig_old"),
+                ),
+                ["band", "band_key"],
+            )
+            .where(F.col("new_id") != F.col("old_id"))
+            .select("new_id", "old_id", "sig_new", "sig_old")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        matches = F.size(
+            F.filter(
+                F.zip_with("sig_new", "sig_old", lambda a, b: a == b), lambda eq: eq
+            )
+        )
+        est = matches.cast("double") / F.lit(float(self.num_hashes))
+        return (
+            pairs.withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= threshold)
+            .select("new_id", "old_id", "est_jaccard")
+        )
+
+
+def incremental_dedup_sql(
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.1,
+    old_pred: str = "source = 'src0'",
+) -> str:
+    """DuckDB oracle for MinHashIndex.match_new: the full-corpus LSH
+    pair set restricted to cross pairs (one side old, one side new),
+    re-oriented as (new_id, old_id)."""
+    ctes = _minhash_lsh_ctes(num_hashes, bands, 2, threshold, "documents")
+    return f"""
+    WITH {ctes},
+    tagged AS (
+      SELECT p.id_a, p.id_b, p.est_jaccard,
+             (SELECT {old_pred.replace('source', 'd.source')} FROM documents d
+              WHERE d.doc_id = p.id_a) AS a_old,
+             (SELECT {old_pred.replace('source', 'd.source')} FROM documents d
+              WHERE d.doc_id = p.id_b) AS b_old
+      FROM lsh_pairs p
+    )
+    SELECT CASE WHEN a_old THEN id_b ELSE id_a END AS new_id,
+           CASE WHEN a_old THEN id_a ELSE id_b END AS old_id,
+           est_jaccard
+    FROM tagged WHERE a_old <> b_old
+    ORDER BY new_id, old_id
+    """

@@ -16,6 +16,7 @@ from dvmax_spark.ext.dedup import (
     dedup_clusters,
     dedup_clusters_sql,
     exact_dedup,
+    incremental_dedup_sql,
     minhash_lsh_pairs,
     minhash_lsh_sql,
     simhash_sql,
@@ -885,3 +886,32 @@ def t_stateful_session(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "x_incremental_dedup",
+    ids=("X3", "X17"),
+    sql=incremental_dedup_sql(num_hashes=32, bands=16, threshold=0.1),
+)
+def x_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the production daily-batch
+    shape: the historical corpus (source='src0') lives as a persisted
+    banded-LSH index; the incoming batch (every other source) computes
+    only its own signatures and joins the index on the band key. No
+    corpus-wide recompute, ever. Value-exact against the full-corpus
+    LSH oracle restricted to cross pairs (same portable hashes, so the
+    incremental path provably finds exactly the pairs the batch path
+    would)."""
+    import os as _os
+
+    from dvmax_spark.ext.dedup import MinHashIndex
+
+    docs = load_table(spark, "documents", sf).where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    old = docs.where(F.col("source") == "src0")
+    new = docs.where(F.col("source") != "src0")
+    path = f"/tmp/dvmax_mhidx_{_os.getpid()}_{abs(hash(sf)) % 10**8}"
+    idx = MinHashIndex(spark, path, num_hashes=32, bands=16, shingle_n=2)
+    idx.build(old)
+    return idx.match_new(new, threshold=0.1).orderBy("new_id", "old_id")

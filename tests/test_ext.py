@@ -557,3 +557,47 @@ def test_theta_overlap_matches_exact_set_algebra(spark):
             (r.est_a_minus_b, len(a - b)),
         ):
             assert abs(est - exact) <= exact * 0.05 + 2, (r, exact)
+
+
+def test_incremental_index_equals_batch_pairs(spark, tmp_path):
+    """The incremental path must recover EXACTLY the batch-path pair
+    set: cross pairs from match_new + within-batch pairs + within-old
+    pairs == full-corpus minhash_lsh_pairs. Also exercises append():
+    after admitting the batch, a second batch matches against both."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dedup import MinHashIndex, minhash_lsh_pairs
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01").where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    kw = dict(num_hashes=32, bands=16, shingle_n=2)
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), **kw)
+    idx.build(old)
+    cross = {
+        (min(r.new_id, r.old_id), max(r.new_id, r.old_id))
+        for r in idx.match_new(new, threshold=0.1).collect()
+    }
+    within_old = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(old, threshold=0.1, **kw).collect()
+    }
+    within_new = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(new, threshold=0.1, **kw).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.1, **kw).collect()
+    }
+    assert cross | within_old | within_new == full
+    assert cross, "no cross pairs - test corpus split lost its signal"
+
+    # admit the batch; an identical second batch must now match itself
+    idx.append(new)
+    echo = idx.match_new(new.limit(20), threshold=0.99).collect()
+    assert all(r.est_jaccard >= 0.99 for r in echo)
+    assert {r.new_id for r in echo} <= {r["doc_id"] for r in new.limit(20).collect()}
