@@ -1,0 +1,138 @@
+"""Streaming near-dup ingest (streaming/dedup_ingest.py): greedy
+online dedup against the persisted MinHash index, slice-invariant,
+replay-idempotent, with the documented greedy-vs-components chain
+semantics."""
+
+from __future__ import annotations
+
+import os
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _mk_corpus(spark):
+    """3 clone families + 1 chain + uniques. Family members are exact
+    clones (minhash est=1.0); the chain is a~b, b~c with a!~c."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for fam in range(3):
+        fam_text = base + f" fam{fam} " + " ".join(f"w{fam}{i}" for i in range(10))
+        for m in range(3):
+            rows.append((100 * fam + m, fam_text))
+    # chain: b shares half its text with a, half with c
+    a = " ".join(f"a{i}" for i in range(20))
+    c = " ".join(f"c{i}" for i in range(20))
+    b = " ".join(f"a{i}" for i in range(10)) + " " + " ".join(f"c{i}" for i in range(10))
+    rows += [(900, a), (901, b), (902, c)]
+    rows += [(950 + i, " ".join(f"u{i}_{j}" for j in range(15))) for i in range(5)]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def _stage_slices(docs_pdf, in_dir, n_slices):
+    os.makedirs(in_dir, exist_ok=True)
+    # ordered split (round-robin would break id-ordered arrival)
+    docs_sorted = docs_pdf.sort_values("doc_id").reset_index(drop=True)
+    step = (len(docs_sorted) + n_slices - 1) // n_slices
+    now = None
+    for i in range(n_slices):
+        part = docs_sorted.iloc[i * step : (i + 1) * step]
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        part.to_parquet(dst)
+        if now is None:
+            now = os.stat(dst).st_mtime
+        os.utime(dst, (now + i, now + i))
+
+
+def _run_ingest(spark, tmp, n_slices, docs_pdf, tag):
+    from dvmax_spark.ext.dedup import MinHashIndex
+    from dvmax_spark.streaming.dedup_ingest import stream_dedup_ingest
+
+    root = os.path.join(str(tmp), f"run_{tag}")
+    in_dir = os.path.join(root, "in")
+    _stage_slices(docs_pdf, in_dir, n_slices)
+    idx = MinHashIndex(
+        spark, os.path.join(root, "idx"), num_hashes=32, bands=16, shingle_n=2
+    )
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_dedup_ingest(
+            stream,
+            idx,
+            out_dir=os.path.join(root, "novel"),
+            dup_dir=os.path.join(root, "dups"),
+            threshold=0.2,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            query_name=f"dedup_ingest_{tag}",
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    novel = {
+        r.doc_id for r in spark.read.parquet(os.path.join(root, "novel")).collect()
+    }
+    dup_rows = spark.read.parquet(os.path.join(root, "dups")).collect()
+    return root, idx, novel, dup_rows
+
+
+def test_greedy_online_dedup_slice_invariant(spark, tmp_path):
+    docs_pdf = _mk_corpus(spark).toPandas()
+    results = {}
+    for n_slices in (2, 5):
+        _, _, novel, dups = _run_ingest(spark, tmp_path, n_slices, docs_pdf, n_slices)
+        results[n_slices] = (novel, {(r.doc_id, r.dup_of) for r in dups})
+    # id-ordered arrival: slicing must not change the outcome
+    assert results[2][0] == results[5][0]
+    assert results[2][1] == results[5][1]
+    novel, dups = results[2]
+    # clone families: exactly the min id of each family survives
+    for fam in range(3):
+        assert 100 * fam in novel
+        assert {100 * fam + 1, 100 * fam + 2} & novel == set()
+    # every displaced family member names the surviving min id
+    dup_of = dict(dups)
+    for fam in range(3):
+        assert dup_of[100 * fam + 1] == 100 * fam
+        assert dup_of[100 * fam + 2] == 100 * fam
+    # chain a~b, b~c: GREEDY semantics — a admitted, b displaced by a,
+    # c admitted again (its witness b was never admitted)
+    assert 900 in novel and 902 in novel and 901 not in novel
+    # uniques all survive
+    assert {950 + i for i in range(5)} <= novel
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-running the same input dir with a FRESH checkpoint (a full
+    replay) must add no new rows to the novel sink or the index."""
+    from dvmax_spark.streaming.dedup_ingest import stream_dedup_ingest
+
+    docs_pdf = _mk_corpus(spark).toPandas()
+    root, idx, novel, _ = _run_ingest(spark, tmp_path, 3, docs_pdf, "replay")
+    n_novel = len(novel)
+    n_index = spark.read.parquet(idx.path).count()
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "in"))
+    )
+    q = stream_dedup_ingest(
+        stream,
+        idx,
+        out_dir=os.path.join(root, "novel"),
+        dup_dir=os.path.join(root, "dups"),
+        threshold=0.2,
+        checkpoint_dir=os.path.join(root, "ckpt2"),
+        query_name="dedup_ingest_replay2",
+    )
+    q.awaitTermination(180)
+    assert len(set(
+        r.doc_id for r in spark.read.parquet(os.path.join(root, "novel")).collect()
+    )) == n_novel
+    assert spark.read.parquet(os.path.join(root, "novel")).count() == n_novel
+    assert spark.read.parquet(idx.path).count() == n_index
