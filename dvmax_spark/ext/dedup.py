@@ -708,6 +708,33 @@ class MinHashIndex:
             .parquet(self.path)
         )
 
+
+    def compact(self, files_per_band: int = 1) -> None:
+        """Small-file maintenance for the band table: incremental
+        ``append`` leaves one file per batch per band partition;
+        compaction rewrites to a bounded file count behind the same
+        staging + atomic-rename protocol the FeatureStore uses, so
+        concurrent matchers never observe a half-compacted index."""
+        import os
+        import shutil
+
+        df = self.spark.read.parquet(self.path).repartition(
+            files_per_band, "band"
+        )
+        staging = self.path + ".staging"
+        retired = self.path + ".old"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .partitionBy("band")
+            .option("compression", "zstd")
+            .parquet(staging)
+        )
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(self.path, retired)
+        os.rename(staging, self.path)
+        shutil.rmtree(retired)
+
     def match_new(
         self,
         new_docs: DataFrame,
@@ -783,3 +810,4 @@ def incremental_dedup_sql(
     FROM tagged WHERE a_old <> b_old
     ORDER BY new_id, old_id
     """
+

@@ -601,3 +601,29 @@ def test_incremental_index_equals_batch_pairs(spark, tmp_path):
     echo = idx.match_new(new.limit(20), threshold=0.99).collect()
     assert all(r.est_jaccard >= 0.99 for r in echo)
     assert {r.new_id for r in echo} <= {r["doc_id"] for r in new.limit(20).collect()}
+
+
+def test_minhash_index_compact_preserves_matches(spark, tmp_path):
+    """After several appends, compact() must bound files per band
+    partition and leave match results identical."""
+    import os
+
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dedup import MinHashIndex
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), num_hashes=32, bands=16, shingle_n=2)
+    idx.build(docs.where(F.col("doc_id") % 4 == 0))
+    for m in (1, 2):
+        idx.append(docs.where(F.col("doc_id") % 4 == m))
+    probe = docs.where(F.col("doc_id") % 4 == 3)
+    before = {(r.new_id, r.old_id) for r in idx.match_new(probe, 0.1).collect()}
+    idx.compact(files_per_band=1)
+    band0 = os.path.join(idx.path, "band=0")
+    files = [f for f in os.listdir(band0) if f.endswith(".parquet")]
+    assert len(files) == 1, files
+    after = {(r.new_id, r.old_id) for r in idx.match_new(probe, 0.1).collect()}
+    assert before == after and before
