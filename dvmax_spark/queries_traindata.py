@@ -11,7 +11,7 @@ compare) plus tools/driver_sim.py --all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dvmax_spark.catalog import load_table
@@ -155,3 +155,54 @@ def x_group_split(spark: SparkSession, sf: str) -> DataFrame:
         threshold=0.1,
     )
     return group_split(docs, pairs).orderBy("doc_id")
+
+
+def _ppl_sample_sql(pct: int = 30) -> str:
+    from dvmax_spark.ext.textstats import unigram_logprob_sql
+    from dvmax_spark.ext.traindata import _duck_bucket
+
+    b = _duck_bucket("doc_id::VARCHAR", 100)
+    return f"""
+    WITH lp AS ({unigram_logprob_sql()}),
+    q AS (
+      SELECT doc_id, avg_logprob,
+             ntile(5) OVER (ORDER BY avg_logprob, doc_id) AS quintile
+      FROM lp
+    )
+    SELECT quintile, count(*) AS n_total,
+           CAST(sum(CASE WHEN {b} < {pct} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           min(avg_logprob) AS lp_min, max(avg_logprob) AS lp_max
+    FROM q GROUP BY quintile ORDER BY quintile
+    """
+
+
+@query("x_ppl_stratified_sample", ids=("X8", "X21"), sql=_ppl_sample_sql())
+def x_ppl_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-stratified sampling (DataComp/CCNet practice): bucket
+    docs into quality quintiles by their corpus-unigram mean logprob,
+    then draw a deterministic per-doc hash sample inside every
+    quintile — a mixture that spans the quality spectrum instead of
+    clipping its tails. Ranking happens on the PRE-ROUNDED score with
+    doc-id tie-break (cross-engine float policy). The global ntile is
+    the toy-scale form; at 100 TB replace it with approx-quantile
+    cutoffs (a_approx_percentile) so no global sort exists."""
+    from dvmax_spark.ext.textstats import unigram_logprob
+
+    docs = load_table(spark, "documents", sf)
+    lp = unigram_logprob(docs)
+    w = Window.orderBy("avg_logprob", "doc_id")
+    q = lp.select(
+        "doc_id", "avg_logprob", F.ntile(5).over(w).alias("quintile")
+    )
+    kept = (hash_bucket("doc_id", 100) < 30).cast("int")
+    return (
+        q.select("quintile", "avg_logprob", kept.alias("kept"))
+        .groupBy("quintile")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.min("avg_logprob").alias("lp_min"),
+            F.max("avg_logprob").alias("lp_max"),
+        )
+        .orderBy("quintile")
+    )
