@@ -24,8 +24,6 @@ Scale shapes (100 TB contract):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +35,8 @@ __all__ = [
     "bm25_rank_sql",
     "dup_span_stats",
     "dup_span_stats_sql",
+    "doc_chunks",
+    "doc_chunks_sql",
 ]
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from dvmax_spark.ext.retrieval import bm25_rank, dup_span_stats, vocabulary
 from tests.conftest import SF_DIR_CORRECT
-from tests.test_plans import _plan, _q
+from tests.test_plans import _plan
 
 
 def _docs(spark):
