@@ -156,3 +156,65 @@ def s4_pipeline_infra(spark: SparkSession, sf: str) -> DataFrame:
         "n_universe long, n_cached long, n_cached_again long, "
         "n_quarantined long, status_processed long, n_prefix_cols long",
     )
+
+
+@query(
+    "s_corrupt_json_recovery",
+    ids=("S11", "V6"),
+    sql="""
+    SELECT 3::BIGINT AS n_valid, 2::BIGINT AS n_corrupt,
+           1::BIGINT AS n_partial, 20.75::DOUBLE AS v_sum_valid,
+           '1,4,5' AS valid_ids
+    """,
+)
+def s_corrupt_json_recovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-input recovery at the scan edge: JSONL read in
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column — valid
+    rows flow through, a type-mismatch line keeps its parseable fields
+    (partial recovery) but is FLAGGED, a garbage line yields an
+    all-null flagged row; flagged rows route to the quarantine sink
+    (S11 contract: no data silently dropped, no job abort). The fixture
+    is deterministic, so the oracle is the golden summary (repo
+    convention for fixture-backed infra queries). At 100 TB this is the
+    difference between one bad upstream file killing the nightly run
+    and a quarantine table you triage in the morning."""
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(), f"dvmax_corrupt_{os.getpid()}_{abs(hash(sf)) % 10**8}"
+    )
+    os.makedirs(fixture_dir, exist_ok=True)
+    with open(os.path.join(fixture_dir, "data.jsonl"), "w") as f:
+        f.write('{"id": 1, "v": 10.5, "name": "ok"}\n')
+        f.write('{"id": 2, "v": "not-a-number", "name": "bad-type"}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"id": 4, "v": 7.25, "name": "fine"}\n')
+        f.write('{"id": 5, "v": 3.0, "name": "also fine"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = spark.read.schema(schema).json(fixture_dir)
+    flagged = F.col("_corrupt_record").isNotNull()
+    quarantine_dir = os.path.join(fixture_dir, "_quarantine")
+    raw.where(flagged).write.mode("overwrite").option("compression", "zstd").parquet(
+        quarantine_dir
+    )
+    quarantined = spark.read.parquet(quarantine_dir)
+    valid = raw.where(~flagged)
+    return (
+        valid.agg(
+            F.count(F.lit(1)).alias("n_valid"),
+            F.round(F.sum("v"), 2).alias("v_sum_valid"),
+            F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("valid_ids"),
+        )
+        .crossJoin(
+            quarantined.agg(
+                F.count(F.lit(1)).alias("n_corrupt"),
+                F.sum(F.col("id").isNotNull().cast("bigint")).alias("n_partial"),
+            )
+        )
+        .select("n_valid", "n_corrupt", "n_partial", "v_sum_valid", "valid_ids")
+    )
