@@ -310,3 +310,31 @@ def a_theta_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf)
     return audience_overlap(ev, "event_type", "user_id")
+
+
+@query("x_embedding_pca", ids=("X5", "X13"), sql=None)
+def x_embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """MLlib PCA over the embedding column: top-8 principal components
+    of the corpus embedding distribution with per-component and
+    cumulative explained variance — the dimensionality check before
+    IVF/whitening (random testdata embeddings have near-uniform
+    spectrum; real embedding tables concentrate). Distributed
+    covariance + local eigendecomposition on the driver (d x d, d=32 —
+    driver work is dimension-bound, not row-bound, the right split at
+    100 TB). No SQL oracle (eigensolver internals are engine-specific);
+    tests assert the spectral invariants: non-increasing, positive,
+    cumulative <= 1."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, "embeddings", sf).select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(emb)
+    ev = model.explainedVariance.toArray().tolist()
+    rows = [
+        (i + 1, round(v, 6), round(sum(ev[: i + 1]), 6)) for i, v in enumerate(ev)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, explained_variance double, cumulative double"
+    )

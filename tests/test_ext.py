@@ -627,3 +627,17 @@ def test_minhash_index_compact_preserves_matches(spark, tmp_path):
     assert len(files) == 1, files
     after = {(r.new_id, r.old_id) for r in idx.match_new(probe, 0.1).collect()}
     assert before == after and before
+
+
+def test_embedding_pca_spectral_invariants(spark):
+    from dvmax_spark.registry import all_queries
+
+    rows = all_queries()["x_embedding_pca"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 8
+    evs = [r.explained_variance for r in rows]
+    assert all(v > 0 for v in evs)
+    assert evs == sorted(evs, reverse=True)
+    assert rows[-1].cumulative <= 1.0 + 1e-9
+    # i.i.d.-random 32-dim embeddings: top-8 captures roughly its
+    # uniform share (8/32 = 0.25), well away from degenerate extremes
+    assert 0.2 <= rows[-1].cumulative <= 0.6
