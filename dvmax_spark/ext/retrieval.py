@@ -184,6 +184,7 @@ def dup_span_stats(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Per-document cross-corpus duplicated-span fraction: the share of
     a doc's word ``n``-gram POSITIONS whose gram also occurs in at
@@ -194,6 +195,13 @@ def dup_span_stats(
     Inverted-index shape (one shuffle of gram occurrences, gram-level
     distinct-doc counts joined back); docs shorter than ``n`` tokens
     report 0 spans / fraction 0.0.
+
+    ``max_doc_freq`` is the 100 TB knob (same contract as exact
+    Jaccard's hot-shingle prune): grams appearing in MORE than this
+    many docs are boilerplate, not near-dup signal — dropping them
+    bounds the semi-join's per-gram fan-in. Conservative by
+    construction: pruning can only LOWER n_dup/dup_frac, never raise
+    it. The oracled query runs uncapped so the oracle stays exact.
     """
     grams = df.select(F.col(id_col), shingle_seq(text_col, n).alias("gs"))
     occ = grams.select(id_col, F.explode("gs").alias("g"))
@@ -203,6 +211,8 @@ def dup_span_stats(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
+    if max_doc_freq is not None:
+        gdocs = gdocs.where(F.col("n_docs") <= max_doc_freq)
     dup = (
         occ.join(gdocs, "g", "left_semi")
         .groupBy(id_col)

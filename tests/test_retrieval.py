@@ -172,3 +172,19 @@ def test_doc_chunks_is_shuffle_free(spark):
     body = plan.split("AdaptiveSparkPlan")[-1]
     # the only exchange allowed is the final presentation orderBy
     assert body.count("Exchange") <= 1, plan
+
+
+def test_dup_span_hot_gram_cap_is_conservative(spark):
+    """max_doc_freq may only LOWER per-doc dup counts (boilerplate
+    grams dropped), never raise them — the conservative-prune contract
+    shared with exact Jaccard."""
+    uncapped = (
+        dup_span_stats(_docs(spark), n=8).toPandas().set_index("doc_id")["n_dup"]
+    )
+    capped = (
+        dup_span_stats(_docs(spark), n=8, max_doc_freq=2)
+        .toPandas()
+        .set_index("doc_id")["n_dup"]
+    )
+    assert (capped <= uncapped).all()
+    assert capped.sum() < uncapped.sum() or uncapped.sum() == 0
