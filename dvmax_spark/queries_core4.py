@@ -718,14 +718,17 @@ _SCD2_SQL = """
     WITH runs AS (
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
              CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
-                  THEN 1 ELSE 0 END AS chg,
-             min(o_orderkey) OVER (PARTITION BY o_custkey) AS first_key
+                  THEN 1 ELSE 0 END AS chg
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ),
     versions AS (
+      -- chg=1 already covers the first row per key: lag() is NULL there
+      -- and IS DISTINCT FROM a non-null status. No min-orderkey clause:
+      -- that re-admitted non-change rows whenever the min key was not
+      -- the date-first row (spurious same-status versions).
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
-      FROM runs WHERE chg = 1 OR o_orderkey = first_key
+      FROM runs WHERE chg = 1
     ),
     hist AS (
       SELECT o_custkey AS custkey, o_orderstatus AS status,
@@ -757,11 +760,10 @@ def j_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
         (~F.lag("o_orderstatus").over(wkey).eqNullSafe(F.col("o_orderstatus")))
         .cast("int").alias("chg"),
-        F.min("o_orderkey").over(Window.partitionBy("o_custkey")).alias("first_key"),
     )
-    versions = runs.where(
-        (F.col("chg") == 1) | (F.col("o_orderkey") == F.col("first_key"))
-    )
+    # chg=1 covers the first row per key too (lag NULL is never
+    # null-safe-equal to a non-null status) — see the oracle CTE note
+    versions = runs.where(F.col("chg") == 1)
     v = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     hist = versions.select(
         F.col("o_custkey").alias("custkey"),

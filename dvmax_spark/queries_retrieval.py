@@ -80,7 +80,9 @@ def x_doc_chunks_udtf(spark: SparkSession, sf: str) -> DataFrame:
     @udtf(returnType="chunk_idx bigint, chunk_tokens int, chunk_md5 string")
     class ChunkDoc:
         def eval(self, text):  # noqa: ANN001 - UDTF contract
-            toks = text.split(" ") if text else []
+            # match Spark/DuckDB split semantics: ''.split(' ') == ['']
+            # (one empty token); only NULL text yields zero chunks
+            toks = [] if text is None else text.split(" ")
             n = len(toks)
             for i, start in enumerate(range(0, n, 32)):
                 chunk = " ".join(toks[start : start + 64])

@@ -64,3 +64,19 @@ def test_udtf_lateral_join_matches_expression_chunker(spark):
     assert a[["doc_id", "chunk_idx", "chunk_tokens", "chunk_md5"]].equals(
         b[["doc_id", "chunk_idx", "chunk_tokens", "chunk_md5"]]
     )
+
+
+def test_udtf_and_expression_chunker_agree_on_empty_text(spark):
+    """'' splits to one empty token (one chunk with md5('')); only NULL
+    text yields zero chunks — pinned for both chunker forms."""
+    from dvmax_spark.ext.retrieval import doc_chunks
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a b")], "doc_id long, text string"
+    )
+    expr = doc_chunks(df).toPandas()
+    assert list(expr["doc_id"]) == [1, 3]
+    assert expr.loc[0, "chunk_tokens"] == 1  # the single empty token
+    import hashlib
+
+    assert expr.loc[0, "chunk_md5"] == hashlib.md5(b"").hexdigest()
