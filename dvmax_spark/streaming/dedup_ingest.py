@@ -1,25 +1,33 @@
 """Streaming near-duplicate ingest: a document stream drains through
 ``foreachBatch`` against a persisted :class:`MinHashIndex` — GREEDY
-online dedup, the standard ingest contract: the FIRST-ADMITTED copy of
-a near-dup family survives; later arrivals route to a dup sink.
+online dedup, the standard ingest contract: docs are (logically)
+processed in id order, and a doc is displaced iff it is near-dup of an
+ALREADY-ADMITTED doc (index member or smaller surviving batch peer).
 
 This is deliberately NOT connected-components dedup (that is the batch
-operator ``dedup_clusters``): online arrival can't see future edges,
-so a chain a~b, b~c admits both a and c when b was dropped — greedy
-semantics, documented and pinned by test. For clone families (the
-overwhelmingly common case) greedy and component dedup agree and the
-min-id representative survives when arrival order follows ids.
+operator ``dedup_clusters``): greedy online semantics admit both
+endpoints of a chain a~b, b~c when the middle was displaced — b's
+near-dups are judged against SURVIVORS only. The within-batch survivor
+set is the exact sequential-greedy result (lexicographic MIS over the
+candidate-pair graph), computed by earliest-witness fixpoint iteration
+— depth-k chain nodes are correct after k rounds, so ``max_iter``
+bounds chain length exactly like ``dedup_clusters``. Because the
+semantics equal sequential processing in id order, the outcome is
+INDEPENDENT of how the stream is sliced into micro-batches (pinned by
+test).
 
-Delivery semantics: a replayed micro-batch re-presents already-admitted
-doc ids; the id anti-join against the index turns the replay into a
-no-op (effectively-once on doc ids), same contract as
-``stream_upsert_into_store``.
+Delivery semantics: every processed id (admitted or displaced) is
+recorded in a ``<index>_seen`` ledger; replayed micro-batches anti-join
+it and become full no-ops — novel sink, dup sink, AND index stay
+byte-stable across replays (pinned by test).
 
 Scale notes (100 TB): per-batch work is O(batch) signatures + one
-band-key join against the index + the id anti-join. The id anti-join
-scans index ids; at cluster scale keep a dedicated admitted-ids table
-(or a rebuilt-per-epoch bloom filter) instead of distinct-ing the band
-table — noted here because toy scale hides that cost.
+band-key join against the index + the ledger anti-join. The ledger is
+an id-only parquet table; at mega-scale swap the per-batch distinct
+scan for a bloom filter rebuilt per epoch. Docs shorter than the
+shingle width can't minhash-match: they are admitted directly and
+excluded from matching AND from the band table (an all-null signature
+would pollute one shared empty band key per band).
 """
 
 from __future__ import annotations
@@ -30,6 +38,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dvmax_spark.ext.dedup import MinHashIndex, minhash_lsh_pairs
+
+
+def _greedy_survivors(ids: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Lexicographic MIS over ``edges`` (id_a < id_b) restricted to
+    ``ids`` — the exact survivor set of sequential greedy processing in
+    id order. Earliest-witness fixpoint: S <- ids \\ {d : edge (s, d),
+    s in S}; nodes at greedy depth k are stable after k rounds."""
+    surv = ids
+    for _ in range(max_iter):
+        displaced = (
+            edges.join(surv.withColumnRenamed("id", "id_a"), "id_a")
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        nxt = ids.join(displaced, "id", "left_anti").localCheckpoint(eager=True)
+        if nxt.count() == surv.count():
+            surv = nxt
+            break
+        surv = nxt
+    return surv
 
 
 def stream_dedup_ingest(
@@ -44,65 +72,79 @@ def stream_dedup_ingest(
 ):
     """Attach a document stream to ``index`` and start the query.
 
-    Per micro-batch: exact-id dedup within the batch → replay guard
-    (ids already in the index are no-ops) → within-batch near-dups
-    (min id survives) → index near-dups (first-admitted survives) →
-    novel docs append to ``out_dir`` AND into the index; displaced
-    docs append to ``dup_dir`` with the id they duplicated.
-    Returns the StreamingQuery (caller awaits termination).
+    Per micro-batch: exact-id dedup within the batch → ledger replay
+    guard → cross-displacement vs the index (admitted corpus always
+    wins) → within-batch sequential-greedy survivors → novel docs
+    append to ``out_dir`` AND (if matchable) the index; displaced docs
+    append to ``dup_dir`` with the smallest admitted doc they
+    duplicate. Returns the StreamingQuery (caller awaits termination).
     """
     idc = index.id_col
+    ledger = index.path + "_seen"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch = batch_df.dropDuplicates([idc])
-        if os.path.isdir(index.path):
-            seen = index.spark.read.parquet(index.path).select(idc).distinct()
+        if os.path.isdir(ledger):
+            seen = index.spark.read.parquet(ledger).select(idc).distinct()
             fresh = batch.join(seen, idc, "left_anti")
         else:
             fresh = batch
-        fresh = fresh.localCheckpoint()  # cut lineage: reused 4x below
+        fresh = fresh.localCheckpoint()
         if fresh.isEmpty():
             return
-        # within-batch near-dups: keep the min id of each candidate
-        # pair. Docs shorter than the shingle width can't minhash-match
-        # (all-null signature -> shared empty band key would produce
-        # spurious pairs) — exclude them from matching, admit them.
         matchable = fresh.where(
             F.size(F.split(F.col(index.text_col), " ")) >= index.shingle_n
         )
+        # cross-displacement: the admitted corpus always outranks the batch
+        if os.path.isdir(index.path):
+            cross = (
+                index.match_new(matchable, threshold=threshold)
+                .groupBy(F.col("new_id").alias(idc))
+                .agg(F.min("old_id").alias("dup_of"))
+                .localCheckpoint()
+            )
+        else:
+            cross = (
+                fresh.select(idc).limit(0).withColumn("dup_of", F.col(idc))
+            )
+        # within-batch: sequential-greedy survivors over candidate pairs,
+        # excluding cross-displaced docs (they are not admitted, so they
+        # cannot displace their batch peers)
+        contenders = matchable.join(cross, idc, "left_anti")
         pairs = minhash_lsh_pairs(
-            matchable,
+            contenders,
             id_col=idc,
             text_col=index.text_col,
             num_hashes=index.num_hashes,
             bands=index.bands,
             shingle_n=index.shingle_n,
             threshold=threshold,
-        )
-        intra = pairs.select(
-            F.col("id_b").alias(idc), F.col("id_a").alias("dup_of")
-        )
-        # vs the already-admitted corpus: first-admitted wins
-        if os.path.isdir(index.path):
-            cross = index.match_new(fresh, threshold=threshold).select(
-                F.col("new_id").alias(idc), F.col("old_id").alias("dup_of")
-            )
-            displaced = intra.unionByName(cross)
-        else:
-            displaced = intra
-        displaced = (
-            displaced.groupBy(idc).agg(F.min("dup_of").alias("dup_of"))
         ).localCheckpoint()
+        surv = _greedy_survivors(
+            contenders.select(F.col(idc).alias("id")), pairs
+        )
+        intra = (
+            pairs.join(surv.withColumnRenamed("id", "id_a"), "id_a")
+            .groupBy(F.col("id_b").alias(idc))
+            .agg(F.min("id_a").alias("dup_of"))
+        )
+        displaced = cross.unionByName(intra).groupBy(idc).agg(
+            F.min("dup_of").alias("dup_of")
+        )
         dups = fresh.join(displaced, idc, "inner")
         novel = fresh.join(displaced, idc, "left_anti")
         dups.write.mode("append").option("compression", "zstd").parquet(dup_dir)
         novel.write.mode("append").option("compression", "zstd").parquet(out_dir)
+        admit = novel.join(
+            matchable.select(idc), idc, "left_semi"
+        )  # shorts stay out of the band table
         if os.path.isdir(index.path):
-            index.append(novel)
+            index.append(admit)
         else:
-            index.build(novel)
+            index.build(admit)
+        fresh.select(idc).write.mode("append").parquet(ledger)
 
     writer = stream_docs.writeStream.foreachBatch(_sink).queryName(query_name)
     if checkpoint_dir:

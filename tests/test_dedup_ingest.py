@@ -113,8 +113,9 @@ def test_replay_is_idempotent(spark, tmp_path):
     from dvmax_spark.streaming.dedup_ingest import stream_dedup_ingest
 
     docs_pdf = _mk_corpus(spark).toPandas()
-    root, idx, novel, _ = _run_ingest(spark, tmp_path, 3, docs_pdf, "replay")
+    root, idx, novel, dups0 = _run_ingest(spark, tmp_path, 3, docs_pdf, "replay")
     n_novel = len(novel)
+    n_dups = len(dups0)
     n_index = spark.read.parquet(idx.path).count()
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -135,4 +136,44 @@ def test_replay_is_idempotent(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(os.path.join(root, "novel")).collect()
     )) == n_novel
     assert spark.read.parquet(os.path.join(root, "novel")).count() == n_novel
+    # the dup sink must also be byte-stable across replays (ledger guard)
+    assert spark.read.parquet(os.path.join(root, "dups")).count() == n_dups
     assert spark.read.parquet(idx.path).count() == n_index
+
+
+def test_chain_in_single_batch_matches_sequential_greedy(spark, tmp_path):
+    """The review-flagged case: a chain a~b, b~c arriving in ONE
+    micro-batch must behave exactly like sequential arrival — a
+    admitted, b displaced by a, c admitted (its only witness b never
+    survived). Pair-based min-id displacement would wrongly drop c
+    with dup_of pointing at the never-admitted b."""
+    docs_pdf = _mk_corpus(spark).toPandas()
+    _, _, novel, dups = _run_ingest(spark, tmp_path, 1, docs_pdf, "onebatch")
+    assert 900 in novel and 902 in novel and 901 not in novel
+    dup_of = {r.doc_id: r.dup_of for r in dups}
+    assert dup_of[901] == 900
+    # no displaced doc may name another DISPLACED doc as its original
+    displaced_ids = set(dup_of)
+    assert not (set(dup_of.values()) & displaced_ids)
+
+
+def test_greedy_survivors_fixpoint_on_synthetic_graphs(spark):
+    """Deterministic unit check of the lexicographic-MIS fixpoint (no
+    LSH banding luck involved): chains, stars, and a 4-chain."""
+    from dvmax_spark.streaming.dedup_ingest import _greedy_survivors
+
+    def run(ids, edges):
+        idf = spark.createDataFrame([(i,) for i in ids], "id long")
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r.id for r in _greedy_survivors(idf, edf).collect()}
+
+    # chain 1-2-3: greedy admits {1, 3}
+    assert run([1, 2, 3], [(1, 2), (2, 3)]) == {1, 3}
+    # chain 1-2-3-4: {1, 3} (4 displaced by surviving 3)
+    assert run([1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)]) == {1, 3}
+    # star 1-{2,3,4}: only the hub's min survives
+    assert run([1, 2, 3, 4], [(1, 2), (1, 3), (1, 4)]) == {1}
+    # two components + isolated node
+    assert run([1, 2, 5, 6, 9], [(1, 2), (5, 6)]) == {1, 5, 9}
+    # triangle: {1} (2 and 3 both see survivor 1)
+    assert run([1, 2, 3], [(1, 2), (1, 3), (2, 3)]) == {1}
