@@ -194,7 +194,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         ev = clean.where(F.col("source") == args.eval_source)
         tr = clean.where(F.col("source") != args.eval_source)
-        surv = train_split(decontaminate(tr, ev))
+        # checkpoint: the decontamination semi-join feeds BOTH the shard
+        # write and the split-count audit - without this it runs twice
+        surv = train_split(decontaminate(tr, ev)).localCheckpoint()
         train = surv.where(F.col("split") == "train")
         manifest = write_training_shards(train, args.out, ctx_len=args.ctx_len)
         counts = {

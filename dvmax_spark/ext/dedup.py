@@ -140,6 +140,29 @@ def minhash_signature(
     )
 
 
+
+def band_structs_expr(num_hashes: int, bands: int) -> "F.Column":
+    """The ONE banding construction (band ordinal + comma-joined
+    signature slice as band_key) shared by the batch LSH path, the
+    persisted MinHashIndex, and mirrored by the SQL CTE generator —
+    three consumers whose band keys must stay byte-compatible for
+    joins and oracle parity to hold."""
+    rows = num_hashes // bands
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col("signature")[b * rows + r] for r in range(rows)]
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bk")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -177,19 +200,7 @@ def minhash_lsh_pairs(
     sig = minhash_signature(df, text_col, num_hashes, shingle_n, id_col=id_col)
     if rejoin_signatures:
         sig = sig.localCheckpoint(eager=False)
-    band_structs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ",", *[F.col("signature")[b * rows + r] for r in range(rows)]
-                    ).alias("band_key"),
-                )
-                for b in range(bands)
-            ]
-        )
-    ).alias("bk")
+    band_structs = band_structs_expr(num_hashes, bands)
 
     if rejoin_signatures:
         banded = sig.select(F.col(id_col), band_structs).select(
@@ -664,24 +675,10 @@ class MinHashIndex:
         self.text_col = text_col
 
     def _banded(self, docs: DataFrame) -> DataFrame:
-        rows = self.num_hashes // self.bands
         sig = minhash_signature(
             docs, self.text_col, self.num_hashes, self.shingle_n, id_col=self.id_col
         )
-        bk = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[F.col("signature")[b * rows + r] for r in range(rows)],
-                        ).alias("band_key"),
-                    )
-                    for b in range(self.bands)
-                ]
-            )
-        ).alias("bk")
+        bk = band_structs_expr(self.num_hashes, self.bands)
         return sig.select(F.col(self.id_col), F.col("signature"), bk).select(
             self.id_col,
             "signature",
@@ -718,8 +715,14 @@ class MinHashIndex:
         import os
         import shutil
 
+        # (band, salt) partitioning: files_per_band groups PER band and
+        # bands x files_per_band parallel writer tasks. A bare
+        # repartition(files_per_band, "band") would hash whole bands
+        # into files_per_band tasks - one file per band regardless of
+        # the knob, and zero parallelism at files_per_band=1.
+        salt = _portable_hash(F.col(self.id_col).cast("string")) % files_per_band
         df = self.spark.read.parquet(self.path).repartition(
-            files_per_band, "band"
+            self.bands * files_per_band, F.col("band"), salt
         )
         staging = self.path + ".staging"
         retired = self.path + ".old"

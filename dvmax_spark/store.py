@@ -112,8 +112,21 @@ class FeatureStore:
         os.rename(staging, self.main_path)
         if keep > 0:
             os.makedirs(self.snapshots_path, exist_ok=True)
+            # version ids are NEVER reused: a counter file tracks the
+            # high-water mark so a version number keeps denoting one
+            # historical state even after retention (or restore) drains
+            # the live snapshot set — read_version(n) of a pruned id
+            # errors instead of silently returning a different state.
+            counter = os.path.join(self.snapshots_path, "NEXT")
+            try:
+                with open(counter) as fh:
+                    hwm = int(fh.read().strip())
+            except (FileNotFoundError, ValueError):
+                hwm = 0
             versions = self.snapshots()
-            nxt = (versions[-1] + 1) if versions else 1
+            nxt = max(hwm, versions[-1] if versions else 0) + 1
+            with open(counter, "w") as fh:
+                fh.write(str(nxt))
             os.rename(retired, os.path.join(self.snapshots_path, f"v{nxt}"))
             for v in self.snapshots()[:-keep]:
                 shutil.rmtree(os.path.join(self.snapshots_path, f"v{v}"))

@@ -93,3 +93,18 @@ def test_compact_sort_within_clusters_row_groups(spark, tmp_path):
             "as_of"
         ].to_pylist()
         assert vals == sorted(vals)
+
+
+def test_snapshot_version_ids_never_reused(spark, store):
+    """After restore drains the snapshot set, the next snapshot must
+    take a FRESH version id — read_version(n) of a pruned id errors
+    rather than silently returning a different historical state."""
+    store.upsert(_mk(spark, [("A", 1, 10.0)]))
+    store.upsert(_mk(spark, [("A", 1, 20.0)]))        # v1 = px 10
+    store.restore(1)                                   # promotes v1; bad state -> v2
+    assert store.snapshots() == [2]
+    store.upsert(_mk(spark, [("A", 1, 30.0)]))        # must become v3, not v1
+    assert store.snapshots() == [2, 3]
+    assert [r.px for r in store.read_version(3).collect()] == [10.0]
+    with pytest.raises(ValueError):
+        store.read_version(1)
