@@ -891,3 +891,52 @@ def a_weighted_median_udaf(spark: SparkSession, sf: str) -> DataFrame:
         .agg(wmedian("l_extendedprice", "l_quantity").alias("wmedian"))
         .orderBy("l_returnflag")
     )
+
+
+_Q6_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("sql_api_q6", ids=("P2", "P4", "A2", "F4"), sql=_Q6_SQL)
+def sql_api_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecasting-revenue-change query: a pure
+    scan-filter-aggregate with THREE pushable predicates and no join —
+    the canonical test that every predicate reaches the parquet reader
+    and the aggregate runs as a map-side partial. Identical SQL text on
+    both engines."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+_Q14_SQL = """
+    SELECT round(
+             100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1996-04-01'
+"""
+
+
+@query("sql_api_q14", ids=("J1", "P2", "A2", "F4"), sql=_Q14_SQL)
+def sql_api_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q14-shaped promotion-effect query: conditional-aggregate
+    ratio over a month of fact rows joined to a broadcast part dim —
+    the CASE-inside-sum pattern plus a tight date slice whose predicate
+    must prune the fact scan. Identical SQL text on both engines."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("lineitem", "part"))
+    return spark.sql(_Q14_SQL)
