@@ -188,3 +188,31 @@ def test_dup_span_hot_gram_cap_is_conservative(spark):
     )
     assert (capped <= uncapped).all()
     assert capped.sum() < uncapped.sum() or uncapped.sum() == 0
+
+
+def test_doc_chunks_coverage_property(spark):
+    """Property (hypothesis): for any doc length n >= 1, chunk starts
+    are 0,32,64,... < n; token counts are min(64, n-start); every token
+    position is covered by at least one chunk and at most two."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dvmax_spark.ext.retrieval import doc_chunks
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(min_value=1, max_value=300))
+    def check(n):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(n)))], "doc_id long, text string"
+        )
+        out = doc_chunks(df, window=64, stride=32).toPandas()
+        starts = [32 * i for i in out["chunk_idx"]]
+        assert starts == list(range(0, n, 32))
+        assert list(out["chunk_tokens"]) == [min(64, n - s) for s in starts]
+        cover = [0] * n
+        for s, t in zip(starts, out["chunk_tokens"]):
+            for p in range(s, s + t):
+                cover[p] += 1
+        assert all(1 <= c <= 2 for c in cover)
+
+    check()
