@@ -915,3 +915,84 @@ def x_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     idx = MinHashIndex(spark, path, num_hashes=32, bands=16, shingle_n=2)
     idx.build(old)
     return idx.match_new(new, threshold=0.1).orderBy("new_id", "old_id")
+
+
+@query(
+    "x_pseudonymize",
+    ids=("X16", "F9"),
+    sql="""
+    SELECT user_id,
+           substr(sha256('pepper:v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudonym,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic pseudonymization (privacy-preserving release): a
+    peppered SHA-256 of the identifier replaces it, STABLE across
+    tables and runs so joins/groupBys still line up after the raw id is
+    dropped — the standard pre-release tokenization step for training
+    data carrying user keys. Map-side expression, value-exact across
+    engines (both compute SHA-256 of identical bytes). The real id
+    rides along here only to prove join-consistency; a release pipeline
+    drops it in the final projection. Pepper rotation = version bump in
+    the prefix."""
+    ev = load_table(spark, "events", sf)
+    pseud = F.substring(
+        F.sha2(
+            F.concat(F.lit("pepper:v1:"), F.col("user_id").cast("string")), 256
+        ),
+        1,
+        16,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id", pseud.alias("pseudonym"), "n_events", "total_value"
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "v_k_anonymity",
+    ids=("V9", "A1"),
+    sql="""
+    WITH qi AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS group_n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT CAST(sum(CASE WHEN group_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+           CAST(sum(CASE WHEN group_n < 5 THEN group_n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           count(*) AS n_groups,
+           min(group_n) AS min_group
+    FROM qi
+    """,
+)
+def v_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit before release: group sizes over the
+    quasi-identifier combination (event_type, day); groups under k=5
+    are re-identification risks — their rows are the suppression /
+    generalization work-list. One partial-agg shuffle on the QI keys
+    then a tiny scalar summary; at 100 TB this is the same plan as any
+    rollup."""
+    ev = load_table(spark, "events", sf)
+    qi = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("group_n")
+    )
+    small = F.col("group_n") < 5
+    return qi.agg(
+        F.sum(small.cast("bigint")).alias("n_small_groups"),
+        F.sum(F.when(small, F.col("group_n")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_n").alias("min_group"),
+    )
