@@ -940,3 +940,82 @@ def sql_api_q14(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("lineitem", "part"))
     return spark.sql(_Q14_SQL)
+
+
+_PIT_SQL = """
+    WITH runs AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    versions AS (
+      SELECT o_custkey AS custkey,
+             max_by(o_orderstatus, o_orderkey) AS status,
+             CAST(o_orderdate AS DATE) AS vfrom
+      FROM runs WHERE chg = 1
+      GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    ),
+    facts AS (
+      SELECT o.o_custkey AS custkey, o.o_orderstatus AS status_at_order,
+             CAST(l.l_shipdate AS DATE) AS ship
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.status_at_order, v.status AS status_at_ship,
+           count(*) AS n_lines
+    FROM facts f ASOF JOIN versions v
+      ON f.custkey = v.custkey AND f.ship >= v.vfrom
+    GROUP BY f.status_at_order, v.status
+    ORDER BY f.status_at_order, status_at_ship
+"""
+
+
+@query("j_pit_scd2_lookup", ids=("J2", "J3", "A1"), sql=_PIT_SQL)
+def j_pit_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup: each lineitem resolves the
+    customer's order-status VERSION valid at ship time against the SCD2
+    history — the classic late-arriving-fact / time-travel-dimension
+    join. NOT a range join (which Catalyst would nest-loop): the
+    single-shuffle as-of machinery (operators/asof.py) attaches the
+    latest version with valid_from <= ship per customer. Same-date
+    version churn is collapsed to the last change of the day
+    (max_by orderkey) so the as-of key is strictly increasing per key
+    and both engines break ties identically. Oracle uses DuckDB's
+    native ASOF JOIN — two independent implementations of the same
+    semantics."""
+    from dvmax_spark.operators.asof import asof_join
+
+    o = load_table(spark, "orders", sf)
+    wkey = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = o.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+        (~F.lag("o_orderstatus").over(wkey).eqNullSafe(F.col("o_orderstatus")))
+        .cast("int").alias("chg"),
+    )
+    versions = (
+        runs.where(F.col("chg") == 1)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("asof_date"),
+        )
+        .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status"))
+    )
+    li = load_table(spark, "lineitem", sf)
+    facts = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status_at_order"),
+        F.col("l_shipdate").cast("date").alias("asof_date"),
+    )
+    pit = asof_join(
+        facts, versions, on="asof_date", by="custkey", strategy="backward"
+    )
+    # inner-ASOF semantics (match the oracle): facts shipping before the
+    # customer's first version have no point-in-time status and drop out
+    # (the synthetic data ships some lines before their order's date)
+    pit = pit.where(F.col("status").isNotNull())
+    return (
+        pit.groupBy("status_at_order", F.col("status").alias("status_at_ship"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("status_at_order", "status_at_ship")
+    )
