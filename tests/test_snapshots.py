@@ -108,3 +108,46 @@ def test_snapshot_version_ids_never_reused(spark, store):
     assert [r.px for r in store.read_version(3).collect()] == [10.0]
     with pytest.raises(ValueError):
         store.read_version(1)
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Z-order clustering: after zorder_write on (x, y), parquet
+    footer min/max ranges must be NARROW on BOTH columns in most files
+    (a plain sort clusters only its leading column — its trailing
+    column spans the full domain in every file)."""
+    import random
+
+    from dvmax_spark.store import zorder_write
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = str(tmp_path / "zorder")
+    zorder_write(df, out, ["x", "y"], files=16)
+
+    def spans(path, col):
+        import pyarrow.parquet as pq
+
+        res = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            res.append(hi - lo)
+        return res
+
+    x_spans, y_spans = spans(out, "x"), spans(out, "y")
+    assert len(x_spans) >= 8
+    # median file covers well under half the 10k domain on BOTH axes —
+    # the property that lets a range filter on EITHER column skip files
+    med = lambda v: sorted(v)[len(v) // 2]  # noqa: E731
+    assert med(x_spans) < 5_000, x_spans
+    assert med(y_spans) < 5_000, y_spans
+    # sanity: data round-trips
+    assert spark.read.parquet(out).count() == 20_000
