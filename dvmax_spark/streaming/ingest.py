@@ -123,3 +123,79 @@ def stream_into_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_sketches(
+    stream_df: DataFrame,
+    path: str,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    query_name: str = "sketch_ingest",
+    available_now: bool = True,
+):
+    """Maintain the persisted HLL sketch table (ext/sketches.py) from a
+    stream: each micro-batch's per-(group, day) sketches monoid-merge
+    (``hll_union_agg``) into the store behind a staging + atomic-rename
+    swap — a streaming DISTINCT-COUNT materialized view whose readers
+    (rollup_distinct_from_sketches) never rescan raw events. Same
+    exactly-once batch marker as the rollup path: sketch union is not
+    idempotent under foreachBatch's replay of the last batch."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.ext.sketches import daily_distinct_sketches
+
+    marker = os.path.join(checkpoint_dir, "_applied_batch")
+
+    def _applied(batch_id: int) -> bool:
+        try:
+            with open(marker) as fh:
+                return json.load(fh)["batch_id"] >= batch_id
+        except (OSError, ValueError, KeyError):
+            return False
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _applied(batch_id) or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new = daily_distinct_sketches(batch_df, group_col, ts_col, id_col)
+        if os.path.isdir(path):
+            cur = spark.read.parquet(path)
+            merged = (
+                cur.unionByName(new)
+                .groupBy(group_col, "day")
+                .agg(
+                    F.hll_union_agg("sketch").alias("sketch"),
+                    F.sum("n_rows").alias("n_rows"),
+                )
+            )
+        else:
+            merged = new
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        retired = path + ".old"
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(path):
+            os.rename(path, retired)
+        os.rename(staging, path)
+        shutil.rmtree(retired, ignore_errors=True)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, marker)
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

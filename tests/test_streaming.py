@@ -334,3 +334,47 @@ def test_stream_upsert_into_store_keep_last(spark, events_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert store2.read().count() == len(expect)
+
+
+def test_stream_into_sketches_matches_batch_distinct(spark, events_dir, tmp_path):
+    """Streaming sketch maintenance: drain the events stream into the
+    persisted HLL sketch table; the merged rollup's per-group distinct
+    estimates must sit within the HLL envelope of the batch-exact
+    counts, and sketch-row n_rows must reconcile exactly."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.sketches import rollup_distinct_from_sketches
+    from dvmax_spark.streaming.ingest import stream_into_sketches
+
+    path = str(tmp_path / "sketches")
+    stream = _read_stream(spark, events_dir).select("event_type", "ts", "user_id")
+    q = stream_into_sketches(
+        stream,
+        path,
+        group_col="event_type",
+        ts_col="ts",
+        id_col="user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="sketch_ingest_test",
+    )
+    q.awaitTermination(120)
+
+    rolled = {
+        r.event_type: (r.est_distinct, r.n_rows)
+        for r in rollup_distinct_from_sketches(
+            spark.read.parquet(path), "event_type"
+        ).collect()
+    }
+    batch = load_table(spark, "events", SF)
+    exact = {
+        r.event_type: (r.d, r.n)
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for k, (est, n_rows) in rolled.items():
+        d, n = exact[k]
+        assert n_rows == n, k
+        assert abs(est - d) <= d * 0.05 + 2, (k, est, d)
