@@ -220,6 +220,53 @@ class FeatureStore:
         partitions carried by `updates`."""
         self._write(updates, "overwrite")
 
+    def delete_keys(self, keys_df: DataFrame, purge_snapshots: bool = False) -> int:
+        """Row-level delete (right-to-be-forgotten): remove every row
+        whose key tuple appears in ``keys_df``, rewriting ONLY the
+        partitions that contain matches (anti-join + dynamic partition
+        overwrite) — untouched partitions keep their files byte-for-
+        byte. Returns rows deleted.
+
+        ``purge_snapshots=True`` also drops the snapshot log: retained
+        snapshots still CONTAIN the deleted rows (they are renames of
+        old table states), so a compliance deletion must erase them —
+        the privacy/durability trade is the caller's call, which is why
+        it is explicit."""
+        keys_df = keys_df.select(*self.keys).distinct()
+        if not self.exists():
+            return 0
+        current = self.read()
+        hit_parts = (
+            current.join(keys_df, self.keys, "left_semi")
+            .select(self.partition_col)
+            .distinct()
+        )
+        n = current.join(keys_df, self.keys, "left_semi").count()
+        if n:
+            touched = current.join(
+                F.broadcast(hit_parts), self.partition_col, "left_semi"
+            )
+            # MATERIALIZE before touching files: survivors lazily reads
+            # main_path, and we are about to delete the very partition
+            # dirs it scans (same recompute-after-delete hazard the
+            # upsert swap protocol guards against)
+            survivors = touched.join(keys_df, self.keys, "left_anti").localCheckpoint()
+            has_survivors = bool(survivors.head(1))
+            # survivors may be empty for a fully-deleted partition, so
+            # clear the touched partition dirs explicitly
+            for r in hit_parts.collect():  # |touched partitions| is small
+                shutil.rmtree(
+                    os.path.join(
+                        self.main_path, f"{self.partition_col}={r[0]}"
+                    ),
+                    ignore_errors=True,
+                )
+            if has_survivors:
+                self._write(survivors, "append")
+        if purge_snapshots and os.path.isdir(self.snapshots_path):
+            shutil.rmtree(self.snapshots_path)
+        return n
+
     def compact(self, files_per_partition: int = 1, sort_within: list[str] | None = None) -> None:
         """Rewrite the store to ``files_per_partition`` files per
         partition, optionally sorted by ``sort_within`` inside each

@@ -151,3 +151,32 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     assert med(y_spans) < 5_000, y_spans
     # sanity: data round-trips
     assert spark.read.parquet(out).count() == 20_000
+
+
+def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
+    """Right-to-be-forgotten delete: matched rows disappear, untouched
+    partitions keep their files byte-for-byte, fully-deleted partitions
+    vanish, and purge_snapshots erases the history that still contains
+    the deleted rows."""
+    st = FeatureStore(
+        spark, str(tmp_path / "gdpr"), keys=["ticker", "as_of"],
+        partition_col="ticker", keep_snapshots=3,
+    )
+    st.upsert(_mk(spark, [("A", 1, 1.0), ("A", 2, 2.0), ("B", 1, 3.0), ("C", 1, 4.0)]))
+    st.upsert(_mk(spark, [("A", 1, 1.5)]))  # creates a snapshot holding A rows
+    b_dir = os.path.join(st.main_path, "ticker=B")
+    before = {f: os.path.getmtime(os.path.join(b_dir, f)) for f in os.listdir(b_dir)}
+
+    keys = spark.createDataFrame(
+        [("A", 1), ("C", 1)], "ticker string, as_of int"
+    )
+    n = st.delete_keys(keys, purge_snapshots=True)
+    assert n == 2
+    left = {(r.ticker, r.as_of) for r in st.read().collect()}
+    assert left == {("A", 2), ("B", 1)}
+    # C's partition (fully deleted) is gone; B's files untouched
+    assert not os.path.isdir(os.path.join(st.main_path, "ticker=C"))
+    after = {f: os.path.getmtime(os.path.join(b_dir, f)) for f in os.listdir(b_dir)}
+    assert after == before
+    # snapshots (which still contained the deleted rows) were purged
+    assert st.snapshots() == []
