@@ -390,3 +390,33 @@ def zorder_write(
         .option("compression", "zstd")
         .parquet(path)
     )
+
+
+def table_diff(current: DataFrame, previous: DataFrame, keys: list[str]) -> DataFrame:
+    """CDC-style diff between two table states (e.g. the live table and
+    a snapshot): one row per changed key with change_type in
+    {inserted, deleted, updated}. Full-outer join on the keys, value
+    comparison on the common non-key columns via a null-safe struct
+    equality — one shuffle on the keys, no collect. The feed a
+    downstream incremental consumer replays instead of re-reading the
+    whole table."""
+    val_cols = [
+        c for c in current.columns if c in previous.columns and c not in keys
+    ]
+    cur = current.select(
+        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("_cur")
+    ).withColumn("_has_cur", F.lit(True))
+    prev = previous.select(
+        *keys, F.struct(*[F.col(c) for c in val_cols]).alias("_prev")
+    ).withColumn("_has_prev", F.lit(True))
+    j = cur.join(prev, keys, "full_outer")
+    change = (
+        F.when(F.col("_has_prev").isNull(), F.lit("inserted"))
+        .when(F.col("_has_cur").isNull(), F.lit("deleted"))
+        .when(~F.col("_cur").eqNullSafe(F.col("_prev")), F.lit("updated"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

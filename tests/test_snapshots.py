@@ -180,3 +180,25 @@ def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
     assert after == before
     # snapshots (which still contained the deleted rows) were purged
     assert st.snapshots() == []
+
+
+def test_table_diff_against_snapshot(spark, store):
+    from dvmax_spark.store import table_diff
+
+    store.upsert(_mk(spark, [("A", 1, 1.0), ("A", 2, 2.0), ("B", 1, 3.0)]))
+    store.upsert(_mk(spark, [("A", 1, 9.0), ("C", 1, 4.0)]))  # snapshot v1
+    diff = {
+        (r.ticker, r.as_of): r.change_type
+        for r in table_diff(
+            store.read(), store.read_version(1), ["ticker", "as_of"]
+        ).collect()
+    }
+    assert diff == {("A", 1): "updated", ("C", 1): "inserted"}
+    # reverse direction flips insert/delete
+    rev = {
+        (r.ticker, r.as_of): r.change_type
+        for r in table_diff(
+            store.read_version(1), store.read(), ["ticker", "as_of"]
+        ).collect()
+    }
+    assert rev == {("A", 1): "updated", ("C", 1): "deleted"}
