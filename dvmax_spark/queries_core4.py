@@ -1019,3 +1019,79 @@ def j_pit_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .orderBy("status_at_order", "status_at_ship")
     )
+
+
+_PROFILE_COLS_NUM = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_COLS_STR = ("l_returnflag", "l_linestatus")
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           round(min({c}), 4) AS min_num, round(max({c}), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem"""
+    for c in _PROFILE_COLS_NUM
+) + " UNION ALL " + " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           min({c}) AS min_str, max({c}) AS max_str
+    FROM lineitem"""
+    for c in _PROFILE_COLS_STR
+) + " ORDER BY col_name"
+
+
+@query("a_table_profile", ids=("A1", "A2", "A10", "V1"), sql=_PROFILE_SQL)
+def a_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct counts + min/max —
+    the first thing run against an unknown table and the input to
+    validation-rule authoring. ONE pass over the data: all per-column
+    aggregates compute in a single scan-level Aggregate (Catalyst fuses
+    the expression list), then reshape to one row per column. Exact
+    distinct here for the oracle; at 100 TB swap in
+    approx_count_distinct (the sketch layer) per column."""
+    li = load_table(spark, "lineitem", sf)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS_NUM + _PROFILE_COLS_STR:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    for c in _PROFILE_COLS_NUM:
+        aggs += [
+            F.round(F.min(c), 4).alias(f"{c}__mn"),
+            F.round(F.max(c), 4).alias(f"{c}__mx"),
+        ]
+    for c in _PROFILE_COLS_STR:
+        aggs += [F.min(c).alias(f"{c}__mns"), F.max(c).alias(f"{c}__mxs")]
+    wide = li.agg(*aggs)
+    rows = []
+    for c in _PROFILE_COLS_NUM:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"), F.col("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"), F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_num"), F.col(f"{c}__mx").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _PROFILE_COLS_STR:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"), F.col("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"), F.col(f"{c}__nd").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__mns").alias("min_str"), F.col(f"{c}__mxs").alias("max_str"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
