@@ -1095,3 +1095,55 @@ def a_table_profile(spark: SparkSession, sf: str) -> DataFrame:
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+_OHLC_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+             ts, event_id, value
+      FROM events
+    )
+    SELECT event_type, week,
+           round(min_by(value, ts || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max_by(value, ts || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS close,
+           count(*) AS n_ticks
+    FROM base
+    GROUP BY event_type, week
+    ORDER BY event_type, week
+"""
+
+
+@query("a_ohlc_resample", ids=("A6", "A9", "F2"), sql=_OHLC_SQL)
+def a_ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series bar resampling: tick stream → weekly OHLC bars
+    (open = first by time, high/low = extrema, close = last by time) —
+    the canonical downsampling step before any bar-based indicator.
+    ONE partial-aggregated shuffle on (series, week); first/last use
+    min_by/max_by on a collision-free (ts, event_id) composite so ties
+    inside a timestamp resolve identically in both engines."""
+    ev = load_table(spark, "events", sf)
+    tie = F.concat_ws(
+        "|",
+        F.col("ts").cast("string"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    base = ev.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week"),
+        tie.alias("tie"),
+        "value",
+    )
+    return (
+        base.groupBy("event_type", "week")
+        .agg(
+            F.round(F.min_by("value", "tie"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "tie"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "week")
+    )
