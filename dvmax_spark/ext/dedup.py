@@ -650,7 +650,8 @@ class MinHashIndex:
     signatures + one shuffle join on (band, band_key) against the
     index; the corpus is touched only through the band table, which
     the scan prunes by band. ``max_bucket`` caps degenerate band keys
-    on both sides (same guard as the batch path). Matching new-vs-old
+    by COMBINED (index + batch) membership — the same bound the batch
+    path's union-wide cap gives, which a per-side cap would not. Matching new-vs-old
     is value-exact against the full-corpus LSH oracle restricted to
     cross pairs (tests + x_incremental_dedup).
     """
@@ -686,21 +687,46 @@ class MinHashIndex:
             F.col("bk.band_key").alias("band_key"),
         )
 
-    def build(self, docs: DataFrame) -> None:
-        (
-            self._banded(docs)
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .option("compression", "zstd")
-            .parquet(self.path)
-        )
+    def build(self, docs: DataFrame, batch_key: int | str | None = None) -> None:
+        banded = self._banded(docs)
+        if batch_key is None:
+            (
+                banded.write.mode("overwrite")
+                .partitionBy("band")
+                .option("compression", "zstd")
+                .parquet(self.path)
+            )
+        else:
+            self._write_batch(banded, batch_key)
 
-    def append(self, docs: DataFrame) -> None:
-        """Admit a new batch into the index (after matching it)."""
+    def append(self, docs: DataFrame, batch_key: int | str | None = None) -> None:
+        """Admit a new batch into the index (after matching it).
+
+        ``batch_key`` (streaming ingest) switches the layout to
+        ``ingest_batch=<key>/band=<b>`` and makes the write an
+        IDEMPOTENT dynamic partition overwrite: replaying the same
+        batch rewrites its own partitions instead of appending a
+        second copy — the property the streaming sink's crash-replay
+        contract needs. A given index must be written consistently
+        (always with batch keys, or never): parquet partition
+        discovery requires one directory depth."""
+        if batch_key is None:
+            (
+                self._banded(docs)
+                .write.mode("append")
+                .partitionBy("band")
+                .option("compression", "zstd")
+                .parquet(self.path)
+            )
+        else:
+            self._write_batch(self._banded(docs), batch_key)
+
+    def _write_batch(self, banded: DataFrame, batch_key: int | str) -> None:
         (
-            self._banded(docs)
-            .write.mode("append")
-            .partitionBy("band")
+            banded.withColumn("ingest_batch", F.lit(str(batch_key)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "band")
             .option("compression", "zstd")
             .parquet(self.path)
         )
@@ -724,12 +750,19 @@ class MinHashIndex:
         df = self.spark.read.parquet(self.path).repartition(
             self.bands * files_per_band, F.col("band"), salt
         )
+        # batch-keyed (streaming) indexes keep their two-level layout;
+        # do NOT compact such an index between a crash and its stream's
+        # restart — a replayed batch would re-add rows already folded
+        # into the compacted partitions
+        part_cols = (
+            ["ingest_batch", "band"] if "ingest_batch" in df.columns else ["band"]
+        )
         staging = self.path + ".staging"
         retired = self.path + ".old"
         shutil.rmtree(staging, ignore_errors=True)
         (
             df.write.mode("overwrite")
-            .partitionBy("band")
+            .partitionBy(*part_cols)
             .option("compression", "zstd")
             .parquet(staging)
         )
@@ -748,12 +781,28 @@ class MinHashIndex:
         incoming batch and the INDEXED corpus. One shuffle join on the
         band key; neither corpus signatures nor corpus text are
         recomputed."""
-        new_banded = cap_buckets(
-            self._banded(new_docs), ["band", "band_key"], max_bucket
-        )
-        stored = cap_buckets(
-            self.spark.read.parquet(self.path), ["band", "band_key"], max_bucket
-        )
+        new_banded = self._banded(new_docs)
+        stored = self.spark.read.parquet(self.path)
+        if max_bucket is not None:
+            # The cap must bound the JOIN fan-out, so bucket size is the
+            # COMBINED membership (index + batch) — capping each side
+            # independently would let a degenerate key split across them
+            # escape the O(n·max_bucket) bound exactly where membership
+            # accumulates in the index over batches. Over-cap keys are a
+            # handful of boilerplate/degenerate buckets by construction,
+            # so the anti-join side broadcasts.
+            over = (
+                new_banded.select("band", "band_key")
+                .unionByName(stored.select("band", "band_key"))
+                .groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > max_bucket)
+                .select("band", "band_key")
+            )
+            new_banded = new_banded.join(
+                F.broadcast(over), ["band", "band_key"], "left_anti"
+            )
+            stored = stored.join(F.broadcast(over), ["band", "band_key"], "left_anti")
         pairs = (
             new_banded.select(
                 "band",

@@ -369,6 +369,10 @@ def write_training_shards(
             "seq_tokens",
         )
     )
+    # materialize once: count(), the shard write, and the manifest agg
+    # would otherwise each re-run the split/window/groupBy pipeline —
+    # the most expensive step of the whole corpus path
+    windows = windows.localCheckpoint()
     n_windows = windows.count()
     n_shards = max(1, math.ceil(n_windows / seqs_per_shard))
     (
@@ -377,16 +381,18 @@ def write_training_shards(
         .option("compression", "zstd")
         .parquet(os.path.join(out_dir, "shards"))
     )
-    agg = df.select(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    agg = windows.select(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("seq_tokens").alias("n_tokens"),
     ).first()
     manifest = {
         "ctx_len": ctx_len,
         "n_buckets": n_buckets,
         "n_windows": int(n_windows),
-        "n_docs": int(agg["n_docs"]),
-        "n_tokens": int(agg["n_tokens"]),
+        # sum() over zero rows is NULL — an empty corpus (everything
+        # decontaminated / split away) must yield a clean empty manifest
+        "n_docs": int(agg["n_docs"] or 0),
+        "n_tokens": int(agg["n_tokens"] or 0),
         "n_shards": n_shards,
         "seqs_per_shard": seqs_per_shard,
     }

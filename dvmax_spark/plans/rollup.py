@@ -70,18 +70,43 @@ class ContinuousRollup:
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
-    def refresh(self, batch: DataFrame) -> None:
+    def refresh(self, batch: DataFrame, meta: dict | None = None) -> None:
         """Fold a new raw batch into the stored rollup: aggregate the
-        delta, merge with stored partials, atomic-replace the table."""
+        delta, merge with stored partials, atomic-replace the table.
+
+        ``meta`` (e.g. a streaming batch id) is written as ``_meta.json``
+        INSIDE the staging dir before the swap, so the marker and the
+        data commit in the same atomic rename — a marker kept outside
+        the table dir would leave a crash window between swap and
+        marker write in which a replayed batch double-counts (the
+        partial-aggregate merge is not idempotent). Underscore-prefixed
+        files are invisible to Spark's parquet reader (like _SUCCESS).
+        """
         delta = aggregate_delta(batch, self.group_col, self.ts_col, self.val_col)
         merged = merge_partials(self.read_partials(), delta) if self.exists() else delta
         staging = f"{self.path}__staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(staging)
+        if meta is not None:
+            import json
+
+            with open(os.path.join(staging, "_meta.json"), "w") as fh:
+                json.dump(meta, fh)
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.replace(self.path, old)
         os.replace(staging, self.path)
         shutil.rmtree(old, ignore_errors=True)
+
+    def read_meta(self) -> dict | None:
+        """The ``meta`` dict committed with the live table state, or
+        None (never refreshed with meta / table absent)."""
+        import json
+
+        try:
+            with open(os.path.join(self.path, "_meta.json")) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
 
     def read_partials(self) -> DataFrame:
         return self.spark.read.parquet(self.path)

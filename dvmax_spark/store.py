@@ -169,6 +169,22 @@ class FeatureStore:
             .parquet(path or self.main_path)
         )
 
+    def _write_dynamic_overwrite(self, df: DataFrame) -> None:
+        """Overwrite ONLY the partitions present in ``df`` (job-commit
+        atomic per partition). The per-write option pins dynamic mode
+        regardless of the session's partitionOverwriteMode default, so
+        a vanilla session can't silently turn this into a whole-table
+        static overwrite."""
+        (
+            self._compact(df)
+            .repartition(self.partition_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_col)
+            .option("compression", "zstd")
+            .parquet(self.main_path)
+        )
+
     # ------------------------------------------------------------ ops
     def append_new_keys(self, updates: DataFrame) -> int:
         """Incremental append: only rows whose key tuple is absent
@@ -218,7 +234,10 @@ class FeatureStore:
         """Partition-level replace (ref macro delete-year-then-append,
         macro_batch_runner.py:141-145): dynamic overwrite writes only the
         partitions carried by `updates`."""
-        self._write(updates, "overwrite")
+        if self.exists():
+            self._write_dynamic_overwrite(updates)
+        else:
+            self._write(updates, "overwrite")
 
     def delete_keys(self, keys_df: DataFrame, purge_snapshots: bool = False) -> int:
         """Row-level delete (right-to-be-forgotten): remove every row
@@ -246,23 +265,56 @@ class FeatureStore:
             touched = current.join(
                 F.broadcast(hit_parts), self.partition_col, "left_semi"
             )
-            # MATERIALIZE before touching files: survivors lazily reads
-            # main_path, and we are about to delete the very partition
-            # dirs it scans (same recompute-after-delete hazard the
-            # upsert swap protocol guards against)
+            # MATERIALIZE before rewriting: survivors lazily reads
+            # main_path, and dynamic overwrite refuses (and must refuse)
+            # to overwrite a path it is also reading from
             survivors = touched.join(keys_df, self.keys, "left_anti").localCheckpoint()
-            has_survivors = bool(survivors.head(1))
-            # survivors may be empty for a fully-deleted partition, so
-            # clear the touched partition dirs explicitly
-            for r in hit_parts.collect():  # |touched partitions| is small
-                shutil.rmtree(
-                    os.path.join(
-                        self.main_path, f"{self.partition_col}={r[0]}"
-                    ),
-                    ignore_errors=True,
+            # Partitions with NO survivors won't be touched by the
+            # dynamic overwrite below — locate their directories FIRST
+            # (the scan must run before the overwrite replaces files)
+            # via input_file_name() on the rows being deleted, never by
+            # formatting partition values into paths, so Hive-escaped
+            # and NULL partition names resolve correctly.
+            alive = F.broadcast(
+                survivors.select(F.col(self.partition_col).alias("_alive_p")).distinct()
+            )
+            doomed_files = (
+                # input_file_name() is only defined in the scan stage —
+                # capture it BEFORE any join shuffles it away
+                current.withColumn("_f", F.input_file_name())
+                .join(keys_df, self.keys, "left_semi")
+                .join(  # restrict to partitions where nothing survives;
+                    # null-safe so a NULL partition matches its survivors
+                    alive,
+                    F.col(self.partition_col).eqNullSafe(F.col("_alive_p")),
+                    "left_anti",
                 )
-            if has_survivors:
-                self._write(survivors, "append")
+                .select("_f")
+                .distinct()
+                .collect()
+            )
+            # Partitions that keep survivors: DYNAMIC partition
+            # overwrite rewrites exactly the partitions present in
+            # `survivors` under Spark's job-commit protocol — no window
+            # in which surviving rows exist only in session memory (the
+            # old rmtree-then-append protocol lost them on a crash
+            # between the two steps), and Spark owns the partition
+            # directory naming.
+            if survivors.head(1):
+                self._write_dynamic_overwrite(survivors)
+            # Deleting the survivor-free dirs LAST is crash-safe: those
+            # rows are all scheduled for deletion, so a partial rmtree
+            # just leaves the delete resumable. input_file_name()
+            # returns a percent-encoded file URI — unquote it, or
+            # escaped partition dirs (':', '%', …) silently survive.
+            from urllib.parse import unquote, urlparse
+
+            doomed_dirs = {
+                os.path.dirname(unquote(urlparse(row["_f"]).path))
+                for row in doomed_files
+            }
+            for d in doomed_dirs:
+                shutil.rmtree(d, ignore_errors=True)
         if purge_snapshots and os.path.isdir(self.snapshots_path):
             shutil.rmtree(self.snapshots_path)
         return n
@@ -282,7 +334,23 @@ class FeatureStore:
         protocol as upsert, so readers never observe a half-compacted
         table."""
         df = self.read()
-        df = df.repartition(files_per_partition, self.partition_col)
+        # (partition, salt) repartition: files_per_partition groups PER
+        # partition value and |partitions| x files_per_partition writer
+        # tasks. A bare repartition(files_per_partition, partition_col)
+        # would hash whole partitions into files_per_partition tasks —
+        # one file per partition regardless of the knob, and zero
+        # parallelism at the default of 1 (same pitfall documented in
+        # MinHashIndex.compact).
+        salt = F.pmod(
+            F.abs(F.hash(*[F.col(k) for k in self.keys])), F.lit(files_per_partition)
+        )
+        # explicit numPartitions: an unsized repartition is fair game
+        # for AQE partition coalescing, which at small scale folds the
+        # whole shuffle back into one task — and one file per partition
+        n_parts = max(1, df.select(self.partition_col).distinct().count())
+        df = df.repartition(
+            n_parts * files_per_partition, F.col(self.partition_col), salt
+        )
         if sort_within:
             df = df.sortWithinPartitions(self.partition_col, *sort_within)
         staging = self.main_path + ".staging"
@@ -360,6 +428,13 @@ def zorder_write(
     import pyspark.sql.functions as _F
     from pyspark.sql import Window as _W
 
+    # The Morton key lives in one 64-bit long; Spark's shiftleft wraps
+    # shift amounts mod 64, which would silently fold high-order bits of
+    # later columns onto low-order bits of earlier ones — clamp the
+    # per-column width so len(cols) * bits always fits in 63 bits.
+    if not cols:
+        raise ValueError("zorder_write needs at least one clustering column")
+    bits = min(bits, 63 // len(cols))
     ranked = df
     rank_cols = []
     for c in cols:

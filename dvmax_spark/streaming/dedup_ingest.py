@@ -19,7 +19,16 @@ test).
 Delivery semantics: every processed id (admitted or displaced) is
 recorded in a ``<index>_seen`` ledger; replayed micro-batches anti-join
 it and become full no-ops — novel sink, dup sink, AND index stay
-byte-stable across replays (pinned by test).
+byte-stable across replays (pinned by test). Every per-batch write
+(novel, dups, index, ledger) is a batch-keyed DYNAMIC partition
+overwrite on an ``ingest_batch=<id>`` partition, so a batch replayed
+after a mid-batch crash (some sinks written, ledger not yet) REWRITES
+its own partitions with identical content instead of appending a
+second copy — idempotence holds regardless of where the crash landed,
+not just between batches. (Replay determinism: recomputation is pure,
+and even when the crashed attempt already admitted docs to the index,
+a replayed doc's extra index matches are exactly its surviving batch
+peers, which displace it identically through the intra phase.)
 
 Scale notes (100 TB): per-batch work is O(batch) signatures + one
 band-key join against the index + the ledger anti-join. The ledger is
@@ -135,16 +144,24 @@ def stream_dedup_ingest(
         )
         dups = fresh.join(displaced, idc, "inner")
         novel = fresh.join(displaced, idc, "left_anti")
-        dups.write.mode("append").option("compression", "zstd").parquet(dup_dir)
-        novel.write.mode("append").option("compression", "zstd").parquet(out_dir)
+
+        def _batch_write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("ingest_batch", F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .option("compression", "zstd")
+                .parquet(path)
+            )
+
+        _batch_write(dups, dup_dir)
+        _batch_write(novel, out_dir)
         admit = novel.join(
             matchable.select(idc), idc, "left_semi"
         )  # shorts stay out of the band table
-        if os.path.isdir(index.path):
-            index.append(admit)
-        else:
-            index.build(admit)
-        fresh.select(idc).write.mode("append").parquet(ledger)
+        index.append(admit, batch_key=batch_id)
+        _batch_write(fresh.select(idc), ledger)
 
     writer = stream_docs.writeStream.foreachBatch(_sink).queryName(query_name)
     if checkpoint_dir:

@@ -90,30 +90,20 @@ def stream_into_rollup(
     view). NOTE: unlike the keyed upsert above, a partial-aggregate
     merge is NOT idempotent under batch replay — foreachBatch can
     replay the LAST batch after a crash, double-counting it. Exactly-
-    once here needs the batch_id recorded with the rollup (skip if
-    already applied), which is what ``_applied_batch`` does.
-    Returns the StreamingQuery (caller awaits termination)."""
-    import json
-    import os
-
-    marker = os.path.join(checkpoint_dir, "_applied_batch")
+    once here needs the batch_id committed ATOMICALLY WITH the rollup
+    state: refresh(meta=...) writes it inside the staging dir before
+    the swap, so there is no window in which the data is applied but
+    the marker says otherwise. Returns the StreamingQuery (caller
+    awaits termination)."""
 
     def _applied(batch_id: int) -> bool:
-        try:
-            with open(marker) as fh:
-                return json.load(fh)["batch_id"] >= batch_id
-        except (OSError, ValueError, KeyError):
-            return False
+        meta = rollup.read_meta()
+        return meta is not None and meta.get("batch_id", -1) >= batch_id
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if _applied(batch_id) or batch_df.isEmpty():
             return
-        rollup.refresh(batch_df)
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
-        os.replace(tmp, marker)
+        rollup.refresh(batch_df, meta={"batch_id": batch_id})
 
     writer = (
         stream_df.writeStream.queryName(query_name)
@@ -139,9 +129,12 @@ def stream_into_sketches(
     stream: each micro-batch's per-(group, day) sketches monoid-merge
     (``hll_union_agg``) into the store behind a staging + atomic-rename
     swap — a streaming DISTINCT-COUNT materialized view whose readers
-    (rollup_distinct_from_sketches) never rescan raw events. Same
-    exactly-once batch marker as the rollup path: sketch union is not
-    idempotent under foreachBatch's replay of the last batch."""
+    (rollup_distinct_from_sketches) never rescan raw events. Exactly-
+    once: sketch union is not idempotent under foreachBatch's replay of
+    the last batch, so the applied batch id is committed as _meta.json
+    INSIDE the staging dir — marker and data swap in the same atomic
+    rename, leaving no applied-but-unmarked crash window (underscore
+    files are invisible to Spark's parquet reader, like _SUCCESS)."""
     import json
     import os
     import shutil
@@ -150,11 +143,9 @@ def stream_into_sketches(
 
     from dvmax_spark.ext.sketches import daily_distinct_sketches
 
-    marker = os.path.join(checkpoint_dir, "_applied_batch")
-
     def _applied(batch_id: int) -> bool:
         try:
-            with open(marker) as fh:
+            with open(os.path.join(path, "_meta.json")) as fh:
                 return json.load(fh)["batch_id"] >= batch_id
         except (OSError, ValueError, KeyError):
             return False
@@ -179,17 +170,14 @@ def stream_into_sketches(
         staging = path + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        with open(os.path.join(staging, "_meta.json"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
         retired = path + ".old"
         shutil.rmtree(retired, ignore_errors=True)
         if os.path.isdir(path):
             os.rename(path, retired)
         os.rename(staging, path)
         shutil.rmtree(retired, ignore_errors=True)
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
-        os.replace(tmp, marker)
 
     writer = (
         stream_df.writeStream.queryName(query_name)

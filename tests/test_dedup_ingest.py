@@ -177,3 +177,48 @@ def test_greedy_survivors_fixpoint_on_synthetic_graphs(spark):
     assert run([1, 2, 5, 6, 9], [(1, 2), (5, 6)]) == {1, 5, 9}
     # triangle: {1} (2 and 3 both see survivor 1)
     assert run([1, 2, 3], [(1, 2), (1, 3), (2, 3)]) == {1}
+
+
+def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash-window replay: simulate a failure AFTER the last batch's
+    novel/dup/index writes but BEFORE its ledger commit (delete the
+    ledger's last ingest_batch partition), then replay. Batch-keyed
+    dynamic partition overwrite must REWRITE that batch's partitions
+    with identical content — an append-based sink would double every
+    row of the batch."""
+    import shutil
+
+    from dvmax_spark.streaming.dedup_ingest import stream_dedup_ingest
+
+    docs_pdf = _mk_corpus(spark).toPandas()
+    root, idx, novel, dups0 = _run_ingest(spark, tmp_path, 3, docs_pdf, "crash")
+    ledger = idx.path + "_seen"
+    batches = sorted(d for d in os.listdir(ledger) if d.startswith("ingest_batch="))
+    assert len(batches) == 3
+    n_novel = spark.read.parquet(os.path.join(root, "novel")).count()
+    n_dups = spark.read.parquet(os.path.join(root, "dups")).count()
+    n_index = spark.read.parquet(idx.path).count()
+    # crash simulation: last batch's data writes landed, ledger did not
+    shutil.rmtree(os.path.join(ledger, batches[-1]))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "in"))
+    )
+    q = stream_dedup_ingest(
+        stream,
+        idx,
+        out_dir=os.path.join(root, "novel"),
+        dup_dir=os.path.join(root, "dups"),
+        threshold=0.2,
+        checkpoint_dir=os.path.join(root, "ckpt_crash2"),
+        query_name="dedup_ingest_crashreplay",
+    )
+    q.awaitTermination(180)
+    assert spark.read.parquet(os.path.join(root, "novel")).count() == n_novel
+    assert spark.read.parquet(os.path.join(root, "dups")).count() == n_dups
+    assert spark.read.parquet(idx.path).count() == n_index
+    assert {
+        r.doc_id for r in spark.read.parquet(os.path.join(root, "novel")).collect()
+    } == novel

@@ -641,3 +641,23 @@ def test_embedding_pca_spectral_invariants(spark):
     # i.i.d.-random 32-dim embeddings: top-8 captures roughly its
     # uniform share (8/32 = 0.25), well away from degenerate extremes
     assert 0.2 <= rows[-1].cumulative <= 0.6
+
+
+def test_match_new_caps_buckets_by_combined_membership(spark, tmp_path):
+    """The LSH bucket cap must bound the JOIN fan-out, i.e. count
+    index + batch members TOGETHER: 30 indexed + 30 incoming clones of
+    one text each pass a per-side cap of 50 yet produce a 900-pair
+    blowup per band — the combined cap (60 > 50) drops the bucket."""
+    from dvmax_spark.ext.dedup import MinHashIndex
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame([(i, text) for i in range(30)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100 + i, text) for i in range(30)], "doc_id long, text string"
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "capidx"), num_hashes=32, bands=16)
+    idx.build(old)
+    # combined membership 60 > 50: every bucket dropped, no pairs
+    assert idx.match_new(new, threshold=0.5, max_bucket=50).count() == 0
+    # cap off: the clone cross-pairs all surface
+    assert idx.match_new(new, threshold=0.5, max_bucket=None).count() == 900

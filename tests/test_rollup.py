@@ -75,3 +75,30 @@ def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
 
     full = _norm(aggregate_delta(ev, "event_type", "ts", "value").collect())
     assert _norm(roll.read_partials().collect()) == full
+
+
+def test_streaming_rollup_replayed_batch_is_skipped(spark, tmp_path):
+    """Exactly-once: the applied batch id commits ATOMICALLY with the
+    rollup state (_meta.json swaps inside the table dir), so a
+    replayed batch — even after a crash right at the swap — is skipped
+    instead of double-counted by the non-idempotent partial merge."""
+    from dvmax_spark.streaming.ingest import stream_into_rollup
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value"
+    )
+    in_dir = tmp_path / "in2"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(in_dir))
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+
+    roll = ContinuousRollup(spark, str(tmp_path / "roll2"), "event_type", "ts", "value")
+    for tag in ("a", "b"):  # second run replays batch 0 (fresh checkpoint)
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        q = stream_into_rollup(
+            stream, roll, checkpoint_dir=str(tmp_path / f"ckpt2_{tag}"),
+            query_name=f"rollup_replay_{tag}",
+        )
+        q.awaitTermination()
+    assert roll.read_meta() == {"batch_id": 0}
+    full = _norm(aggregate_delta(ev, "event_type", "ts", "value").collect())
+    assert _norm(roll.read_partials().collect()) == full  # counted ONCE

@@ -202,3 +202,65 @@ def test_table_diff_against_snapshot(spark, store):
         ).collect()
     }
     assert rev == {("A", 1): "updated", ("C", 1): "deleted"}
+
+
+def test_delete_keys_handles_escaped_and_weird_partition_values(spark, tmp_path):
+    """Partition values that Spark Hive-escapes in directory names
+    (':', space, '%') must still delete correctly: the doomed-dir scan
+    resolves real file parents via input_file_name() instead of
+    formatting values into paths, so escaped names can't be missed
+    (missing them = a GDPR delete that silently leaves rows on disk)."""
+    st = FeatureStore(
+        spark, str(tmp_path / "esc"), keys=["ticker", "as_of"],
+        partition_col="ticker",
+    )
+    weird = ["A:B", "C D", "E%F", "plain"]
+    st.upsert(_mk(spark, [(t, 1, 1.0) for t in weird] + [("A:B", 2, 2.0)]))
+    keys = spark.createDataFrame(
+        [("A:B", 1), ("C D", 1), ("E%F", 1)], "ticker string, as_of int"
+    )
+    n = st.delete_keys(keys)
+    assert n == 3
+    left = {(r.ticker, r.as_of) for r in st.read().collect()}
+    # A:B keeps its surviving row; fully-deleted partitions are gone
+    assert left == {("A:B", 2), ("plain", 1)}
+
+
+def test_compact_files_per_partition_knob_takes_effect(spark, tmp_path):
+    """compact(files_per_partition=k) must yield ~k data files per
+    partition value: the (partition, salt) repartition — a bare
+    repartition(k, partition_col) hashes whole partitions into k tasks
+    and silently produces ONE file per partition regardless of k."""
+    st = FeatureStore(
+        spark, str(tmp_path / "cmp"), keys=["ticker", "as_of"],
+        partition_col="ticker",
+    )
+    rows = [("A", i, float(i)) for i in range(400)] + [
+        ("B", i, float(i)) for i in range(400)
+    ]
+    st.upsert(_mk(spark, rows))
+    st.compact(files_per_partition=4)
+    for t in ("A", "B"):
+        d = os.path.join(st.main_path, f"ticker={t}")
+        n_files = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        # hash placement makes the exact count probabilistic (salt
+        # groups can collide into one task) — the contract is "more
+        # than one file (parallel write) and at most the knob"
+        assert 2 <= n_files <= 4, (t, n_files)
+    assert st.read().count() == 800
+
+
+def test_zorder_write_clamps_bits_to_64bit_key(spark, tmp_path):
+    """5 columns x default 16 bits = 80 interleaved bits would wrap
+    Spark's shiftleft mod 64 and silently corrupt the Morton key; the
+    clamp keeps the write correct (round-trips all rows)."""
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.store import zorder_write
+
+    df = spark.range(0, 2_000).select(
+        *[(F.col("id") * (i + 1) % 997).alias(f"c{i}") for i in range(5)]
+    )
+    out = str(tmp_path / "z5")
+    zorder_write(df, out, cols=[f"c{i}" for i in range(5)], files=4)
+    assert spark.read.parquet(out).count() == 2_000
