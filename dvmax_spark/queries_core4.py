@@ -1147,3 +1147,141 @@ def a_ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "week")
     )
+
+
+_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("sql_api_q4", ids=("J6", "A1", "P2"), sql=_Q4_SQL)
+def sql_api_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q4-shaped priority-check query: correlated EXISTS over the
+    fact table (planned as a left-semi join) under a tight date slice —
+    the standard late-delivery audit. Identical SQL text on both
+    engines; Spark rewrites the subquery to a semi join, which at scale
+    shuffles only the quarter's orders (ref predicate-window scans,
+    ticker_batch_runner.py:433-443)."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("orders", "lineitem"))
+    return spark.sql(_Q4_SQL)
+
+
+_Q13_SQL = """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '3-MEDIUM'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("sql_api_q13", ids=("J1", "A1", "O3"), sql=_Q13_SQL)
+def sql_api_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer-order-distribution query: LEFT OUTER
+    join with an ON-clause filter (customers with zero qualifying
+    orders must survive with count 0), two aggregation levels, sorted
+    histogram. The outer-join-then-histogram pattern is the classic
+    engagement-distribution query over any fact table."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("customer", "orders"))
+    return spark.sql(_Q13_SQL)
+
+
+_Q19_SQL = """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+"""
+
+
+@query("sql_api_q19", ids=("J1", "P4", "A2"), sql=_Q19_SQL)
+def sql_api_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate query: an OR of three
+    multi-column bracket conditions spanning BOTH join sides. The
+    optimizer test here is CNF extraction — Spark derives the common
+    per-side implied filters (brand IN (...), quantity bounds) and
+    pushes them below the join so the scan doesn't read the full fact
+    table for a three-bracket slice."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("lineitem", "part"))
+    return spark.sql(_Q19_SQL)
+
+
+_Q22_SQL = """
+    SELECT c.c_mktsegment, count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 4)
+                         FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+@query("sql_api_q22", ids=("J6", "A1", "A2"), sql=_Q22_SQL)
+def sql_api_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant-high-balance query: scalar subquery
+    threshold (rounded before the comparison so ulp drift in the
+    distributed avg can't flip borderline rows) + correlated NOT
+    EXISTS anti join against recent orders. The churn-risk shape:
+    valuable customers with no recent activity."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("customer", "orders"))
+    return spark.sql(_Q22_SQL)
+
+
+_Q15_SQL = """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT suppkey, total_rev
+    FROM (SELECT suppkey, total_rev,
+                 row_number() OVER (ORDER BY total_rev DESC, suppkey) AS rk
+          FROM rev)
+    WHERE rk <= 5
+    ORDER BY rk
+"""
+
+
+@query("sql_api_q15", ids=("W5", "A2", "O3", "O4"), sql=_Q15_SQL)
+def sql_api_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q15-shaped top-supplier query: quarterly revenue rollup,
+    then top-k by revenue. Ranks on the PRE-ROUNDED aggregate with a
+    unique-key tie-break (the float-rank rule: distributed-sum ulp
+    drift must not be able to flip ranks between engines)."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("lineitem",))
+    return spark.sql(_Q15_SQL)

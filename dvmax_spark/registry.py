@@ -172,6 +172,11 @@ PRIORITY: tuple[str, ...] = (
     "j_asof_forward",
     "t_interval_join",
     "f_variant_json",
+    "sql_api_q4",
+    "sql_api_q13",
+    "sql_api_q15",
+    "sql_api_q19",
+    "sql_api_q22",
 )
 
 
