@@ -79,13 +79,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (distinct).
+def shingle_seq(text: Column | str, n: int) -> Column:
+    """Ordered, NON-distinct word n-gram sequence (one gram per token
+    position). Docs with fewer than ``n`` tokens yield an EMPTY array
+    (no truncated gram) — the SQL-oracle shingling convention.
 
-    Docs with fewer than ``n`` tokens yield an EMPTY array (no
-    truncated gram) — matches the SQL-oracle shingling convention and
-    avoids jaccard=1.0 pairs between unrelated one-word docs.
-    """
+    Single shared implementation: set-semantics dedup (``shingles``)
+    and position-semantics span statistics (ext/retrieval.py) both
+    build on this, so the construction the oracles depend on can't
+    drift between the two."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(c, " ")
     # Build grams by zipping n whole-array slices (one O(len) copy each)
@@ -98,9 +100,15 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         grams = F.zip_with(
             grams, F.slice(toks, 1 + k, cnt), lambda a, b: F.concat_ws(" ", a, b)
         )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct) — avoids
+    jaccard=1.0 pairs between unrelated one-word docs."""
+    return F.array_distinct(shingle_seq(text, n))
 
 
 def minhash_signature(

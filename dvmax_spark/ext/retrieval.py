@@ -40,22 +40,11 @@ __all__ = [
 ]
 
 
-def shingle_seq(text: Column | str, n: int) -> Column:
-    """Ordered, NON-distinct word n-gram sequence (one gram per token
-    position). Same zip-of-slices construction as ext.dedup.shingles,
-    but keeping every occurrence: span statistics count positions, not
-    set membership. Docs with fewer than ``n`` tokens yield []."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(c, " ")
-    cnt = F.size(toks) - n + 1
-    grams = F.slice(toks, 1, cnt)
-    for k in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(toks, 1 + k, cnt), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+# Shared zip-of-slices n-gram construction lives in ext.dedup (span
+# statistics here count positions; dedup takes array_distinct on top) —
+# one implementation, so the byte-compatibility the SQL oracles depend
+# on can't drift between the modules.
+from dvmax_spark.ext.dedup import shingle_seq  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------- vocabulary
@@ -143,7 +132,11 @@ def bm25_rank_sql(
     text_col: str = "text",
     k: int = 20,
 ) -> str:
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    if not terms:
+        # `token IN ()` is a SQL syntax error — fail loudly at
+        # generation time instead of handing DuckDB malformed SQL
+        raise ValueError("bm25_rank_sql needs at least one query term")
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
     WITH toks AS (
       SELECT {id_col}, len(str_split({text_col}, ' ')) AS dl,
@@ -218,7 +211,16 @@ def dup_span_stats(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )
-    base = grams.select(id_col, F.size("gs").alias("n_spans"))
+    # n_spans arithmetically (max(len - n + 1, 0), matching the SQL
+    # oracle) — F.size("gs") would recompute the whole zip-of-slices
+    # gram construction a second time on this side of the join just to
+    # count the array
+    base = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.size(F.split(F.col(text_col), " ")) - n + 1, F.lit(0)
+        ).alias("n_spans"),
+    )
     return (
         base.join(dup, id_col, "left")
         .select(

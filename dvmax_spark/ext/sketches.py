@@ -36,7 +36,7 @@ def daily_distinct_sketches(
     )
 
 
-def rollup_distinct_from_sketches(sketches: DataFrame, group_col: str) -> Column | DataFrame:
+def rollup_distinct_from_sketches(sketches: DataFrame, group_col: str) -> DataFrame:
     """Merge persisted per-day sketches to a per-group distinct-count
     estimate — touches |groups| x |days| sketch rows, never the raw
     events."""
@@ -74,13 +74,20 @@ def rollup_quantiles_from_sketches(
     estimates per group."""
     # kll_sketch_merge_double is a BINARY scalar merge (no agg form in
     # this Spark): fold the per-day sketch list. |days| per group is
-    # small by construction — the fold is over a bounded array.
+    # small by construction — the fold is over a bounded array. The
+    # list is SORTED by day before folding: collect_list order depends
+    # on partition arrival, and KLL merge results depend on merge order
+    # (internal compaction state), so an unsorted fold would make the
+    # estimates non-reproducible run-to-run.
     merged = (
         sketches.groupBy(group_col)
         .agg(
-            F.collect_list("qsketch").alias("ls"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("qsketch")))
+            ).alias("dls"),
             F.sum("n_rows").alias("n_rows"),
         )
+        .withColumn("ls", F.expr("transform(dls, s -> s.qsketch)"))
         .withColumn(
             "m",
             F.expr(
@@ -94,7 +101,7 @@ def rollup_quantiles_from_sketches(
         cols.append(
             F.round(
                 F.kll_sketch_get_quantile_double(F.col("m"), F.lit(q)), 6
-            ).alias(f"p{int(q * 100)}_est")
+            ).alias(f"p{round(q * 100)}_est")
         )
     return merged.select(*cols)
 

@@ -51,20 +51,34 @@ def train_eval_classifier(
     and f1 (the scoring-report shape of README Phase 4). GBT is a
     binary learner, so the 0-9 class id is binarized (>= 5) — the
     standard up/down target of the reference's direction classifier."""
+    # cache once: the quantile pass plus every split's isEmpty / fit /
+    # two evaluator passes / counts would otherwise each re-derive the
+    # feature pipeline from the source embeddings (~7 recomputations
+    # per split)
     feats = embeddings_to_features(emb).select(
         "features",
         (F.col(label_col).cast("double") >= 5.0).cast("double").alias("label"),
         order_col,
-    )
+    ).cache()
     rows = []
-    for k, (train, test) in enumerate(walk_forward_splits(feats, order_col, n_splits)):
-        if train.isEmpty() or test.isEmpty():
-            continue
-        model = GBTClassifier(maxIter=10, maxDepth=3, seed=7).fit(train)
-        pred = model.transform(test)
-        acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
-        f1 = MulticlassClassificationEvaluator(metricName="f1").evaluate(pred)
-        rows.append((k, train.count(), test.count(), round(acc, 4), round(f1, 4)))
+    try:
+        for k, (train, test) in enumerate(
+            walk_forward_splits(feats, order_col, n_splits)
+        ):
+            if train.isEmpty() or test.isEmpty():
+                continue
+            model = GBTClassifier(maxIter=10, maxDepth=3, seed=7).fit(train)
+            pred = model.transform(test).cache()
+            try:
+                acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(pred)
+                f1 = MulticlassClassificationEvaluator(metricName="f1").evaluate(pred)
+                rows.append(
+                    (k, train.count(), test.count(), round(acc, 4), round(f1, 4))
+                )
+            finally:
+                pred.unpersist()
+    finally:
+        feats.unpersist()
     spark = emb.sparkSession
     return spark.createDataFrame(
         rows, "split int, n_train long, n_test long, accuracy double, f1 double"
