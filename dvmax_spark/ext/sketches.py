@@ -75,10 +75,12 @@ def rollup_quantiles_from_sketches(
     # kll_sketch_merge_double is a BINARY scalar merge (no agg form in
     # this Spark): fold the per-day sketch list. |days| per group is
     # small by construction — the fold is over a bounded array. The
-    # list is SORTED by day before folding: collect_list order depends
-    # on partition arrival, and KLL merge results depend on merge order
-    # (internal compaction state), so an unsorted fold would make the
-    # estimates non-reproducible run-to-run.
+    # list is SORTED by day before folding so collect_list's partition-
+    # arrival order isn't an extra variance source; note KLL estimates
+    # are still randomized by design (compaction coin flips — repeated
+    # merges of identical inputs differ within the rank-error bound,
+    # verified empirically on this Spark), so consumers must rely on
+    # the error envelope (tests/test_ext.py), never exact values.
     merged = (
         sketches.groupBy(group_col)
         .agg(

@@ -661,3 +661,31 @@ def test_match_new_caps_buckets_by_combined_membership(spark, tmp_path):
     assert idx.match_new(new, threshold=0.5, max_bucket=50).count() == 0
     # cap off: the clone cross-pairs all surface
     assert idx.match_new(new, threshold=0.5, max_bucket=None).count() == 900
+
+
+def test_kll_rollup_repeated_folds_stay_in_error_band(spark, tmp_path):
+    """KLL merges are RANDOMIZED by design (compaction coin flips):
+    repeated folds of the same persisted daily sketches give different
+    estimates, so the contract is the rank-error envelope, not exact
+    reproducibility. Three independent rollups of identical sketches
+    must stay within a tight relative band of each other."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.sketches import (
+        daily_quantile_sketches,
+        rollup_quantiles_from_sketches,
+    )
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01")
+    path = str(tmp_path / "kll_daily")
+    daily_quantile_sketches(ev, "event_type", "ts", "value").write.parquet(path)
+    runs = []
+    for _ in range(3):
+        res = rollup_quantiles_from_sketches(spark.read.parquet(path), "event_type")
+        runs.append({
+            r.event_type: (r.p50_est, r.p90_est) for r in res.collect()
+        })
+    for grp in runs[0]:
+        for qi in (0, 1):
+            vals = [run[grp][qi] for run in runs]
+            spread = max(vals) - min(vals)
+            assert spread <= abs(min(vals)) * 0.06 + 0.5, (grp, qi, vals)
