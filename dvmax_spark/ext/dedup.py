@@ -779,6 +779,58 @@ class MinHashIndex:
         os.rename(staging, self.path)
         shutil.rmtree(retired)
 
+    def compact_batches(self, keep_last: int = 1, files_per_band: int = 1) -> None:
+        """Fold historical ``ingest_batch=`` partitions into one
+        ``__base__`` partition (same staging + atomic-swap protocol as
+        ``compact``). Batch-keyed writes make streaming ingest
+        replay-idempotent, but a long-lived stream accumulates one
+        partition directory per micro-batch — unbounded partition
+        growth at 100 TB. Folding is replay-safe as long as batches
+        that could still be replayed stay live: Structured Streaming
+        replays at most the in-flight batch, so the default
+        ``keep_last=1`` keeps the most recent batch un-folded (its
+        dynamic overwrite still hits its own partition on replay);
+        ``keep_last=0`` requires the stream to be fully stopped and
+        committed."""
+        df = self.spark.read.parquet(self.path)
+        if "ingest_batch" not in df.columns:
+            self.compact(files_per_band)
+            return
+        # partition-value inference types all-numeric batch keys as int
+        df = df.withColumn("ingest_batch", F.col("ingest_batch").cast("string"))
+        keys = [r[0] for r in df.select("ingest_batch").distinct().collect()]
+        numeric = sorted(int(k) for k in keys if k.lstrip("-").isdigit())
+        live = {str(k) for k in numeric[-keep_last:]} if keep_last > 0 else set()
+        salt = _portable_hash(F.col(self.id_col).cast("string")) % files_per_band
+        folded = df.withColumn(
+            "ingest_batch",
+            F.when(
+                F.col("ingest_batch").isin(*live) if live else F.lit(False),
+                F.col("ingest_batch"),
+            ).otherwise(F.lit("__base__")),
+        ).repartition(
+            (len(live) + 1) * self.bands * files_per_band,
+            F.col("ingest_batch"),
+            F.col("band"),
+            salt,
+        )
+        import os
+        import shutil
+
+        staging = self.path + ".staging"
+        retired = self.path + ".old"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            folded.write.mode("overwrite")
+            .partitionBy("ingest_batch", "band")
+            .option("compression", "zstd")
+            .parquet(staging)
+        )
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(self.path, retired)
+        os.rename(staging, self.path)
+        shutil.rmtree(retired)
+
     def match_new(
         self,
         new_docs: DataFrame,

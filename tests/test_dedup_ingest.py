@@ -222,3 +222,29 @@ def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(os.path.join(root, "novel")).collect()
     } == novel
+
+
+def test_compact_batches_folds_history_and_preserves_matches(spark, tmp_path):
+    """Batch-keyed ingest accumulates one ingest_batch partition per
+    micro-batch; compact_batches folds all but the most recent into
+    __base__ (replay-safe: only the in-flight batch can replay) while
+    preserving every row and every match result."""
+    docs_pdf = _mk_corpus(spark).toPandas()
+    root, idx, novel, _ = _run_ingest(spark, tmp_path, 3, docs_pdf, "cmpb")
+    before_rows = spark.read.parquet(idx.path).count()
+    probe = spark.createDataFrame(
+        [(9999, docs_pdf.iloc[0]["text"])], DOC_SCHEMA
+    )
+    before_matches = {
+        (r.new_id, r.old_id) for r in idx.match_new(probe, threshold=0.2).collect()
+    }
+    idx.compact_batches(keep_last=1)
+    parts = sorted(
+        d for d in os.listdir(idx.path) if d.startswith("ingest_batch=")
+    )
+    assert "ingest_batch=__base__" in parts and len(parts) == 2, parts
+    assert spark.read.parquet(idx.path).count() == before_rows
+    after_matches = {
+        (r.new_id, r.old_id) for r in idx.match_new(probe, threshold=0.2).collect()
+    }
+    assert after_matches == before_matches and before_matches
