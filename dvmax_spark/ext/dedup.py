@@ -754,6 +754,9 @@ class MinHashIndex:
         # repartition(files_per_band, "band") would hash whole bands
         # into files_per_band tasks - one file per band regardless of
         # the knob, and zero parallelism at files_per_band=1.
+        from dvmax_spark.fsops import recover_swap, swap_dir
+
+        recover_swap(self.path)  # heal a crashed promote before reading
         salt = _portable_hash(F.col(self.id_col).cast("string")) % files_per_band
         df = self.spark.read.parquet(self.path).repartition(
             self.bands * files_per_band, F.col("band"), salt
@@ -766,7 +769,6 @@ class MinHashIndex:
             ["ingest_batch", "band"] if "ingest_batch" in df.columns else ["band"]
         )
         staging = self.path + ".staging"
-        retired = self.path + ".old"
         shutil.rmtree(staging, ignore_errors=True)
         (
             df.write.mode("overwrite")
@@ -774,10 +776,9 @@ class MinHashIndex:
             .option("compression", "zstd")
             .parquet(staging)
         )
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(self.path, retired)
-        os.rename(staging, self.path)
-        shutil.rmtree(retired)
+        retired = swap_dir(self.path, staging)
+        if retired:
+            shutil.rmtree(retired)
 
     def compact_batches(self, keep_last: int = 1, files_per_band: int = 1) -> None:
         """Fold historical ``ingest_batch=`` partitions into one
@@ -792,6 +793,9 @@ class MinHashIndex:
         dynamic overwrite still hits its own partition on replay);
         ``keep_last=0`` requires the stream to be fully stopped and
         committed."""
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)  # heal a crashed promote before reading
         df = self.spark.read.parquet(self.path)
         if "ingest_batch" not in df.columns:
             self.compact(files_per_band)
@@ -799,8 +803,20 @@ class MinHashIndex:
         # partition-value inference types all-numeric batch keys as int
         df = df.withColumn("ingest_batch", F.col("ingest_batch").cast("string"))
         keys = [r[0] for r in df.select("ingest_batch").distinct().collect()]
-        numeric = sorted(int(k) for k in keys if k.lstrip("-").isdigit())
-        live = {str(k) for k in numeric[-keep_last:]} if keep_last > 0 else set()
+        # "most recent" must be well-defined for keep_last to protect
+        # the replayable batches: numeric keys (streaming batch ids)
+        # order numerically; an index written with ANY non-numeric key
+        # would previously fold EVERY partition — including the
+        # in-flight batch — into __base__, breaking replay safety, so
+        # mixed/non-numeric keys order lexicographically on the raw
+        # strings instead (documented: manual string keys must sort in
+        # ingest order, e.g. zero-padded dates).
+        cands = [k for k in keys if k != "__base__"]  # prior folds re-fold
+        if all(k.lstrip("-").isdigit() for k in cands):
+            ordered = [str(k) for k in sorted(int(k) for k in cands)]
+        else:
+            ordered = sorted(cands)
+        live = set(ordered[-keep_last:]) if keep_last > 0 else set()
         salt = _portable_hash(F.col(self.id_col).cast("string")) % files_per_band
         folded = df.withColumn(
             "ingest_batch",
@@ -817,8 +833,9 @@ class MinHashIndex:
         import os
         import shutil
 
+        from dvmax_spark.fsops import swap_dir
+
         staging = self.path + ".staging"
-        retired = self.path + ".old"
         shutil.rmtree(staging, ignore_errors=True)
         (
             folded.write.mode("overwrite")
@@ -826,23 +843,37 @@ class MinHashIndex:
             .option("compression", "zstd")
             .parquet(staging)
         )
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(self.path, retired)
-        os.rename(staging, self.path)
-        shutil.rmtree(retired)
+        retired = swap_dir(self.path, staging)
+        if retired:
+            shutil.rmtree(retired)
 
     def match_new(
         self,
         new_docs: DataFrame,
         threshold: float = 0.5,
         max_bucket: int | None = 1000,
+        exclude_batch: int | str | None = None,
     ) -> DataFrame:
         """Near-dup pairs (new_id, old_id, est_jaccard) between the
         incoming batch and the INDEXED corpus. One shuffle join on the
         band key; neither corpus signatures nor corpus text are
-        recomputed."""
+        recomputed.
+
+        ``exclude_batch`` drops the index's own ``ingest_batch=<key>``
+        partition from the stored side — the streaming-replay hook: a
+        batch whose crashed attempt already appended its survivors must
+        not match AGAINST those survivors on replay, or dup_of
+        attribution could drift from the crash-free run (the batch-peer
+        relation is recomputed exactly by the intra phase instead)."""
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)  # heal a crashed compact before reading
         new_banded = self._banded(new_docs)
         stored = self.spark.read.parquet(self.path)
+        if exclude_batch is not None and "ingest_batch" in stored.columns:
+            stored = stored.where(
+                F.col("ingest_batch").cast("string") != str(exclude_batch)
+            )
         if max_bucket is not None:
             # The cap must bound the JOIN fan-out, so bucket size is the
             # COMBINED membership (index + batch) — capping each side

@@ -52,10 +52,13 @@ from dvmax_spark.ext.dedup import shingle_seq  # noqa: E402,F401
 def vocabulary(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus vocabulary: top-``k`` tokens by occurrence count
     (tokenizer-training prerequisite). Deterministic tie-break on the
-    token string. Plan: explode → partial hash-agg → one final sort of
-    ≤|vocab| aggregated rows."""
+    token string. Empty tokens (doubled/leading/trailing spaces split
+    to ``''``) are dropped — a tokenizer-training vocab must never
+    contain the empty string. Plan: explode → partial hash-agg → one
+    final sort of ≤|vocab| aggregated rows."""
     return (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .orderBy(F.desc("n_occ"), F.asc("token"))
@@ -67,6 +70,7 @@ def vocabulary_sql(table: str = "documents", text_col: str = "text", k: int = 10
     return f"""
     SELECT tok AS token, count(*) AS n_occ
     FROM (SELECT unnest(str_split({text_col}, ' ')) AS tok FROM {table})
+    WHERE tok <> ''
     GROUP BY tok
     ORDER BY n_occ DESC, token ASC
     LIMIT {k}
@@ -96,6 +100,8 @@ def bm25_rank(
     aggregates joined back via broadcast. Ranking sorts on the
     pre-ROUNDED score (cross-engine float policy) with id tie-break.
     """
+    if not terms:
+        raise ValueError("bm25_rank needs at least one query term")
     toks = df.select(
         F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),

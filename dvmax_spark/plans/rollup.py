@@ -82,6 +82,9 @@ class ContinuousRollup:
         partial-aggregate merge is not idempotent). Underscore-prefixed
         files are invisible to Spark's parquet reader (like _SUCCESS).
         """
+        from dvmax_spark.fsops import recover_swap, swap_dir
+
+        recover_swap(self.path)  # heal a crashed promote before reading
         delta = aggregate_delta(batch, self.group_col, self.ts_col, self.val_col)
         merged = merge_partials(self.read_partials(), delta) if self.exists() else delta
         staging = f"{self.path}__staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
@@ -91,17 +94,21 @@ class ContinuousRollup:
 
             with open(os.path.join(staging, "_meta.json"), "w") as fh:
                 json.dump(meta, fh)
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.replace(self.path, old)
-        os.replace(staging, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        # deterministic '.old' retire (fsops): a crash between the two
+        # renames is healed by the next refresh/read_meta instead of
+        # stranding history under an unfindable uuid dir
+        old = swap_dir(self.path, staging)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
 
     def read_meta(self) -> dict | None:
         """The ``meta`` dict committed with the live table state, or
         None (never refreshed with meta / table absent)."""
         import json
 
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)
         try:
             with open(os.path.join(self.path, "_meta.json")) as fh:
                 return json.load(fh)

@@ -1285,3 +1285,148 @@ def sql_api_q15(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("lineitem",))
     return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND p.p_type = 'MEDIUM'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("sql_api_q17", ids=("J1", "A2", "F4"), sql=_Q17_SQL)
+def sql_api_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity-order revenue: correlated scalar
+    AVG subquery per part (the canonical decorrelation shape — Catalyst
+    rewrites it to an aggregate-then-join; DuckDB does the same), then a
+    one-row global sum. Adapted to this testdata: ``p_type`` stands in
+    for the absent ``p_container``. The threshold compares integer-valued
+    quantities against 0.2*avg, so distributed-avg ulp drift cannot flip
+    row membership."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
+
+
+_Q21_SQL = """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN CAST(l.l_shipdate AS DATE)
+                       > CAST(o.o_orderdate AS DATE) + INTERVAL 100 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name AS supp_name, count(*) AS numwait
+    FROM supplier s
+    JOIN li l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.late = 1
+      AND n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supp_name
+    LIMIT 25
+"""
+
+
+@query("sql_api_q21", ids=("J6", "J1", "A1", "O3", "O4"), sql=_Q21_SQL)
+def sql_api_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q21-shaped waiting-orders query: correlated EXISTS (a
+    multi-supplier order) plus correlated NOT EXISTS (no OTHER supplier
+    was late) against the same fact CTE — the hardest decorrelation
+    shape on this testdata (Catalyst: left-semi + left-anti joins on
+    l_orderkey). Adapted: 'late' is shipdate > orderdate + 100 days
+    because the testdata ships no l_receiptdate/l_commitdate; the
+    nation filter uses this testdata's synthetic NATION_* names."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("lineitem", "orders", "supplier", "nation"))
+    return spark.sql(_Q21_SQL)
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           round(round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+                 / round(sum(volume), 2), 6) AS mkt_share
+    FROM (
+      SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        AND p.p_type = 'ECONOMY'
+    ) v
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query("sql_api_q8", ids=("J1", "J7", "P2", "A2", "F4"), sql=_Q8_SQL)
+def sql_api_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q8-shaped national-market-share query: an 8-way join
+    (nation joined twice — customer side for the region filter,
+    supplier side for the share numerator) feeding a two-sided
+    conditional aggregation per order year. Both sums are rounded
+    BEFORE the division so distributed-sum ulp drift cannot move the
+    6-digit share. Catalyst broadcasts all six dims; lineitem x orders
+    is the only shuffled join."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(
+        spark, sf,
+        names=("lineitem", "part", "supplier", "orders", "customer", "nation", "region"),
+    )
+    return spark.sql(_Q8_SQL)
+
+
+_Q12_SQL = """
+    SELECT l.l_returnflag AS retflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1998-01-01'
+      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+    GROUP BY l.l_returnflag
+    ORDER BY retflag
+"""
+
+
+@query("sql_api_q12", ids=("J1", "P2", "A1", "F2"), sql=_Q12_SQL)
+def sql_api_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q12-shaped priority histogram: fact-fact join with a
+    shipdate window AND a two-sided date predicate on the join output
+    (shipdate > orderdate — only evaluable post-join), then conditional
+    counts per group. Adapted: groups by l_returnflag because the
+    testdata ships no l_shipmode; the BIGINT cast keeps DuckDB's
+    HUGEINT sum(int) in the common hash domain (the r2 s2 lesson)."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("orders", "lineitem"))
+    return spark.sql(_Q12_SQL)

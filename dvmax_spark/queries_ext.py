@@ -891,6 +891,7 @@ def t_stateful_session(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x_incremental_dedup",
     ids=("X3", "X17"),
+    bench=True,
     sql=incremental_dedup_sql(num_hashes=32, bands=16, threshold=0.1),
 )
 def x_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:

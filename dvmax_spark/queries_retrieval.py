@@ -45,7 +45,7 @@ def x_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_rank(load_table(spark, "documents", sf), _BM25_TERMS, k=20)
 
 
-@query("x_dup_span_stats", ids=("X10", "X15"), sql=dup_span_stats_sql(n=8))
+@query("x_dup_span_stats", ids=("X10", "X15"), bench=True, sql=dup_span_stats_sql(n=8))
 def x_dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document duplicated 8-gram-span fraction per doc
     (RefinedWeb-style repeated-passage signal). Inverted-index shape

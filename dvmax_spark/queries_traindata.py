@@ -137,7 +137,7 @@ def x_hash_bucket_balance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("x_group_split", ids=("X19", "X17"), sql=group_split_sql())
+@query("x_group_split", ids=("X19", "X17"), bench=True, sql=group_split_sql())
 def x_group_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-dup CLUSTERS (MinHash
     LSH → connected components) drawn as units, so no document can sit

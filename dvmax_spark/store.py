@@ -30,6 +30,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dvmax_spark.fsops import recover_swap, swap_dir
 from dvmax_spark.operators.union_ops import align_and_union
 from dvmax_spark.operators.upsert import upsert_keep_last
 
@@ -100,16 +101,20 @@ class FeatureStore:
         """Atomic promote of ``staging`` to main. The displaced current
         table is RENAMED into the snapshot log (zero data copy) when
         snapshots are enabled, else deleted; retention prunes the log
-        to ``keep_snapshots`` entries. Directory renames keep readers
-        from ever observing a half-written table — same protocol the
-        reference uses at file granularity (temp-file replace)."""
+        to ``keep_snapshots`` entries. Writers never lose state at any
+        crash point: the promote is two renames via fsops.swap_dir and
+        a crash between them is healed (rolled back from '.old') by the
+        next read()/exists()/_swap_in. A CONCURRENT reader can still
+        hit a brief path-not-found inside that window — single-process
+        semantics, same as the reference's temp-file replace; true
+        multi-process atomicity would need a manifest layer
+        (Delta/Iceberg-style), out of scope here."""
         keep = self.keep_snapshots if snapshot_current is None else (
             max(self.keep_snapshots, 1) if snapshot_current else 0
         )
-        retired = self.main_path + ".old"
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(self.main_path, retired)
-        os.rename(staging, self.main_path)
+        retired = swap_dir(self.main_path, staging)
+        if retired is None:  # no prior main table — nothing to retire
+            return
         if keep > 0:
             os.makedirs(self.snapshots_path, exist_ok=True)
             # version ids are NEVER reused: a counter file tracks the
@@ -135,6 +140,7 @@ class FeatureStore:
 
     # ------------------------------------------------------------ io
     def exists(self) -> bool:
+        recover_swap(self.main_path)
         try:
             self.spark.read.parquet(self.main_path)
             return True
@@ -143,7 +149,10 @@ class FeatureStore:
 
     def read(self) -> DataFrame:
         """Superset-schema scan (mergeSchema handles column evolution —
-        the reference's two-pass column-superset merge, free on Spark)."""
+        the reference's two-pass column-superset merge, free on Spark).
+        Heals a crashed swap first, so a reader after a writer crash
+        sees the complete pre-promote table instead of path-not-found."""
+        recover_swap(self.main_path)
         return self.spark.read.option("mergeSchema", "true").parquet(self.main_path)
 
     def _compact(self, df: DataFrame) -> DataFrame:

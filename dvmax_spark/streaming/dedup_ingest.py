@@ -26,9 +26,12 @@ after a mid-batch crash (some sinks written, ledger not yet) REWRITES
 its own partitions with identical content instead of appending a
 second copy — idempotence holds regardless of where the crash landed,
 not just between batches. (Replay determinism: recomputation is pure,
-and even when the crashed attempt already admitted docs to the index,
-a replayed doc's extra index matches are exactly its surviving batch
-peers, which displace it identically through the intra phase.)
+and when the crashed attempt already admitted docs to the index, the
+replay passes ``exclude_batch`` to ``match_new`` so the batch's own
+in-flight partition is invisible to cross-matching — without that, a
+corpus-displaced doc could pick up a smaller-id batch peer as its
+``dup_of`` and the rewritten dups partition would be membership-equal
+but not byte-identical to a crash-free run.)
 
 Scale notes (100 TB): per-batch work is O(batch) signatures + one
 band-key join against the index + the ledger anti-join. The ledger is
@@ -109,7 +112,9 @@ def stream_dedup_ingest(
         # cross-displacement: the admitted corpus always outranks the batch
         if os.path.isdir(index.path):
             cross = (
-                index.match_new(matchable, threshold=threshold)
+                index.match_new(
+                    matchable, threshold=threshold, exclude_batch=batch_id
+                )
                 .groupBy(F.col("new_id").alias(idc))
                 .agg(F.min("old_id").alias("dup_of"))
                 .localCheckpoint()

@@ -134,7 +134,11 @@ def stream_into_sketches(
     the last batch, so the applied batch id is committed as _meta.json
     INSIDE the staging dir — marker and data swap in the same atomic
     rename, leaving no applied-but-unmarked crash window (underscore
-    files are invisible to Spark's parquet reader, like _SUCCESS)."""
+    files are invisible to Spark's parquet reader, like _SUCCESS).
+    A crash BETWEEN the promote's two renames is healed on the next
+    batch by fsops.recover_swap (the table — marker included — rolls
+    back from '.old'), so no crash point can lose accumulated
+    sketches."""
     import json
     import os
     import shutil
@@ -142,6 +146,7 @@ def stream_into_sketches(
     from pyspark.sql import functions as F
 
     from dvmax_spark.ext.sketches import daily_distinct_sketches
+    from dvmax_spark.fsops import recover_swap, swap_dir
 
     def _applied(batch_id: int) -> bool:
         try:
@@ -151,6 +156,7 @@ def stream_into_sketches(
             return False
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swap(path)  # heal a crashed promote BEFORE the marker check
         if _applied(batch_id) or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -172,12 +178,9 @@ def stream_into_sketches(
         merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
         with open(os.path.join(staging, "_meta.json"), "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
-        retired = path + ".old"
-        shutil.rmtree(retired, ignore_errors=True)
-        if os.path.isdir(path):
-            os.rename(path, retired)
-        os.rename(staging, path)
-        shutil.rmtree(retired, ignore_errors=True)
+        retired = swap_dir(path, staging)
+        if retired:
+            shutil.rmtree(retired, ignore_errors=True)
 
     writer = (
         stream_df.writeStream.queryName(query_name)

@@ -198,6 +198,10 @@ def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
     n_novel = spark.read.parquet(os.path.join(root, "novel")).count()
     n_dups = spark.read.parquet(os.path.join(root, "dups")).count()
     n_index = spark.read.parquet(idx.path).count()
+    dup_attr = {
+        (r.doc_id, r.dup_of)
+        for r in spark.read.parquet(os.path.join(root, "dups")).collect()
+    }
     # crash simulation: last batch's data writes landed, ledger did not
     shutil.rmtree(os.path.join(ledger, batches[-1]))
 
@@ -222,6 +226,13 @@ def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(os.path.join(root, "novel")).collect()
     } == novel
+    # byte-stability, not just membership: the replayed batch's index
+    # partition is excluded from cross-matching (match_new exclude_batch),
+    # so dup_of attribution cannot drift toward a smaller-id batch peer
+    assert {
+        (r.doc_id, r.dup_of)
+        for r in spark.read.parquet(os.path.join(root, "dups")).collect()
+    } == dup_attr
 
 
 def test_compact_batches_folds_history_and_preserves_matches(spark, tmp_path):

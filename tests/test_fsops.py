@@ -1,0 +1,221 @@
+"""Crash-window recovery for every staging→main directory promote
+(fsops.swap_dir / recover_swap — the round-3 ADVICE findings).
+
+The two-rename promote has a window — after ``main → .old``, before
+``staging → main`` — where the table path does not exist. These tests
+simulate a crash INSIDE that window (rename main away by hand, exactly
+the on-disk state a killed process leaves) and assert the next
+operation heals instead of silently rebuilding from scratch and then
+deleting the stranded history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvmax_spark.fsops import recover_swap, swap_dir
+
+
+# ------------------------------------------------------------ primitives
+
+
+def test_recover_swap_rolls_back_crashed_promote(tmp_path):
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    with open(os.path.join(path, "data"), "w") as fh:
+        fh.write("v1")
+    # crash window: main renamed away, staging never promoted
+    os.rename(path, path + ".old")
+    staging = path + ".staging"
+    os.makedirs(staging)
+    assert recover_swap(path) is True
+    with open(os.path.join(path, "data")) as fh:
+        assert fh.read() == "v1"
+    assert not os.path.isdir(path + ".old")
+    # healthy table: recovery is a no-op even with a stale .old around
+    os.makedirs(path + ".old")
+    assert recover_swap(path) is False
+    assert os.path.isdir(path)
+
+
+def test_swap_dir_promotes_and_returns_retired(tmp_path):
+    path, staging = str(tmp_path / "t"), str(tmp_path / "t.staging")
+    os.makedirs(staging)
+    # first promote: no prior table
+    assert swap_dir(path, staging) is None
+    assert os.path.isdir(path)
+    # second promote returns the retired dir, still on disk
+    os.makedirs(staging)
+    with open(os.path.join(staging, "m"), "w") as fh:
+        fh.write("v2")
+    retired = swap_dir(path, staging)
+    assert retired == path + ".old" and os.path.isdir(retired)
+    with open(os.path.join(path, "m")) as fh:
+        assert fh.read() == "v2"
+
+
+def test_swap_dir_heals_before_promoting(tmp_path):
+    """A promote that follows a crashed promote must retire the
+    RECOVERED state (not clobber it as a stale .old)."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    with open(os.path.join(path, "data"), "w") as fh:
+        fh.write("v1")
+    os.rename(path, path + ".old")  # crashed window
+    staging = path + ".staging"
+    os.makedirs(staging)
+    retired = swap_dir(path, staging)
+    assert retired is not None
+    with open(os.path.join(retired, "data")) as fh:
+        assert fh.read() == "v1"
+
+
+# ---------------------------------------------------------- FeatureStore
+
+
+def test_store_read_heals_crashed_swap(spark, tmp_path):
+    from dvmax_spark.store import FeatureStore
+
+    st = FeatureStore(
+        spark, str(tmp_path / "st"), keys=["k"], partition_col=None,
+        keep_snapshots=0,
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    st.upsert(df)
+    os.rename(st.main_path, st.main_path + ".old")  # crash window
+    assert st.exists()
+    assert {(r.k, r.v) for r in st.read().collect()} == {(1, "a"), (2, "b")}
+    # and the next upsert proceeds on the healed table
+    st.upsert(spark.createDataFrame([(3, "c")], "k int, v string"))
+    assert st.read().count() == 3
+
+
+# ------------------------------------------------------ ContinuousRollup
+
+
+def test_rollup_refresh_heals_crashed_swap(spark, tmp_path):
+    from dvmax_spark.plans.rollup import ContinuousRollup
+
+    path = str(tmp_path / "ru")
+    ru = ContinuousRollup(spark, path, "g", "ts", "v")
+    b1 = spark.createDataFrame(
+        [("a", "2024-01-01", 1.0), ("a", "2024-01-01", 2.0)],
+        "g string, ts string, v double",
+    )
+    ru.refresh(b1, meta={"batch_id": 0})
+    os.rename(path, path + ".old")  # crash window
+    assert ru.read_meta() == {"batch_id": 0}  # read_meta heals
+    os.rename(path, path + ".old")  # crash again before a refresh
+    b2 = spark.createDataFrame(
+        [("a", "2024-01-01", 4.0)], "g string, ts string, v double"
+    )
+    ru.refresh(b2, meta={"batch_id": 1})
+    row = ru.read().where(F.col("grp") == "a").collect()[0]
+    # history survived the crash: 1+2 from b1 folded with 4 from b2
+    assert row.sum_value == pytest.approx(7.0) and row.n == 3
+
+
+# -------------------------------------------------- stream_into_sketches
+
+
+def test_sketch_sink_survives_crashed_swap(spark, tmp_path):
+    """The round-3 ADVICE medium: a crash between the sketch table's
+    two renames used to strand ALL accumulated sketches in '.old' and
+    the next batch permanently deleted them. The sink must heal and
+    keep the full history."""
+    from dvmax_spark.streaming.ingest import stream_into_sketches
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    path = str(tmp_path / "sk")
+    schema = "g string, ts timestamp, uid bigint"
+
+    def _feed(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = str(tmp_path / name)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), os.path.join(in_dir, name + ".parquet"))
+
+    def _drain(ckpt):
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = stream_into_sketches(
+            stream, path, group_col="g", ts_col="ts", id_col="uid",
+            checkpoint_dir=str(tmp_path / ckpt), query_name="sk_" + ckpt,
+        )
+        q.awaitTermination(120)
+
+    import datetime as dt
+
+    day1 = dt.datetime(2024, 1, 1, 12)
+    _feed([("a", day1, i) for i in range(50)], "b1")
+    _drain("ck1")
+    n1 = spark.read.parquet(path).agg(F.sum("n_rows")).collect()[0][0]
+    assert n1 == 50
+    os.rename(path, path + ".old")  # crash window mid-promote
+    _feed([("a", day1, 1000 + i) for i in range(30)], "b2")
+    _drain("ck1")  # same checkpoint: only the new file is a new batch
+    total = spark.read.parquet(path).agg(F.sum("n_rows")).collect()[0][0]
+    assert total == 80  # history healed, not rebuilt from the last batch
+
+
+# ------------------------------------------------------- MinHashIndex
+
+
+def _mk_idx(spark, tmp_path):
+    from dvmax_spark.ext.dedup import MinHashIndex
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3),)
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    idx = MinHashIndex(
+        spark, str(tmp_path / "idx"), num_hashes=16, bands=8, shingle_n=2
+    )
+    return docs, idx
+
+
+def test_minhash_index_heals_crashed_compact(spark, tmp_path):
+    docs, idx = _mk_idx(spark, tmp_path)
+    idx.build(docs)
+    probe = spark.createDataFrame(
+        [(999, "the quick brown fox jumps over the lazy dog 0")],
+        "doc_id bigint, text string",
+    )
+    before = {(r.new_id, r.old_id) for r in idx.match_new(probe, threshold=0.2).collect()}
+    assert before
+    os.rename(idx.path, idx.path + ".old")  # crash window mid-compact
+    after = {(r.new_id, r.old_id) for r in idx.match_new(probe, threshold=0.2).collect()}
+    assert after == before
+
+
+def test_compact_batches_non_numeric_keys_protect_latest(spark, tmp_path):
+    """ADVICE r3: with any non-numeric batch key, EVERY partition used
+    to fold into __base__ (keep_last protected nothing). Lexicographic
+    ordering must keep the latest raw-string key live."""
+    docs, idx = _mk_idx(spark, tmp_path)
+    d = docs.limit(10)
+    idx.build(d, batch_key="2024-01-01")
+    idx.append(docs.where("doc_id >= 10 and doc_id < 20"), batch_key="2024-01-02")
+    idx.append(docs.where("doc_id >= 20"), batch_key="2024-01-03")
+    before = spark.read.parquet(idx.path).count()
+    idx.compact_batches(keep_last=1)
+    parts = sorted(
+        p for p in os.listdir(idx.path) if p.startswith("ingest_batch=")
+    )
+    assert parts == ["ingest_batch=2024-01-03", "ingest_batch=__base__"]
+    assert spark.read.parquet(idx.path).count() == before
+    # a second fold re-folds __base__ and still protects the latest key
+    idx.compact_batches(keep_last=1)
+    parts = sorted(
+        p for p in os.listdir(idx.path) if p.startswith("ingest_batch=")
+    )
+    assert parts == ["ingest_batch=2024-01-03", "ingest_batch=__base__"]
+    assert spark.read.parquet(idx.path).count() == before

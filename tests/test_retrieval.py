@@ -28,11 +28,46 @@ def test_vocabulary_counts_partition_the_token_stream(spark):
     docs = _docs(spark)
     vocab = vocabulary(docs, k=100).toPandas()
     total_tokens = docs.select(
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n")
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        ).alias("n")
     ).collect()[0]["n"]
     assert vocab["n_occ"].sum() == total_tokens
     # ordering contract: non-increasing counts, token tie-break
     assert list(vocab["n_occ"]) == sorted(vocab["n_occ"], reverse=True)
+
+
+def test_vocabulary_drops_empty_tokens(spark):
+    """Doubled/leading/trailing spaces split to '' — the vocab of a
+    tokenizer-training corpus must never contain the empty string
+    (round-3 verdict nit), and both engines must agree on the drop."""
+    import duckdb
+
+    rows = [("d1", "a  b"), ("d2", " a b "), ("d3", "a   a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = vocabulary(df, k=10).toPandas()
+    assert "" not in set(vocab["token"])
+    assert dict(zip(vocab["token"], vocab["n_occ"])) == {"a": 4, "b": 2}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    from dvmax_spark.ext.retrieval import vocabulary_sql
+
+    exp = con.execute(vocabulary_sql(k=10)).fetchall()
+    assert exp == list(map(tuple, vocab[["token", "n_occ"]].itertuples(index=False)))
+
+
+def test_bm25_rejects_empty_terms(spark):
+    """Both surfaces must fail the same way on zero query terms
+    (mirrors bm25_rank_sql's ValueError — ADVICE r3)."""
+    import pytest as _pytest
+
+    from dvmax_spark.ext.retrieval import bm25_rank_sql
+
+    with _pytest.raises(ValueError):
+        bm25_rank(_docs(spark), ())
+    with _pytest.raises(ValueError):
+        bm25_rank_sql(())
 
 
 def test_vocabulary_is_partial_agg(spark):
