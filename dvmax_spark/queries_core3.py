@@ -267,3 +267,70 @@ def s5_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "s5_pyds_stream",
+    ids=("S5", "T1"),
+    sql="""
+    WITH gs AS (SELECT unnest(generate_series(0, 799)) AS item_id),
+    src AS (
+      SELECT item_id,
+             ['AAA','BBB','CCC','DDD','EEE'][CAST(item_id % 5 AS INT) + 1] AS symbol,
+             CAST((item_id * 37 + 11) % 100000 AS DOUBLE) / 100 AS px
+      FROM gs
+    )
+    SELECT symbol, count(*) AS n,
+           CAST(sum(CAST(round(px * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           min(px) AS min_px, max(px) AS max_px
+    FROM src GROUP BY symbol ORDER BY symbol
+    """,
+)
+def s5_pyds_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING Python Data Source (Spark 4 DataSourceStreamReader,
+    sources/pyds.py ParallelPagedRestStreamReader): the paged REST feed
+    as a Structured Streaming source with partition-per-page
+    micro-batches — executors fetch a batch's pages concurrently, and
+    page-cursor offsets make checkpoint recovery exactly-once. The
+    drained sink must reproduce the batch connector's feed EXACTLY, so
+    the same cents-exact SQL oracle checks it (streaming-vs-batch
+    equivalence, hash-checked)."""
+    import tempfile
+    import time
+    import uuid
+
+    from dvmax_spark.sources.pyds import register
+
+    register(spark)
+    qn = f"pyds_q_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("dvmax_paged_rest")
+        .option("pages", 8)
+        .option("page_size", 100)
+        .load()
+    )
+    ckpt = tempfile.mkdtemp(prefix="pyds_ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while spark.table(qn).count() < 800 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return (
+        spark.table(qn)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("px") * 100).cast("bigint")).alias("total_cents"),
+            F.min("px").alias("min_px"),
+            F.max("px").alias("max_px"),
+        )
+        .orderBy("symbol")
+    )

@@ -237,8 +237,63 @@ def test_python_datasource_streaming_drains_pages(spark, tmp_path):
         deadline = time.time() + 120
         while spark.table(qn).count() < 100 and time.time() < deadline:
             time.sleep(0.5)
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
     finally:
         q.stop()
     got = sorted(tuple(r) for r in spark.table(qn).collect())
     expected = sorted(t for p in range(5) for t in synth_page(p, 20))
     assert got == expected
+    # full DataSourceStreamReader: the whole 5-page backlog lands in ONE
+    # micro-batch (latestOffset reports all available; partitions() fans
+    # out one InputPartition per page for executor-parallel fetch)
+    assert progress and progress[0]["numInputRows"] == 100
+
+
+def test_python_datasource_stream_reader_tiers_agree(spark, tmp_path):
+    """The partition-parallel DataSourceStreamReader (default) and the
+    driver-side SimpleDataSourceStreamReader (reader_mode=simple) must
+    drain the same feed to identical rows — the two-tier API contract,
+    and the batch-equivalence evidence for the parallel reader."""
+    import time
+    import uuid
+
+    from dvmax_spark.sources.pyds import register
+
+    register(spark)
+
+    def _drain(mode: str):
+        qn = f"pyds_tier_{mode}_{uuid.uuid4().hex[:6]}"
+        stream = (
+            spark.readStream.format("dvmax_paged_rest")
+            .option("pages", 4)
+            .option("page_size", 15)
+            .option("reader_mode", mode)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ("ck_" + qn)))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while spark.table(qn).count() < 60 and time.time() < deadline:
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        return sorted(tuple(r) for r in spark.table(qn).collect())
+
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("dvmax_paged_rest")
+        .option("pages", 4)
+        .option("page_size", 15)
+        .load()
+        .collect()
+    )
+    parallel = _drain("parallel")
+    simple = _drain("simple")
+    assert parallel == batch
+    assert simple == batch
