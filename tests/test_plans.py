@@ -389,3 +389,47 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q17_decorrelates_to_aggregate_join(spark):
+    """TPC-H-Q17 shape: the correlated scalar AVG subquery must
+    decorrelate into a per-part aggregate joined back (never a per-row
+    re-scan), with the brand/type filters pushed to the part scan."""
+    plan = _plan(_q(spark, "sql_api_q17"))
+    simple = _simple_plan(_q(spark, "sql_api_q17"))
+    assert "partial_avg" in simple, simple
+    assert "Python" not in simple, simple
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln for ln in pushed), pushed
+
+
+def test_q21_exists_shapes_become_semi_anti_joins(spark):
+    """TPC-H-Q21 shape: correlated EXISTS / NOT EXISTS must lower to
+    left-semi / left-anti joins on the order key — the decorrelation
+    that keeps the fact-fact comparison a single co-partitioned
+    shuffle instead of a per-row subquery."""
+    simple = _simple_plan(_q(spark, "sql_api_q21"))
+    assert "LeftSemi" in simple, simple
+    assert "LeftAnti" in simple, simple
+    assert "Python" not in simple, simple
+
+
+def test_q8_dims_broadcast(spark):
+    """TPC-H-Q8 shape: the 8-way join must broadcast every dim (nation
+    twice, region, part, supplier, customer) — lineitem, the only
+    100 TB-scale table, must never be shuffled on a dim key."""
+    simple = _simple_plan(_q(spark, "sql_api_q8"))
+    assert simple.count("BroadcastHashJoin") >= 5, simple
+    assert "Python" not in simple, simple
+
+
+def test_q12_shipdate_window_pushed_to_scan(spark):
+    """TPC-H-Q12 shape: the one-year shipdate window must reach the
+    lineitem parquet scan (PushedFilters), while the two-sided
+    shipdate > orderdate predicate rides the join as its residual
+    condition — not a post-join Filter over the full join output."""
+    plan = _plan(_q(spark, "sql_api_q12"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed), pushed
+    simple = _simple_plan(_q(spark, "sql_api_q12"))
+    assert "Python" not in simple, simple
