@@ -1430,3 +1430,67 @@ def sql_api_q12(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("orders", "lineitem"))
     return spark.sql(_Q12_SQL)
+
+
+_GSETS_SQL = """
+    SELECT coalesce(c.c_mktsegment, '<all>') AS segment,
+           coalesce(o.o_orderpriority, '<all>') AS priority,
+           count(*) AS n,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_mktsegment, o.o_orderpriority),
+                            (c.c_mktsegment), (o.o_orderpriority), ())
+    ORDER BY segment, priority
+"""
+
+
+@query("sql_grouping_sets", ids=("A1", "A2", "U3"), sql=_GSETS_SQL)
+def sql_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-granularity rollup in ONE pass: GROUPING SETS over
+    (segment x priority, segment, priority, grand total) — the OLAP
+    report shape that would otherwise take four scans + a union.
+    Catalyst expands the sets into a single Expand node feeding one
+    hash aggregate, so the fact table is read once regardless of how
+    many granularities are asked for. Grouping-null keys are
+    COALESCE'd to a sentinel so both engines order identically (Spark
+    sorts NULLS FIRST by default, DuckDB NULLS LAST — the cross-engine
+    trap this query pins)."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("orders", "customer"))
+    return spark.sql(_GSETS_SQL)
+
+
+_SETOPS_SQL = """
+    WITH y96 AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+    ),
+    y97 AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+    )
+    SELECT 'both_years' AS grp, custkey
+    FROM (SELECT custkey FROM y96 INTERSECT SELECT custkey FROM y97) t1
+    UNION ALL
+    SELECT 'only_1996' AS grp, custkey
+    FROM (SELECT custkey FROM y96 EXCEPT SELECT custkey FROM y97) t2
+    ORDER BY grp, custkey
+"""
+
+
+@query("sql_intersect_except", ids=("U4", "J6", "P2"), sql=_SETOPS_SQL)
+def sql_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI set operators: retained customers (INTERSECT of two order
+    years) and churned customers (EXCEPT) in one result. Both engines
+    give set (distinct) semantics; Catalyst lowers INTERSECT to a
+    left-semi and EXCEPT to a left-anti join on the distinct key sets,
+    so the cost model matches the hand-written anti-join (J6) rather
+    than a full sort-based set difference."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("orders",))
+    return spark.sql(_SETOPS_SQL)

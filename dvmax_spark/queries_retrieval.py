@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dvmax_spark.catalog import load_table
 from dvmax_spark.ext.retrieval import (
+    block_dedup_stats,
+    block_dedup_stats_sql,
     bm25_rank,
     bm25_rank_sql,
     doc_chunks,
@@ -103,3 +105,14 @@ def x_doc_chunks_udtf(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@query("x_block_dedup", ids=("X1", "X15"), sql=block_dedup_stats_sql(w=16))
+def x_block_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document exact dedup on non-overlapping 16-word blocks
+    (ext/retrieval.py:block_dedup_stats) — the cheap first tier of
+    repeated-passage removal: positions/16 index entries per doc vs
+    ~positions for the overlapping-gram x_dup_span_stats, so it runs
+    an order of magnitude lighter at the same corpus and gates which
+    docs the expensive gram pass ever sees."""
+    return block_dedup_stats(load_table(spark, "documents", sf), w=16)
