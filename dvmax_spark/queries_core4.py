@@ -1494,3 +1494,56 @@ def sql_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("orders",))
     return spark.sql(_SETOPS_SQL)
+
+
+_UNPIVOT_SQL = """
+    SELECT c_mktsegment, metric, round(val, 2) AS val
+    FROM (SELECT c_mktsegment,
+                 round(avg(c_acctbal), 2) AS avg_bal,
+                 round(max(c_acctbal), 2) AS max_bal,
+                 round(min(c_acctbal), 2) AS min_bal
+          FROM customer GROUP BY c_mktsegment) t
+    UNPIVOT (val FOR metric IN (avg_bal, max_bal, min_bal))
+    ORDER BY c_mktsegment, metric
+"""
+
+
+@query("sql_unpivot", ids=("U3", "A2"), sql=_UNPIVOT_SQL)
+def sql_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI UNPIVOT (wide→long melt, the inverse of U3's pivot) with
+    IDENTICAL SQL text on both engines — Catalyst lowers it to an
+    Expand (one output row per unpivoted column), so cost is
+    O(rows × columns) map-side with zero shuffle beyond the feeding
+    aggregate. The round happens before the melt so both engines
+    compare the same 2-decimal values."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("customer",))
+    return spark.sql(_UNPIVOT_SQL)
+
+
+_PIVOT_SQL = """
+    SELECT c_mktsegment,
+           round(f, 2) AS f, round(o, 2) AS o, round(p, 2) AS p
+    FROM (
+      SELECT c_mktsegment, o_orderstatus, o_totalprice
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    ) t
+    PIVOT (sum(o_totalprice) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+    ORDER BY c_mktsegment
+"""
+
+
+@query("sql_pivot", ids=("U3", "A2", "J7"), sql=_PIVOT_SQL)
+def sql_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI PIVOT (long→wide) with identical SQL text on both engines:
+    revenue by market segment × order status. The IN list is explicit
+    (both engines require it for a deterministic schema — a dynamic
+    pivot would need a two-pass distinct first), which is also what
+    keeps the plan a single hash aggregate rather than a
+    per-distinct-value scan."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("orders", "customer"))
+    return spark.sql(_PIVOT_SQL)
