@@ -746,7 +746,6 @@ class MinHashIndex:
         compaction rewrites to a bounded file count behind the same
         staging + atomic-rename protocol the FeatureStore uses, so
         concurrent matchers never observe a half-compacted index."""
-        import os
         import shutil
 
         # (band, salt) partitioning: files_per_band groups PER band and
@@ -805,17 +804,24 @@ class MinHashIndex:
         keys = [r[0] for r in df.select("ingest_batch").distinct().collect()]
         # "most recent" must be well-defined for keep_last to protect
         # the replayable batches: numeric keys (streaming batch ids)
-        # order numerically; an index written with ANY non-numeric key
-        # would previously fold EVERY partition — including the
-        # in-flight batch — into __base__, breaking replay safety, so
-        # mixed/non-numeric keys order lexicographically on the raw
-        # strings instead (documented: manual string keys must sort in
-        # ingest order, e.g. zero-padded dates).
+        # order numerically; all-string keys order lexicographically
+        # (documented: manual string keys must sort in ingest order,
+        # e.g. zero-padded dates). MIXED keys have no meaningful order
+        # ('10' < '9' lexicographically would fold the in-flight
+        # numeric batch) — refuse loudly rather than misfold (an index
+        # written with any non-numeric key previously folded EVERY
+        # partition, including the in-flight batch, into __base__).
         cands = [k for k in keys if k != "__base__"]  # prior folds re-fold
-        if all(k.lstrip("-").isdigit() for k in cands):
+        n_numeric = sum(k.lstrip("-").isdigit() for k in cands)
+        if n_numeric == len(cands):
             ordered = [str(k) for k in sorted(int(k) for k in cands)]
-        else:
+        elif n_numeric == 0:
             ordered = sorted(cands)
+        else:
+            raise ValueError(
+                "compact_batches: mixed numeric and non-numeric ingest_batch "
+                f"keys have no well-defined recency order: {sorted(cands)[:8]}"
+            )
         live = set(ordered[-keep_last:]) if keep_last > 0 else set()
         salt = _portable_hash(F.col(self.id_col).cast("string")) % files_per_band
         folded = df.withColumn(
@@ -830,7 +836,6 @@ class MinHashIndex:
             F.col("band"),
             salt,
         )
-        import os
         import shutil
 
         from dvmax_spark.fsops import swap_dir
@@ -852,27 +857,36 @@ class MinHashIndex:
         new_docs: DataFrame,
         threshold: float = 0.5,
         max_bucket: int | None = 1000,
-        exclude_batch: int | str | None = None,
+        exclude_self: bool = False,
     ) -> DataFrame:
         """Near-dup pairs (new_id, old_id, est_jaccard) between the
         incoming batch and the INDEXED corpus. One shuffle join on the
         band key; neither corpus signatures nor corpus text are
         recomputed.
 
-        ``exclude_batch`` drops the index's own ``ingest_batch=<key>``
-        partition from the stored side — the streaming-replay hook: a
-        batch whose crashed attempt already appended its survivors must
-        not match AGAINST those survivors on replay, or dup_of
-        attribution could drift from the crash-free run (the batch-peer
-        relation is recomputed exactly by the intra phase instead)."""
+        ``exclude_self`` drops stored rows whose id is IN the incoming
+        batch — the streaming-replay hook: a batch whose crashed
+        attempt already appended its survivors must not match AGAINST
+        those survivors on replay, or dup_of attribution could drift
+        from the crash-free run (the batch-peer relation is recomputed
+        exactly by the intra phase instead). Id-based, not
+        partition-key-based, deliberately: micro-batch counters restart
+        with a fresh checkpoint, so excluding ``ingest_batch=<id>``
+        could hide a PRIOR run's same-numbered live partition; doc ids
+        are unique corpus-wide (the ledger admits each id once), so the
+        id filter removes exactly the crashed attempt's rows at any
+        batch numbering. Applied BEFORE the bucket-cap census so replay
+        sees the same bucket sizes as a crash-free run."""
         from dvmax_spark.fsops import recover_swap
 
         recover_swap(self.path)  # heal a crashed compact before reading
         new_banded = self._banded(new_docs)
         stored = self.spark.read.parquet(self.path)
-        if exclude_batch is not None and "ingest_batch" in stored.columns:
-            stored = stored.where(
-                F.col("ingest_batch").cast("string") != str(exclude_batch)
+        if exclude_self:
+            stored = stored.join(
+                F.broadcast(new_docs.select(self.id_col).distinct()),
+                self.id_col,
+                "left_anti",
             )
         if max_bucket is not None:
             # The cap must bound the JOIN fan-out, so bucket size is the

@@ -308,17 +308,20 @@ def block_dedup_stats(
     Trailing words beyond the last full block are ignored by BOTH
     engines (documented convention, keeps the SQL twin exact).
     """
-    tk = F.split(F.col(text_col), " ")
+    # tokenize ONCE behind a projection barrier (a transform lambda
+    # referencing split() inline would re-evaluate the split per
+    # reference — the interpreted-HOF pitfall the verify notes pin);
     # CASE guards short docs: sequence(0, -1) would DESCEND in Spark
-    blocks_expr = F.expr(
-        f"""CASE WHEN size(split({text_col}, ' ')) < {w} THEN array()
-            ELSE transform(
-              sequence(0, int(floor(size(split({text_col}, ' ')) / {w})) - 1),
-              b -> array_join(slice(split({text_col}, ' '), b * {w} + 1, {w}), ' '))
-            END"""
-    ).alias("blocks")
-    base = df.select(F.col(id_col), tk.alias("tk"), blocks_expr).select(
-        id_col, F.size("tk").alias("n_words"), "blocks"
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("tk"))
+    base = toks.select(
+        id_col,
+        F.expr(
+            f"""CASE WHEN size(tk) < {w} THEN array()
+                ELSE transform(
+                  sequence(0, int(floor(size(tk) / {w})) - 1),
+                  b -> array_join(slice(tk, b * {w} + 1, {w}), ' '))
+                END"""
+        ).alias("blocks"),
     )
     occ = base.select(id_col, F.explode("blocks").alias("blk"))
     hot = (

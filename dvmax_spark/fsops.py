@@ -43,10 +43,27 @@ RETIRED_SUFFIX = ".old"
 def recover_swap(path: str) -> bool:
     """Heal a crashed two-rename swap: if ``path`` is absent but
     ``path + '.old'`` exists, roll the retired state back into place.
-    Returns True when a recovery was performed."""
+    Returns True when a recovery was performed.
+
+    Concurrency note: this makes readers potentially WRITE (one
+    rename). The store's contract is single-writer/single-process (see
+    module docstring) — but a reader racing another reader's recovery,
+    or observing a writer mid-promote, must not crash: the rename loser
+    gets FileNotFoundError (its sibling already healed) or the healed
+    path reappears — both are treated as "nothing to recover". A
+    reader racing an in-flight WRITER can still mis-heal (rename .old
+    back between the writer's two renames, failing the writer's
+    promote loudly with ENOTEMPTY) — that is the documented
+    multi-writer limit, not a silent-loss path: the writer errors, no
+    state is deleted, and the next operation heals."""
     retired = path + RETIRED_SUFFIX
     if not os.path.isdir(path) and os.path.isdir(retired):
-        os.rename(retired, path)
+        try:
+            os.rename(retired, path)
+        except OSError:
+            # lost a recovery race (sibling healed first / writer
+            # completed its promote): the table is whole either way
+            return False
         return True
     return False
 

@@ -68,6 +68,9 @@ class ContinuousRollup:
         self.group_col, self.ts_col, self.val_col = group_col, ts_col, val_col
 
     def exists(self) -> bool:
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
     def refresh(self, batch: DataFrame, meta: dict | None = None) -> None:
@@ -116,6 +119,9 @@ class ContinuousRollup:
             return None
 
     def read_partials(self) -> DataFrame:
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)
         return self.spark.read.parquet(self.path)
 
     def read(self) -> DataFrame:

@@ -309,6 +309,8 @@ def s5_pyds_stream(spark: SparkSession, sf: str) -> DataFrame:
         .option("page_size", 100)
         .load()
     )
+    import shutil
+
     ckpt = tempfile.mkdtemp(prefix="pyds_ckpt_")
     q = (
         stream.writeStream.format("memory")
@@ -320,9 +322,12 @@ def s5_pyds_stream(spark: SparkSession, sf: str) -> DataFrame:
     try:
         deadline = time.time() + 120
         while spark.table(qn).count() < 800 and time.time() < deadline:
+            if q.exception() is not None:  # fail fast with the real cause
+                raise q.exception()
             time.sleep(0.5)
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(qn)
         .groupBy("symbol")

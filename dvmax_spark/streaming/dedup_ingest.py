@@ -27,11 +27,14 @@ its own partitions with identical content instead of appending a
 second copy — idempotence holds regardless of where the crash landed,
 not just between batches. (Replay determinism: recomputation is pure,
 and when the crashed attempt already admitted docs to the index, the
-replay passes ``exclude_batch`` to ``match_new`` so the batch's own
-in-flight partition is invisible to cross-matching — without that, a
-corpus-displaced doc could pick up a smaller-id batch peer as its
-``dup_of`` and the rewritten dups partition would be membership-equal
-but not byte-identical to a crash-free run.)
+replay passes ``exclude_self`` to ``match_new`` so stored rows with
+the batch's OWN doc ids are invisible to cross-matching — without
+that, a corpus-displaced doc could pick up a smaller-id batch peer as
+its ``dup_of`` and the rewritten dups partition would be
+membership-equal but not byte-identical to a crash-free run. The
+exclusion is id-based rather than batch-key-based because micro-batch
+counters restart with a fresh checkpoint: a prior run's live
+``ingest_batch=0`` partition must stay matchable.)
 
 Scale notes (100 TB): per-batch work is O(batch) signatures + one
 band-key join against the index + the ledger anti-join. The ledger is
@@ -95,6 +98,14 @@ def stream_dedup_ingest(
     ledger = index.path + "_seen"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # heal a crashed compact BEFORE the isdir guard below — without
+        # this, a compact() that died between its two renames makes the
+        # index look absent: cross-matching is skipped and a fresh
+        # one-batch index is written, and the NEXT swap would delete the
+        # stranded history in '.old' (r4 review finding)
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(index.path)
         if batch_df.isEmpty():
             return
         batch = batch_df.dropDuplicates([idc])
@@ -113,7 +124,7 @@ def stream_dedup_ingest(
         if os.path.isdir(index.path):
             cross = (
                 index.match_new(
-                    matchable, threshold=threshold, exclude_batch=batch_id
+                    matchable, threshold=threshold, exclude_self=True
                 )
                 .groupBy(F.col("new_id").alias(idc))
                 .agg(F.min("old_id").alias("dup_of"))

@@ -219,3 +219,16 @@ def test_compact_batches_non_numeric_keys_protect_latest(spark, tmp_path):
     )
     assert parts == ["ingest_batch=2024-01-03", "ingest_batch=__base__"]
     assert spark.read.parquet(idx.path).count() == before
+
+
+def test_compact_batches_refuses_mixed_keys(spark, tmp_path):
+    """Numeric and non-numeric batch keys have no well-defined recency
+    order ('10' < '9' lexicographically) — folding on a guess could
+    fold the stream's in-flight replayable batch, so mixed keys must
+    raise instead (r4 review finding)."""
+    docs, idx = _mk_idx(spark, tmp_path)
+    idx.build(docs.limit(10), batch_key=9)
+    idx.append(docs.where("doc_id >= 10 and doc_id < 20"), batch_key=10)
+    idx.append(docs.where("doc_id >= 20"), batch_key="backfill_a")
+    with pytest.raises(ValueError, match="mixed"):
+        idx.compact_batches(keep_last=1)

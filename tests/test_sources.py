@@ -237,7 +237,13 @@ def test_python_datasource_streaming_drains_pages(spark, tmp_path):
         deadline = time.time() + 120
         while spark.table(qn).count() < 100 and time.time() < deadline:
             time.sleep(0.5)
-        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        # progress events post after the batch commits — keep polling
+        # until one lands (racing q.stop() here makes the test flaky)
+        progress = []
+        while not progress and time.time() < deadline:
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if not progress:
+                time.sleep(0.5)
     finally:
         q.stop()
     got = sorted(tuple(r) for r in spark.table(qn).collect())
