@@ -1547,3 +1547,60 @@ def sql_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("orders", "customer"))
     return spark.sql(_PIVOT_SQL)
+
+
+_RANGE_JOIN_SQL = """
+    WITH iv AS (
+      SELECT user_id, event_id AS purchase_id,
+             ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT iv.purchase_id, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM iv
+    JOIN events e
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.start_ts
+     AND e.ts <= iv.end_ts
+    GROUP BY iv.purchase_id
+    ORDER BY iv.purchase_id
+"""
+
+
+@query("j_range_join", ids=("J4", "P2", "A1"), sql=_RANGE_JOIN_SQL)
+def j_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval × point RANGE JOIN (operators/range_join.py): per-user
+    activity in the hour following each purchase event. Spark lowers a
+    raw BETWEEN predicate to a nested-loop join (O(L·R) — dead at
+    scale); bin_range_join discretizes time into hour bins and joins
+    EQUI on (user_id, bin) plus a residual BETWEEN — each qualifying
+    pair meets in exactly one bin (the point's), so no dedup is
+    needed. The oracle runs the naive BETWEEN join, proving the binned
+    plan is value-exact, while the plan test pins that no nested-loop
+    join appears."""
+    from dvmax_spark.operators.range_join import bin_range_join
+
+    ev = load_table(spark, "events", sf)
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 1 HOUR").alias("end_ts"),
+    )
+    joined = bin_range_join(
+        iv,
+        ev.select("user_id", "ts", "value"),
+        "start_ts",
+        "end_ts",
+        "ts",
+        bin_width_s=3_600,
+        keys=("user_id",),
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -308,3 +308,43 @@ def test_observation_metrics_single_pass(spark):
     assert n_out <= m["n_rows"]
     exp = round(ev.agg(F.sum("value")).first()[0], 2)
     assert abs(m["sum_value"] - exp) < 0.02
+
+
+def test_bin_range_join_matches_naive_and_handles_bin_edges(spark):
+    """bin_range_join == the naive BETWEEN join on adversarial
+    boundaries: points exactly on interval endpoints (inclusive),
+    intervals spanning multiple bins, and bin-edge timestamps — each
+    qualifying pair must appear exactly once (the point's bin)."""
+    import datetime as dt
+
+    from dvmax_spark.operators.range_join import bin_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)
+    iv = spark.createDataFrame(
+        [
+            ("u1", 1, mk(0), mk(3600)),       # exactly one bin-width long
+            ("u1", 2, mk(1800), mk(9000)),    # spans 3 bins
+            ("u2", 3, mk(0), mk(3600)),       # same window, other user
+        ],
+        "user_id string, iv_id int, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("u1", 10, mk(0)),      # on start boundary (inclusive)
+            ("u1", 11, mk(3600)),   # on end boundary AND a bin edge
+            ("u1", 12, mk(7200)),   # inside iv 2's third bin
+            ("u1", 13, mk(9001)),   # just past iv 2's end
+            ("u2", 14, mk(100)),    # matches only via u2
+        ],
+        "user_id string, pt_id int, ts timestamp_ntz",
+    )
+    got = {
+        (r.iv_id, r.pt_id)
+        for r in bin_range_join(
+            iv, pts, "start_ts", "end_ts", "ts", bin_width_s=3600,
+            keys=("user_id",),
+        ).collect()
+    }
+    # naive reference computed by hand: inclusive both ends, user-keyed
+    assert got == {(1, 10), (1, 11), (2, 11), (2, 12), (3, 14)}

@@ -433,3 +433,15 @@ def test_q12_shipdate_window_pushed_to_scan(spark):
     assert any("l_shipdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed), pushed
     simple = _simple_plan(_q(spark, "sql_api_q12"))
     assert "Python" not in simple, simple
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """The binned range join must be an EQUI hash/sort join on
+    (user_id, bin) with the BETWEEN as residual — never the
+    BroadcastNestedLoopJoin/CartesianProduct Spark gives a raw range
+    predicate (O(L·R), dead at scale)."""
+    simple = _simple_plan(_q(spark, "j_range_join"))
+    assert "NestedLoop" not in simple, simple
+    assert "CartesianProduct" not in simple, simple
+    assert "Join" in simple, simple
+    assert "Python" not in simple, simple
