@@ -16,14 +16,17 @@ time (pushFilters), the connector-level analog of partition pruning.
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SYMBOLS = ("AAA", "BBB", "CCC", "DDD", "EEE")
@@ -103,6 +106,25 @@ def register(spark) -> None:
     # runtime conf, set here so vanilla (driver) sessions work too
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedRestDataSource)
+    spark.dataSource.register(JsonlDirDataSource)
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.writeStream.format("dvmax_jsonl_dir")`` — write-side
+    Python Data Source: an exactly-once batch-keyed JSONL directory
+    sink (see :class:`JsonlDirStreamWriter`)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dvmax_jsonl_dir"
+
+    def schema(self) -> str:
+        # sink-only source: reads are not supported; the writer takes
+        # whatever schema the stream carries
+        return "value string"
+
+    def streamWriter(self, schema, overwrite):  # noqa: N802 (API name)
+        return JsonlDirStreamWriter(self.options, overwrite)
 
 
 class PagedRestStreamReader(SimpleDataSourceStreamReader):
@@ -174,3 +196,84 @@ class ParallelPagedRestStreamReader(DataSourceStreamReader):
         # synthetic feed: nothing to ack; a real pager would release
         # server-side cursors up to `end` here
         return
+
+
+@dataclass
+class _PageCommit(WriterCommitMessage):
+    """Per-task commit message: where the task staged its rows."""
+
+    staged_path: str
+    n_rows: int
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    """Python DataSourceStreamWriter (Spark 4): an exactly-once JSONL
+    directory sink, the write-side completion of the paged connector's
+    two-tier read story.
+
+    Protocol (the two-phase commit every custom sink needs):
+      * ``write(iterator)`` runs ON EXECUTORS — each task streams its
+        partition to a uniquely-named file under ``<path>/.staging/``
+        and returns a commit message naming it (never writing into the
+        visible directory);
+      * ``commit(messages, batchId)`` runs on the driver AFTER every
+        task succeeded — staged files move into ``<path>/batch=<id>/``
+        in one pass. Replays of an already-committed batch are detected
+        by the batch directory's presence and become no-ops, which is
+        what upgrades at-least-once task execution to exactly-once
+        OUTPUT (same contract as the parquet sinks' batch-keyed
+        dynamic overwrite, at the connector level);
+      * ``abort(messages, batchId)`` removes staged files so a failed
+        batch leaves no trace.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"task-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PageCommit(staged_path=staged, n_rows=n)
+
+    def commit(self, messages, batchId):  # noqa: N803 (API name)
+        import os
+
+        batch_dir = os.path.join(self.path, f"batch={batchId}")
+        if os.path.isdir(batch_dir):
+            # replayed batch: output already visible — drop the new
+            # staging files and keep the committed state (exactly-once)
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(m.staged_path)
+                    except OSError:
+                        pass
+            return
+        tmp = batch_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for i, m in enumerate(messages):
+            if m is not None and m.n_rows > 0:
+                os.rename(m.staged_path, os.path.join(tmp, f"part-{i:05d}.jsonl"))
+        os.rename(tmp, batch_dir)  # single visible-making rename
+
+    def abort(self, messages, batchId):  # noqa: N803 (API name)
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.staged_path)
+                except OSError:
+                    pass

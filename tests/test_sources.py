@@ -303,3 +303,66 @@ def test_python_datasource_stream_reader_tiers_agree(spark, tmp_path):
     simple = _drain("simple")
     assert parallel == batch
     assert simple == batch
+
+
+def test_python_datasource_stream_writer_exactly_once(spark, tmp_path):
+    """Write-side Python Data Source (DataSourceStreamWriter): the
+    paged stream drained through the custom JSONL sink must (a) land
+    exactly the batch connector's rows, (b) stage on executors and
+    become visible only via the driver's commit (no .staging leftovers,
+    batch= dirs only), and (c) treat a replayed batch as a no-op
+    (delete a checkpoint, re-run, rows unchanged)."""
+    import json
+    import os
+    import time
+
+    from dvmax_spark.sources.pyds import register, synth_page
+
+    register(spark)
+    out = str(tmp_path / "sink")
+
+    def _run(ck):
+        stream = (
+            spark.readStream.format("dvmax_paged_rest")
+            .option("pages", 3)
+            .option("page_size", 10)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("dvmax_jsonl_dir")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if any(p.get("numInputRows", 0) > 0 for p in q.recentProgress) and not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.5)
+        q.stop()
+
+    def _rows():
+        rows = []
+        for root, _dirs, files in os.walk(out):
+            if "/.staging" in root or root.endswith(".staging"):
+                continue
+            for f in files:
+                if f.endswith(".jsonl"):
+                    with open(os.path.join(root, f)) as fh:
+                        rows += [json.loads(ln) for ln in fh]
+        return sorted(
+            (r["page"], r["item_id"], r["symbol"], r["px"]) for r in rows
+        )
+
+    _run("ck_w1")
+    expected = sorted(t for p in range(3) for t in synth_page(p, 10))
+    assert _rows() == expected
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert batch_dirs, os.listdir(out)
+    assert not os.listdir(os.path.join(out, ".staging")), "staging must drain"
+    # replay with a FRESH checkpoint: committed batch dirs make the
+    # re-delivered batch a no-op (exactly-once output)
+    _run("ck_w2")
+    assert _rows() == expected
