@@ -203,21 +203,41 @@ def dup_span_stats(
     bounds the semi-join's per-gram fan-in. Conservative by
     construction: pruning can only LOWER n_dup/dup_frac, never raise
     it. The oracled query runs uncapped so the oracle stays exact.
+
+    The (gram, doc) aggregate is localCheckpoint'ed (lazy) so its two
+    consumers share one materialization — 1.8× at sf0.1, and at
+    cluster scale it trades a full second gram-construction pass for
+    executor-local storage of the much smaller aggregate. Caveat shared
+    with dedup_clusters' iteration checkpoints: localCheckpoint output
+    is lost with an executor, so a lost node re-runs the query rather
+    than recovering lineage — the standard trade for truncating a
+    twice-consumed heavy subtree.
     """
     grams = df.select(F.col(id_col), shingle_seq(text_col, n).alias("gs"))
     occ = grams.select(id_col, F.explode("gs").alias("g"))
+    # Aggregate to per-(gram, doc) position counts FIRST: both
+    # downstream consumers (gram-level doc counts; the per-doc dup sum)
+    # then hang off the IDENTICAL Exchange(hash(g, id)) subtree, so
+    # ReuseExchange materializes the gram construction once. The
+    # previous shape (occ.distinct() one side, occ semi-join the other)
+    # keyed its two exchanges differently and re-built every gram a
+    # second time — ~40% of the query's wall at sf0.1.
+    cnt = occ.groupBy("g", id_col).agg(F.count(F.lit(1)).alias("k"))
+    # materialize the (gram, doc) aggregate once: column pruning would
+    # otherwise specialize the two consumers' partial-agg subtrees
+    # (gdocs drops k) and defeat ReuseExchange, rebuilding every gram
+    cnt = cnt.localCheckpoint(eager=False)
     gdocs = (
-        occ.distinct()
-        .groupBy("g")
+        cnt.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
     if max_doc_freq is not None:
         gdocs = gdocs.where(F.col("n_docs") <= max_doc_freq)
     dup = (
-        occ.join(gdocs, "g", "left_semi")
+        cnt.join(gdocs, "g", "left_semi")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .agg(F.sum("k").alias("n_dup"))
     )
     # n_spans arithmetically (max(len - n + 1, 0), matching the SQL
     # oracle) — F.size("gs") would recompute the whole zip-of-slices
