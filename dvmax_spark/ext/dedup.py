@@ -411,12 +411,15 @@ def dedup_clusters(
     Components via iterative min-label propagation: every vertex
     repeatedly takes the min label among itself and its neighbors; a
     vertex's label converges to the min id of its component in
-    O(component diameter) rounds. Near-dup graphs are star-like
-    (diameter 2-4 — dup families share a common template), so a
-    handful of rounds suffices; ``max_iter`` bounds adversarial
-    chains. Each round is one shuffle join (edges × labels, keyed on
-    vertex id) + one min-aggregate; labels are ``localCheckpoint``-ed
-    per round so the plan doesn't grow with iterations. At 100 TB,
+    O(component diameter) propagation steps. Near-dup graphs are
+    star-like (diameter 2-4 — dup families share a common template),
+    so a handful of steps suffices; ``max_iter`` rounds of TWO steps
+    each bound adversarial chains. Each step is one shuffle join
+    (edges × labels, keyed on vertex id) + one min-aggregate, and only
+    the pair graph's VERTICES iterate (singleton docs — the bulk of a
+    real corpus — skip the loop entirely and rejoin at the end);
+    labels are ``localCheckpoint``-ed once per round so the plan
+    doesn't grow with iterations. At 100 TB,
     the same two primitives compose into the alternating
     large-star/small-star algorithm (Kiveris et al., "Connected
     Components in MapReduce and Beyond") for O(log n) worst-case
@@ -435,24 +438,39 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = df.select(F.col(id_col).alias("id")).distinct().select(
+    # Iterate ONLY over the pair graph's vertices: near-dup graphs are
+    # sparse (most docs are singletons with no edges), and a singleton's
+    # label never changes — carrying all docs through every round's
+    # join+aggregate shuffled the full corpus per round for nothing.
+    # Singletons rejoin as their own cluster in the final left join.
+    labels = edges.select(F.col("s").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    for _ in range(max_iter):
+
+    def _step(cur: DataFrame) -> DataFrame:
         nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            edges.join(cur.withColumnRenamed("id", "s").select("s", "label"), "s")
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("label").alias("nbr"))
         )
-        # least() skips nulls (docs with no neighbors keep their label);
-        # _changed rides along so ONE action both materializes the
-        # checkpoint (truncating the iterative lineage) and yields the
-        # convergence count — one Spark job per round, not two.
-        stepped = labels.join(nbr_min, "id", "left").select(
+        # least() skips nulls (vertices whose neighbors all hold larger
+        # labels keep their own); _changed rides along so ONE action
+        # both materializes the checkpoint (truncating the iterative
+        # lineage) and yields the convergence count.
+        return cur.join(nbr_min, "id", "left").select(
             "id",
             F.least("label", "nbr").alias("label"),
             (F.col("nbr") < F.col("label")).cast("int").alias("_changed"),
-        ).localCheckpoint(eager=False)
+        )
+
+    for _ in range(max_iter):
+        # TWO propagation steps per convergence-check action: the
+        # fixpoint test only needs the LAST step's change count (if the
+        # outer step moved nothing, its input was already the fixpoint),
+        # so pairing steps halves the job-submission + checkpoint
+        # overhead that dominates each round's wall at the typical 2-4
+        # round convergence of star-like dup families.
+        stepped = _step(_step(labels)).localCheckpoint(eager=False)
         n_changed = stepped.agg(F.sum("_changed")).first()[0] or 0
         labels = stepped.drop("_changed")
         if n_changed == 0:
@@ -463,7 +481,8 @@ def dedup_clusters(
     w = Window.partitionBy("cluster_id")
     wr = Window.partitionBy("cluster_id").orderBy(rank.desc(), F.col(id_col).asc())
     return (
-        df.join(comp, id_col)
+        df.join(comp, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
         .select(
             id_col,
             "cluster_id",

@@ -298,3 +298,68 @@ def lang_id_sql(table: str = "documents", text_col: str = "text") -> str:
            CASE {" ".join(pred_cases)} ELSE '{langs[-1]}' END AS predicted_lang
     FROM scored ORDER BY doc_id
     """
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """One BPE-training pair-count iteration (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") as
+    a two-aggregate Spark plan — the map-reduce formulation tokenizer
+    trainers use at corpus scale.
+
+    The scale insight carried over from the paper's algorithm: pair
+    counting never touches the corpus directly. Pass 1 (the ONLY
+    corpus-proportional work) builds the word-frequency table — one
+    explode + hash-aggregate, Heaps-law-sublinear output. Pass 2
+    explodes each DISTINCT word into its adjacent character pairs
+    (zip-of-slices, same codegen-friendly idiom as shingle_seq) and
+    sums word frequencies per pair — work proportional to the word
+    DICT, not the corpus, which is why real BPE training over
+    trillions of tokens is feasible. Top-k pairs (count desc, pair asc
+    tie-break) are the iteration's merge candidates.
+
+    At 100 TB: both aggregates are partial (map-side combine); the
+    first shuffles the token stream on the word, the second shuffles
+    only the dict-sized pair stream. No Python, no driver loops.
+    """
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    cs = F.split(F.col("w"), "")
+    n_pairs = F.size(cs) - 1
+    pairs = F.zip_with(
+        F.slice(cs, 1, n_pairs),
+        F.slice(cs, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        wc.select("f", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
+def bpe_pair_counts_sql(
+    table: str = "documents", text_col: str = "text", top_k: int = 50
+) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` (char slicing is
+    per-code-point both sides; testdata is BMP-only so Java's
+    code-unit split('') agrees)."""
+    return f"""
+    WITH words AS (
+      SELECT unnest(str_split({text_col}, ' ')) AS w FROM {table}
+    ), wc AS (
+      SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> w[i:i] || ' ' || w[i+1:i+1])) AS pair, f
+      FROM wc
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT {top_k}
+    """

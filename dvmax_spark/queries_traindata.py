@@ -206,3 +206,17 @@ def x_ppl_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("quintile")
     )
+
+
+from dvmax_spark.ext.textstats import bpe_pair_counts, bpe_pair_counts_sql
+
+
+@query("x_bpe_pair_counts", ids=("X7",), sql=bpe_pair_counts_sql())
+def x_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer training's inner loop (one BPE merge iteration):
+    corpus -> word-frequency dict (the only corpus-proportional pass)
+    -> adjacent-char-pair counts weighted by word frequency -> top-k
+    merge candidates. See ext.textstats.bpe_pair_counts for the
+    map-reduce scale argument."""
+    docs = load_table(spark, "documents", sf)
+    return bpe_pair_counts(docs, top_k=50)

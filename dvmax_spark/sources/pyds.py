@@ -262,7 +262,14 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
                         pass
             return
         tmp = batch_dir + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
+        # A crash mid-commit (some renames done, visible rename not)
+        # strands part files in tmp; the replay must start from an
+        # EMPTY tmp or stale files from the crashed attempt could ride
+        # into the committed batch next to the replay's files.
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         for i, m in enumerate(messages):
             if m is not None and m.n_rows > 0:
                 os.rename(m.staged_path, os.path.join(tmp, f"part-{i:05d}.jsonl"))

@@ -366,3 +366,36 @@ def test_python_datasource_stream_writer_exactly_once(spark, tmp_path):
     # re-delivered batch a no-op (exactly-once output)
     _run("ck_w2")
     assert _rows() == expected
+
+
+def test_stream_writer_commit_clears_stale_tmp(tmp_path):
+    """Crash-window hardening: a commit that died after moving SOME
+    staged files into batch=<id>.tmp (visible rename not reached)
+    leaves stale part files there. The replayed commit must start from
+    an empty tmp — stale files from the crashed attempt must not ride
+    into the committed batch next to the replay's files."""
+    import json
+    import os
+
+    from dvmax_spark.sources.pyds import JsonlDirStreamWriter, _PageCommit
+
+    out = str(tmp_path / "sink")
+    # simulate the crashed attempt: one part file already in tmp
+    tmp = os.path.join(out, "batch=7.tmp")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00009.jsonl"), "w") as fh:
+        fh.write(json.dumps({"stale": True}) + "\n")
+    # the replay stages one fresh file and commits
+    staging = os.path.join(out, ".staging")
+    os.makedirs(staging)
+    staged = os.path.join(staging, "task-replay.jsonl")
+    with open(staged, "w") as fh:
+        fh.write(json.dumps({"stale": False}) + "\n")
+    w = JsonlDirStreamWriter({"path": out}, overwrite=False)
+    w.commit([_PageCommit(staged_path=staged, n_rows=1)], 7)
+    batch = os.path.join(out, "batch=7")
+    files = sorted(os.listdir(batch))
+    assert files == ["part-00000.jsonl"], files
+    rows = [json.loads(ln) for ln in open(os.path.join(batch, files[0]))]
+    assert rows == [{"stale": False}]
+    assert not os.path.exists(tmp)
