@@ -570,3 +570,160 @@ def group_split_sql(pct_train: int = 80, pct_val: int = 10) -> str:
     FROM comp c
     ORDER BY c.doc_id
     """
+
+
+def source_quota(
+    df: DataFrame,
+    quota: int = 10,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source (per-domain) quota capping — the mixture-health
+    counterpart of dedup (Gopher/RefinedWeb cap any one domain's share
+    so a crawl whale can't dominate the mixture): rank each source's
+    docs by quality (desc, id tie-break) and keep the top ``quota``.
+    Reports per source how many docs survived and the kept quality
+    band.
+
+    Quality is the X8 heuristic (ext.textstats.quality_score), rounded
+    to 4dp BEFORE ranking — ranking on raw computed floats lets ulp
+    drift flip ranks across engines (verify-skill rule).
+
+    Scale: one rank window partitioned by source + one aggregate on
+    the same key (single shuffle). A mega-domain makes a hot window
+    partition — AQE skew handling applies, and at whale scale the
+    two-phase salted top-k (operators/skew.py) swaps in; the aggregate
+    itself is partial either way.
+    """
+    from dvmax_spark.ext.textstats import quality_score
+
+    q = quality_score(df).select(
+        F.col(id_col), F.col(source_col), F.round("quality", 4).alias("q")
+    )
+    w = Window.partitionBy(source_col).orderBy(F.desc("q"), F.asc(id_col))
+    ranked = q.withColumn("rk", F.row_number().over(w))
+    kept = (F.col("rk") <= quota).cast("int")
+    return (
+        ranked.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.min(F.when(F.col("rk") <= quota, F.col("q"))).alias("min_kept_q"),
+            F.max(F.when(F.col("rk") <= quota, F.col("q"))).alias("max_kept_q"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def source_quota_sql(quota: int = 10, table: str = "documents") -> str:
+    """DuckDB twin of :func:`source_quota` (same X8 quality expression
+    as the x_quality_score oracle, same 4dp pre-rank rounding)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, str_split(text, ' ') AS toks FROM {table}
+    ), s AS (
+      SELECT doc_id, source,
+             len(toks)::DOUBLE AS n,
+             len(list_distinct(toks))::DOUBLE AS nd,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is')))::DOUBLE AS ns
+      FROM t
+    ), q AS (
+      SELECT doc_id, source,
+             round(0.4 * least(n / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN n > 0 THEN nd / n ELSE 0 END)
+                 + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0 END) * 4.0, 1.0), 4) AS q
+      FROM s
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+      FROM q
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {quota} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           min(CASE WHEN rk <= {quota} THEN q END) AS min_kept_q,
+           max(CASE WHEN rk <= {quota} THEN q END) AS max_kept_q
+    FROM r GROUP BY source ORDER BY source
+    """
+
+
+def token_budget_plan(
+    df: DataFrame,
+    budget: int = 50_000,
+    boost_source: str = "src0",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture planning — given a total training-token
+    budget and per-source mixture weights, compute each source's token
+    allocation, the sampling rate that realizes it, and the shortfall
+    where a source can't fill its share (the spreadsheet step between
+    "we crawled this" and "we train on that", done on the cluster so
+    the counts are the real ones).
+
+    Weights here: ``boost_source`` gets 2×, everything else 1× —
+    stand-ins for a config map; the arithmetic is the operator. All
+    allocation math is EXACT bigint (`div`, matching DuckDB `//`) and
+    the sampling rate is reported in integer parts-per-million —
+    float division would round differently across engines at exactly
+    the wrong boundaries.
+
+    Scale: one corpus-proportional aggregate (token counts per
+    source, partial-agg'd); the planning window runs over the
+    SOURCE-count-sized aggregate (unpartitioned window on ~10²-10⁴
+    rows — deliberately driver-scale, documented).
+    """
+    per = df.groupBy(source_col).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("avail_tokens")
+    )
+    per = per.withColumn(
+        "w", F.when(F.col(source_col) == boost_source, F.lit(2)).otherwise(F.lit(1))
+    )
+    per = per.withColumn("total_w", F.sum("w").over(Window.partitionBy()))
+    b = int(budget)
+    plan = per.select(
+        source_col,
+        "avail_tokens",
+        "w",
+        F.expr(f"(cast({b} as bigint) * w) div total_w").alias("needed_tokens"),
+    ).select(
+        source_col,
+        "avail_tokens",
+        "w",
+        "needed_tokens",
+        F.least("needed_tokens", "avail_tokens").alias("planned_tokens"),
+        (F.col("needed_tokens") - F.least("needed_tokens", "avail_tokens")).alias(
+            "shortfall"
+        ),
+        F.expr(
+            "(least(needed_tokens, avail_tokens) * cast(1000000 as bigint))"
+            " div avail_tokens"
+        ).alias("sample_rate_ppm"),
+    )
+    return plan.orderBy(source_col)
+
+
+def token_budget_plan_sql(
+    budget: int = 50_000, boost_source: str = "src0", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`token_budget_plan` (exact `//` bigint
+    division everywhere a rate or allocation is computed)."""
+    b = int(budget)
+    return f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS avail_tokens,
+             CASE WHEN source = '{boost_source}' THEN 2 ELSE 1 END AS w
+      FROM {table} GROUP BY source
+    ), t AS (
+      SELECT *, CAST(sum(w) OVER () AS BIGINT) AS total_w FROM per
+    ), a AS (
+      SELECT source, avail_tokens, w,
+             (CAST({b} AS BIGINT) * w) // total_w AS needed_tokens
+      FROM t
+    )
+    SELECT source, avail_tokens, w, needed_tokens,
+           least(needed_tokens, avail_tokens) AS planned_tokens,
+           needed_tokens - least(needed_tokens, avail_tokens) AS shortfall,
+           (least(needed_tokens, avail_tokens) * CAST(1000000 AS BIGINT))
+             // avail_tokens AS sample_rate_ppm
+    FROM a ORDER BY source
+    """

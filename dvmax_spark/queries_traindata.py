@@ -220,3 +220,33 @@ def x_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     map-reduce scale argument."""
     docs = load_table(spark, "documents", sf)
     return bpe_pair_counts(docs, top_k=50)
+
+
+from dvmax_spark.ext.traindata import (
+    source_quota,
+    source_quota_sql,
+    token_budget_plan,
+    token_budget_plan_sql,
+)
+
+
+@query("x_source_quota", ids=("X8", "X21"), sql=source_quota_sql(quota=10))
+def x_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain quota capping (Gopher/RefinedWeb-style mixture
+    health): top-10 docs per source by the X8 quality heuristic,
+    reported as per-source survival counts + kept quality band."""
+    return source_quota(load_table(spark, "documents", sf), quota=10)
+
+
+@query(
+    "x_token_budget_plan",
+    ids=("X21",),
+    sql=token_budget_plan_sql(budget=50_000, boost_source="src0"),
+)
+def x_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture planning: per-source token allocations,
+    exact-bigint sampling rates (ppm) and shortfalls for a 50k-token
+    budget with src0 double-weighted."""
+    return token_budget_plan(
+        load_table(spark, "documents", sf), budget=50_000, boost_source="src0"
+    )

@@ -158,3 +158,41 @@ def test_write_training_shards_deterministic_and_complete(spark, tmp_path):
     assert [r[:2] + (list(r[2]),) + r[3:] for r in a] == [
         r[:2] + (list(r[2]),) + r[3:] for r in b
     ]
+
+
+def test_source_quota_caps_and_bands(spark):
+    """Each source keeps at most `quota` docs; kept-quality bands are
+    drawn from that source's own docs; a source smaller than the quota
+    keeps everything."""
+    from dvmax_spark.ext.traindata import source_quota
+
+    rows = [(i, "big", "the a of and in " * (i + 1)) for i in range(8)]
+    rows += [(100 + i, "small", "tiny doc text") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in source_quota(df, quota=5).collect()}
+    assert out["big"]["n_docs"] == 8 and out["big"]["n_kept"] == 5
+    assert out["small"]["n_docs"] == 2 and out["small"]["n_kept"] == 2
+    assert out["big"]["min_kept_q"] <= out["big"]["max_kept_q"]
+
+
+def test_token_budget_plan_exact_allocation(spark):
+    """Allocations are exact bigint shares of the budget; a source that
+    can't fill its share reports the shortfall and a 1.0 (1e6 ppm)
+    sampling rate; totals never exceed budget."""
+    from dvmax_spark.ext.traindata import token_budget_plan
+
+    rows = [(1, "src0", "w " * 99 + "w"), (2, "srcX", "w w w w")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = {r["source"]: r for r in token_budget_plan(df, budget=300).collect()}
+    # weights: src0=2, srcX=1, total 3 -> needed 200 / 100
+    assert plan["src0"]["needed_tokens"] == 200
+    assert plan["srcX"]["needed_tokens"] == 100
+    # src0 has 100 tokens available -> planned 100, shortfall 100, rate 1.0
+    assert plan["src0"]["planned_tokens"] == 100
+    assert plan["src0"]["shortfall"] == 100
+    assert plan["src0"]["sample_rate_ppm"] == 1_000_000
+    # srcX has only 4 tokens -> its whole supply is planned (rate 1.0)
+    assert plan["srcX"]["planned_tokens"] == 4
+    assert plan["srcX"]["sample_rate_ppm"] == 1_000_000
+    total_planned = sum(r["planned_tokens"] for r in plan.values())
+    assert total_planned <= 300
