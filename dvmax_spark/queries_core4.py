@@ -1604,3 +1604,63 @@ def j_range_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "j_incremental_join_mv",
+    ids=("J1", "S3", "A12"),
+    sql="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def j_incremental_join_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-exact incremental join materialization (plans/join_mv.py):
+    orders AND customer each arrive as three batches; every refresh
+    joins only the deltas against partition-pruned prior state
+    (dA><B_old + A_old><dB + dA><dB) and appends its own batch
+    partition of the M delta log. The oracle joins the FULL tables in
+    one shot — a hash match proves the incremental path converges to
+    the complete re-join, i.e. each (a-batch, b-batch) pair is joined
+    exactly once across the refresh history. Aggregates are integer
+    cents so distributed-sum order can't move a rounding boundary."""
+    import tempfile as _tf
+
+    from dvmax_spark.plans.join_mv import IncrementalJoinMV
+
+    orders = load_table(spark, "orders", sf).select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    path = os.path.join(
+        _tf.gettempdir(),
+        f"dvmax_joinmv_{sf.strip('/').replace('/', '_')}_{os.getpid()}",
+    )
+    mv = IncrementalJoinMV(spark, path, key="custkey")
+    mv.drop()
+    o_sliced = orders.withColumn(
+        "_b", F.ntile(3).over(Window.orderBy("o_orderkey"))
+    )
+    c_sliced = cust.withColumn("_b", F.ntile(3).over(Window.orderBy("custkey")))
+    for b in (1, 2, 3):
+        mv.refresh(
+            b,
+            o_sliced.where(F.col("_b") == b).drop("_b"),
+            c_sliced.where(F.col("_b") == b).drop("_b"),
+        )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        mv.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

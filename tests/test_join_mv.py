@@ -1,0 +1,85 @@
+"""Incremental join materialization (plans/join_mv.py): the delta rule
+must converge to the full re-join for any batch slicing/arrival order,
+and a refresh replayed after a crash at any write boundary must be
+value-stable (batch-keyed dynamic partition overwrite + prior-state
+partition pruning)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from dvmax_spark.plans.join_mv import IncrementalJoinMV
+
+
+def _mk(spark, tmp_path, name="mv"):
+    return IncrementalJoinMV(spark, str(tmp_path / name), key="k")
+
+
+def _a(spark, rows):
+    return spark.createDataFrame(rows, "k long, a_val string")
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, "k long, b_val string")
+
+
+def _collect(mv):
+    return sorted(map(tuple, mv.read().select("k", "a_val", "b_val").collect()))
+
+
+def test_converges_to_full_join_any_arrival_order(spark, tmp_path):
+    """Keys arriving a-side-first, b-side-first, same-batch, and
+    many-to-many must all land in M exactly as the full join has
+    them."""
+    mv = _mk(spark, tmp_path)
+    # batch 1: k=1 only on A; k=3 complete pair; k=4 two A rows
+    mv.refresh(1, _a(spark, [(1, "a1"), (3, "a3"), (4, "a4x"), (4, "a4y")]),
+               _b(spark, [(3, "b3"), (2, "b2")]))
+    # batch 2: k=1's B side arrives late; k=2's A side arrives late;
+    # k=4 gains a B row (must pair with BOTH stored A rows)
+    mv.refresh(2, _a(spark, [(2, "a2")]), _b(spark, [(1, "b1"), (4, "b4")]))
+    # batch 3: empty deltas are legal
+    mv.refresh(3, _a(spark, []).limit(0), _b(spark, []).limit(0))
+    full_a = [(1, "a1"), (3, "a3"), (4, "a4x"), (4, "a4y"), (2, "a2")]
+    full_b = [(3, "b3"), (2, "b2"), (1, "b1"), (4, "b4")]
+    expected = sorted(
+        map(tuple, _a(spark, full_a).join(_b(spark, full_b), "k").collect())
+    )
+    assert _collect(mv) == expected
+
+
+def test_replay_after_crash_before_m_write_is_stable(spark, tmp_path):
+    """Crash window: batch 2 wrote its A and B partitions but died
+    before writing M's. Replaying refresh(2) must produce exactly the
+    crash-free result — prior state is pruned to batches < 2, so the
+    half-written batch can't contaminate its own delta join."""
+    a1, b1 = [(1, "a1"), (2, "a2")], [(1, "b1")]
+    a2, b2 = [(3, "a3")], [(2, "b2"), (3, "b3")]
+
+    ref = _mk(spark, tmp_path, "ref")
+    ref.refresh(1, _a(spark, a1), _b(spark, b1))
+    ref.refresh(2, _a(spark, a2), _b(spark, b2))
+    want = _collect(ref)
+
+    mv = _mk(spark, tmp_path, "crash")
+    mv.refresh(1, _a(spark, a1), _b(spark, b1))
+    mv.refresh(2, _a(spark, a2), _b(spark, b2))
+    # simulate the crash: erase M's batch-2 partition (the last write),
+    # leaving A/B batch-2 partitions in place — then replay
+    shutil.rmtree(os.path.join(mv.m_path, "_batch=2"))
+    mv.refresh(2, _a(spark, a2), _b(spark, b2))
+    assert _collect(mv) == want
+
+
+def test_replay_of_completed_batch_is_idempotent(spark, tmp_path):
+    """Re-running a fully-committed refresh (at-least-once delivery)
+    must not duplicate any M rows."""
+    mv = _mk(spark, tmp_path)
+    mv.refresh(1, _a(spark, [(1, "a1")]), _b(spark, [(1, "b1")]))
+    mv.refresh(2, _a(spark, [(2, "a2")]), _b(spark, [(2, "b2")]))
+    once = _collect(mv)
+    mv.refresh(2, _a(spark, [(2, "a2")]), _b(spark, [(2, "b2")]))
+    assert _collect(mv) == once
