@@ -22,6 +22,15 @@ and overwrites its own partitions idempotently. No multi-table atomic
 swap is needed because no refresh ever rewrites another batch's
 partitions.
 
+Retraction mode (``mult_col``): deltas carry a signed multiplicity
+(+1 insert, −1 delete; an update is the pair), joins multiply
+multiplicities (bag algebra), and M stays an append-only log — the
+standard counting algorithm for incremental view maintenance with
+deletes (Gupta/Mumick IVM survey; what Differential Dataflow and
+Materialize generalize). Linear aggregates read the log directly as
+``sum(mult)`` / ``sum(mult * x)``; point-in-time row views net out
+via :meth:`read_net`.
+
 Scale notes: the two stored-side joins shuffle the delta and the
 stored table on the join key (AQE skew handling applies); at whale
 scale, write A and B through ``store.write_bucketed`` on the join key
@@ -50,10 +59,13 @@ class IncrementalJoinMV:
     explicit beats silent suffixing).
     """
 
-    def __init__(self, spark: SparkSession, path: str, key: str):
+    def __init__(
+        self, spark: SparkSession, path: str, key: str, mult_col: str | None = None
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.mult_col = mult_col
         self.a_path = os.path.join(path, "A")
         self.b_path = os.path.join(path, "B")
         self.m_path = os.path.join(path, "M")
@@ -98,15 +110,48 @@ class IncrementalJoinMV:
         b_old = self._read_prior(self.b_path, batch_id)
         self._write_batch(delta_a, self.a_path, batch_id)
         self._write_batch(delta_b, self.b_path, batch_id)
-        parts = [delta_a.join(delta_b, self.key, "inner")]
+        parts = [self._join(delta_a, delta_b)]
         if b_old is not None:
-            parts.append(delta_a.join(b_old, self.key, "inner"))
+            parts.append(self._join(delta_a, b_old))
         if a_old is not None:
-            parts.append(a_old.join(delta_b, self.key, "inner"))
+            parts.append(self._join(a_old, delta_b))
         dm = parts[0]
         for p in parts[1:]:
             dm = dm.unionByName(p)
         self._write_batch(dm, self.m_path, batch_id)
+
+    def _join(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """Inner join of two delta fragments. In retraction mode the
+        multiplicities MULTIPLY (bag-algebra join: a −1 retraction
+        meeting a +1 stored row yields a −1 M row, which is exactly
+        how deletes/updates propagate through the join without ever
+        rewriting M history)."""
+        if self.mult_col is None:
+            return left.join(right, self.key, "inner")
+        m = self.mult_col
+        lm = left.withColumnRenamed(m, "_lm")
+        rm = right.withColumnRenamed(m, "_rm")
+        return (
+            lm.join(rm, self.key, "inner")
+            .withColumn(m, F.col("_lm") * F.col("_rm"))
+            .drop("_lm", "_rm")
+        )
+
+    def read_net(self) -> DataFrame:
+        """Retraction-mode view: net multiplicity per distinct row,
+        dropping rows that cancelled to zero. Linear aggregates
+        (count, sum) do NOT need this — they can run directly over the
+        M log as sum(mult) / sum(mult * x), which is the 100 TB path:
+        no full-log groupBy, just a partial-agg scan."""
+        if self.mult_col is None:
+            raise ValueError("read_net requires mult_col")
+        others = [c for c in self.read().columns if c != self.mult_col]
+        return (
+            self.read()
+            .groupBy(*others)
+            .agg(F.sum(self.mult_col).alias(self.mult_col))
+            .where(F.col(self.mult_col) != 0)
+        )
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

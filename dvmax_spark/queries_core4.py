@@ -1664,3 +1664,72 @@ def j_incremental_join_mv(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "j_join_mv_updates",
+    ids=("J1", "J5", "S3"),
+    sql="""
+    WITH o AS (
+      SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+    ), c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 61 = 0 THEN 'CORRECTED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT seg, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM o JOIN c ON o_custkey = c_custkey
+    GROUP BY seg ORDER BY seg
+    """,
+)
+def j_join_mv_updates(spark: SparkSession, sf: str) -> DataFrame:
+    """DELETE/UPDATE propagation through the incremental join MV
+    (plans/join_mv.py retraction mode): batch 1 loads the full join;
+    batch 2 retracts a slice of orders (mult −1) and corrects a slice
+    of customer segments (old row −1, new row +1 — an UPDATE as a
+    retraction pair). Aggregates run DIRECTLY over the M retraction
+    log as sum(mult)/sum(mult·cents) — no netting pass, no history
+    rewrite. The oracle joins the post-correction tables one-shot; a
+    hash match proves the counting-IVM algebra lands on exactly the
+    corrected state."""
+    import tempfile as _tf
+
+    from dvmax_spark.plans.join_mv import IncrementalJoinMV
+
+    orders = load_table(spark, "orders", sf).select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    path = os.path.join(
+        _tf.gettempdir(),
+        f"dvmax_joinmvu_{sf.strip('/').replace('/', '_')}_{os.getpid()}",
+    )
+    mv = IncrementalJoinMV(spark, path, key="custkey", mult_col="mult")
+    mv.drop()
+    one = F.lit(1).cast("long")
+    mv.refresh(1, orders.withColumn("mult", one), cust.withColumn("mult", one))
+    # batch 2: retractions only — no new inserts on the orders side
+    retract_o = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "mult", -one
+    )
+    upd = cust.where(F.col("custkey") % 61 == 0)
+    correct_c = upd.withColumn("mult", -one).unionByName(
+        upd.withColumn("seg", F.lit("CORRECTED")).withColumn("mult", one)
+    )
+    mv.refresh(2, retract_o, correct_c)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        mv.read()
+        .groupBy("seg")
+        .agg(
+            F.sum("mult").alias("n_orders"),
+            F.sum(F.col("mult") * cents).alias("total_cents"),
+        )
+        .where(F.col("n_orders") != 0)
+        .orderBy("seg")
+    )

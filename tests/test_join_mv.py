@@ -83,3 +83,35 @@ def test_replay_of_completed_batch_is_idempotent(spark, tmp_path):
     once = _collect(mv)
     mv.refresh(2, _a(spark, [(2, "a2")]), _b(spark, [(2, "b2")]))
     assert _collect(mv) == once
+
+
+def test_retraction_mode_update_and_cancel(spark, tmp_path):
+    """Bag-algebra joins: a -1 customer retraction must cancel ALL
+    M rows it produced (one per matching order), an update pair must
+    move those rows to the new value, and read_net must drop exact
+    cancellations."""
+    mv = IncrementalJoinMV(spark, str(tmp_path / "ret"), key="k", mult_col="mult")
+    a = spark.createDataFrame(
+        [(1, "o1", 1), (1, "o2", 1), (2, "o3", 1)], "k long, oid string, mult long"
+    )
+    b = spark.createDataFrame(
+        [(1, "segA", 1), (2, "segB", 1)], "k long, seg string, mult long"
+    )
+    mv.refresh(1, a, b)
+    # update k=1's segment: retract old, insert new (no order deltas)
+    empty_a = a.limit(0)
+    b2 = spark.createDataFrame(
+        [(1, "segA", -1), (1, "segC", 1)], "k long, seg string, mult long"
+    )
+    mv.refresh(2, empty_a, b2)
+    net = sorted(
+        map(tuple, mv.read_net().select("k", "oid", "seg", "mult").collect())
+    )
+    assert net == [(1, "o1", "segC", 1), (1, "o2", "segC", 1), (2, "o3", "segB", 1)]
+    # linear aggregate over the raw log agrees without netting
+    agg = {
+        r["seg"]: r["n"]
+        for r in mv.read().groupBy("seg").agg(F.sum("mult").alias("n")).collect()
+        if r["n"] != 0
+    }
+    assert agg == {"segC": 2, "segB": 1}
