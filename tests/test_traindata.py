@@ -196,3 +196,30 @@ def test_token_budget_plan_exact_allocation(spark):
     assert plan["srcX"]["sample_rate_ppm"] == 1_000_000
     total_planned = sum(r["planned_tokens"] for r in plan.values())
     assert total_planned <= 300
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    """bpe_pair_counts vs a direct Counter implementation of the BPE
+    pair-count step, on a corpus with repeated words, 1-char words,
+    multi-space runs and within-word repeated pairs ('aaa' -> 'a a'
+    twice)."""
+    from collections import Counter
+
+    from dvmax_spark.ext.textstats import bpe_pair_counts
+
+    texts = [
+        "aaa ab  b aaa",
+        " x aaa banana",
+        "banana banana b",
+        "",
+        "ab",
+    ]
+    ref: Counter = Counter()
+    wc: Counter = Counter(w for t in texts for w in t.split(" ") if w != "")
+    for w, f in wc.items():
+        for i in range(len(w) - 1):
+            ref[f"{w[i]} {w[i+1]}"] += f
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df, top_k=100).collect()}
+    assert got == dict(ref)
