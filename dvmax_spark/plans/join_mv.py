@@ -81,6 +81,18 @@ class IncrementalJoinMV:
         df = self.spark.read.parquet(table_path)
         return df.where(F.col(BATCH_COL) < batch_id).drop(BATCH_COL)
 
+    def _max_batch(self) -> int | None:
+        """Highest committed batch id, from M's partition directory
+        names (driver-side listing of one directory level — no scan)."""
+        if not os.path.isdir(self.m_path):
+            return None
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.m_path)
+            if d.startswith(f"{BATCH_COL}=")
+        ]
+        return max(ids) if ids else None
+
     def read(self) -> DataFrame:
         """The materialized join — a plain scan over M's delta log."""
         return self.spark.read.parquet(self.m_path).drop(BATCH_COL)
@@ -106,6 +118,20 @@ class IncrementalJoinMV:
         """Fold one (dA, dB) batch in. Write order is A, B, then M;
         every write touches only ``_batch=<batch_id>`` partitions, so
         rerunning after a crash at any point is byte-stable."""
+        # Monotone-batch contract: ids must not regress. A driver that
+        # restarts numbering (e.g. a streaming job on a FRESH checkpoint
+        # re-delivering batch 0 onto an existing MV) would otherwise
+        # see committed state as "future" (not < batch_id), exclude it
+        # from the prior-state joins and double-add rows — the same
+        # counter-replay trap the round-4 review caught in dedup_ingest.
+        # Replaying the MOST RECENT batch (crash recovery) is legal.
+        committed = self._max_batch()
+        if committed is not None and batch_id < committed:
+            raise ValueError(
+                f"batch_id {batch_id} regresses behind committed batch "
+                f"{committed}; resume numbering from {committed} (replay) "
+                f"or {committed + 1} (new data)"
+            )
         a_old = self._read_prior(self.a_path, batch_id)
         b_old = self._read_prior(self.b_path, batch_id)
         self._write_batch(delta_a, self.a_path, batch_id)

@@ -115,3 +115,17 @@ def test_retraction_mode_update_and_cancel(spark, tmp_path):
         if r["n"] != 0
     }
     assert agg == {"segC": 2, "segB": 1}
+
+
+def test_regressing_batch_id_is_rejected(spark, tmp_path):
+    """A batch id behind the committed max (fresh-checkpoint counter
+    restart) must raise instead of silently double-adding rows;
+    replaying the most recent batch stays legal."""
+    import pytest
+
+    mv = _mk(spark, tmp_path)
+    mv.refresh(1, _a(spark, [(1, "a1")]), _b(spark, [(1, "b1")]))
+    mv.refresh(2, _a(spark, [(2, "a2")]), _b(spark, [(2, "b2")]))
+    with pytest.raises(ValueError, match="regresses"):
+        mv.refresh(1, _a(spark, [(1, "a1")]), _b(spark, [(1, "b1")]))
+    mv.refresh(2, _a(spark, [(2, "a2")]), _b(spark, [(2, "b2")]))  # replay ok
