@@ -363,3 +363,54 @@ def bpe_pair_counts_sql(
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair ASC LIMIT {top_k}
     """
+
+
+def feature_hash(
+    df: DataFrame,
+    dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick term-frequency features (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning"): each token
+    maps to ``portable_hash(token) % dims`` and the doc's feature
+    vector is the per-dimension token count, emitted SPARSE as
+    (doc, dim, tf) rows — the representation a downstream trainer or
+    clusterer joins on.
+
+    Why hashing beats a vocabulary at 100 TB: no vocabulary pass, no
+    vocab broadcast, no OOV handling — the feature space is fixed
+    before the first byte is read, so this is ONE explode + ONE
+    partial-aggregated groupBy over the corpus, and two corpora
+    hashed with the same dims are feature-compatible by construction.
+    The hash is the engine-portable md5 bucket (same as splits /
+    sampling), so features are reproducible across engines and runs.
+    """
+    from dvmax_spark.ext.traindata import hash_bucket
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy(id_col, hash_bucket("tok", dims).alias("dim"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def feature_hash_sql(
+    dims: int = 64, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`feature_hash` (same md5 bucket)."""
+    from dvmax_spark.ext.traindata import _duck_bucket
+
+    b = _duck_bucket("tok", dims)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split({text_col}, ' ')) AS tok FROM {table}
+    )
+    SELECT doc_id, {b} AS dim, count(*) AS tf
+    FROM toks WHERE tok <> ''
+    GROUP BY doc_id, dim
+    ORDER BY doc_id, dim
+    """

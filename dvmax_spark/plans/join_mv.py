@@ -181,3 +181,48 @@ class IncrementalJoinMV:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def stream_into_join_mv(
+    tagged_stream: DataFrame,
+    mv: IncrementalJoinMV,
+    side_col: str = "side",
+    query_name: str = "join_mv_stream",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming IVM: keep an :class:`IncrementalJoinMV` current from
+    ONE tagged stream (rows carry ``side_col`` = 'A' or 'B' plus that
+    side's columns; the other side's columns null) — the union-tag
+    trick that lets a single foreachBatch see both deltas of the same
+    micro-batch atomically, instead of coordinating two queries.
+
+    Exactly-once: the MV batch id IS the streaming batch id, so a
+    micro-batch replayed after a crash overwrites its own `_batch`
+    partitions (dynamic overwrite) and prunes them from prior state —
+    byte-stable replay, inherited from refresh(). The monotone-batch
+    guard makes the one unsafe case LOUD instead of silent: restarting
+    on a FRESH checkpoint re-delivers the whole source under restarted
+    ids, which for an additive (dedup-free) MV can only double-count —
+    refresh() raises, and the operator's contract is "new checkpoint →
+    new MV path" (drop + rebuild), not id-based content dedup (the MV
+    has no unique row key to dedup on; dedup_ingest's id-based replay
+    exclusion does not transfer).
+    """
+    a_cols = [c for c in tagged_stream.columns if c.startswith("a_")]
+    b_cols = [c for c in tagged_stream.columns if c.startswith("b_")]
+    key = mv.key
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # sides keep their a_/b_ prefixes: the MV contract wants
+        # disjoint non-key columns, and the prefixes ARE the namespace
+        da = batch_df.where(F.col(side_col) == "A").select(key, *a_cols)
+        db = batch_df.where(F.col(side_col) == "B").select(key, *b_cols)
+        mv.refresh(int(batch_id), da, db)
+
+    writer = tagged_stream.writeStream.foreachBatch(_sink).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -250,3 +250,16 @@ def x_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
     return token_budget_plan(
         load_table(spark, "documents", sf), budget=50_000, boost_source="src0"
     )
+
+
+from dvmax_spark.ext.textstats import feature_hash, feature_hash_sql
+
+
+@query("x_feature_hash", ids=("X7", "X5"), sql=feature_hash_sql(dims=64))
+def x_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick TF features (sparse (doc, dim, tf) rows over a
+    64-dim portable-hash space): the vocabulary-free text-to-features
+    bridge for downstream clustering/classification — no vocab pass,
+    no OOV, feature-compatible across corpora by construction."""
+    docs = load_table(spark, "documents", sf)
+    return feature_hash(docs, dims=64).orderBy("doc_id", "dim")

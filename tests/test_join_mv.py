@@ -129,3 +129,70 @@ def test_regressing_batch_id_is_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="regresses"):
         mv.refresh(1, _a(spark, [(1, "a1")]), _b(spark, [(1, "b1")]))
     mv.refresh(2, _a(spark, [(2, "a2")]), _b(spark, [(2, "b2")]))  # replay ok
+
+
+def test_stream_into_join_mv_matches_batch_join(spark, tmp_path):
+    """The streaming wrapper (tagged union -> foreachBatch -> refresh)
+    must land the MV on exactly the one-shot join of everything the
+    stream delivered, across micro-batch boundaries; a second
+    availableNow run on the SAME checkpoint (nothing new) must change
+    nothing."""
+    import pandas as pd
+
+    from dvmax_spark.plans.join_mv import IncrementalJoinMV, stream_into_join_mv
+
+    schema = "side string, k long, a_val string, b_val string"
+    rows = [
+        ("A", 1, "a1", None), ("B", 3, None, "b3"),
+        ("A", 3, "a3", None), ("B", 1, None, "b1"),
+        ("A", 2, "a2", None), ("B", 2, None, "b2"),
+        ("A", 1, "a1x", None), ("B", 4, None, "b4"),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = None
+    for i in range(4):  # 4 slices of 2 rows -> multiple micro-batches
+        pd.DataFrame(
+            rows[2 * i : 2 * i + 2], columns=["side", "k", "a_val", "b_val"]
+        ).to_parquet(os.path.join(in_dir, f"{i:03d}.parquet"))
+        p = os.path.join(in_dir, f"{i:03d}.parquet")
+        if now is None:
+            now = os.stat(p).st_mtime
+        os.utime(p, (now + i, now + i))
+
+    mv = IncrementalJoinMV(spark, str(tmp_path / "mv"), key="k")
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        def _start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            return stream_into_join_mv(
+                stream, mv, checkpoint_dir=str(tmp_path / "ckpt"),
+                query_name="join_mv_stream_test",
+            )
+
+        q = _start()
+        q.awaitTermination(180)
+        a_rows = [(r[1], r[2]) for r in rows if r[0] == "A"]
+        b_rows = [(r[1], r[3]) for r in rows if r[0] == "B"]
+        expected = sorted(
+            map(tuple,
+                spark.createDataFrame(a_rows, "k long, a_val string")
+                .join(spark.createDataFrame(b_rows, "k long, b_val string"), "k")
+                .collect())
+        )
+        got = sorted(map(tuple, mv.read().select("k", "a_val", "b_val").collect()))
+        assert got == expected
+        # same checkpoint, no new files: a second run is a no-op
+        q2 = _start()
+        q2.awaitTermination(180)
+        assert sorted(
+            map(tuple, mv.read().select("k", "a_val", "b_val").collect())
+        ) == expected
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
