@@ -83,7 +83,14 @@ class IncrementalJoinMV:
 
     def _max_batch(self) -> int | None:
         """Highest committed batch id, from M's partition directory
-        names (driver-side listing of one directory level — no scan)."""
+        names (driver-side listing of one directory level — no scan).
+        Heals a crashed compact() swap first — without the recovery a
+        crash between compact's two renames would make M look empty
+        and the next refresh would silently restart the MV beside the
+        stranded history (the ADVICE-class '.old' loss window)."""
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.m_path)
         if not os.path.isdir(self.m_path):
             return None
         ids = [
@@ -95,6 +102,9 @@ class IncrementalJoinMV:
 
     def read(self) -> DataFrame:
         """The materialized join — a plain scan over M's delta log."""
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.m_path)
         return self.spark.read.parquet(self.m_path).drop(BATCH_COL)
 
     def read_a(self) -> DataFrame:
@@ -178,6 +188,53 @@ class IncrementalJoinMV:
             .agg(F.sum(self.mult_col).alias(self.mult_col))
             .where(F.col(self.mult_col) != 0)
         )
+
+
+    # ------------------------------------------------------- compact
+
+    def compact(self, keep_last: int = 1) -> None:
+        """Fold M's historical batch partitions into one ``_batch=0``
+        base partition, keeping the newest ``keep_last`` batches as-is
+        (they may still be replayed by a recovering driver — folding
+        an in-flight batch would let its replay double-write next to
+        the base). In retraction mode the fold also NETS multiplicities
+        and drops exact cancellations, so a long correction history
+        shrinks instead of accumulating +1/−1 pairs.
+
+        Crash contract: the folded table is staged and promoted with
+        the two-rename fsops swap; ``recover_swap`` heals a crash
+        between the renames on the next read/refresh path that touches
+        M. A/B logs are left untouched — they are the delta inputs'
+        system of record and prior-state pruning still works against
+        the renumbered base (0 < any live batch id).
+        """
+        import uuid
+
+        from dvmax_spark.fsops import recover_swap, swap_dir
+
+        recover_swap(self.m_path)
+        committed = self._max_batch()
+        if committed is None:
+            return
+        cutoff = committed - keep_last + 1  # fold batches < cutoff
+        if cutoff <= 1:
+            return
+        df = self.spark.read.parquet(self.m_path)
+        hist = df.where(F.col(BATCH_COL) < cutoff).drop(BATCH_COL)
+        live = df.where(F.col(BATCH_COL) >= cutoff)
+        if self.mult_col is not None:
+            others = [c for c in hist.columns if c != self.mult_col]
+            hist = (
+                hist.groupBy(*others)
+                .agg(F.sum(self.mult_col).alias(self.mult_col))
+                .where(F.col(self.mult_col) != 0)
+            )
+        folded = hist.withColumn(BATCH_COL, F.lit(0)).unionByName(live)
+        staging = f"{self.m_path}__staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        folded.write.mode("overwrite").partitionBy(BATCH_COL).parquet(staging)
+        old = swap_dir(self.m_path, staging)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

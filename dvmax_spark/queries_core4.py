@@ -1733,3 +1733,36 @@ def j_join_mv_updates(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("n_orders") != 0)
         .orderBy("seg")
     )
+
+
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_api_q1", ids=("A1", "A2", "P2", "O2"), sql=_Q1_SQL)
+def sql_api_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 verbatim (pricing summary report): the canonical
+    scan-filter-aggregate over the full fact table — eight aggregates
+    in ONE pass, all map-side partial, with the shipdate predicate
+    pushed to the scan. a1_pricing_summary covers this shape in-cap;
+    this is the literal SQL text on both engines, completing the
+    identical-text TPC-H family (17 of 22; Q2/Q9/Q11/Q16/Q20 blocked:
+    no partsupp table in the driver testdata)."""
+    from dvmax_spark.catalog import register_views
+
+    register_views(spark, sf, names=("lineitem",))
+    return spark.sql(_Q1_SQL)

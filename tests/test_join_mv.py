@@ -196,3 +196,41 @@ def test_stream_into_join_mv_matches_batch_join(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_compact_folds_history_and_nets_retractions(spark, tmp_path):
+    """compact() must fold all but the newest batch into _batch=0,
+    NET retraction pairs away, keep results identical, and leave
+    later refreshes working (prior-state pruning sees the base as
+    batch 0). A crashed swap (simulated by stranding '.old') heals on
+    the next read."""
+    import os as _os
+
+    from dvmax_spark.fsops import RETIRED_SUFFIX
+
+    mv = IncrementalJoinMV(spark, str(tmp_path / "cmp"), key="k", mult_col="mult")
+    a = spark.createDataFrame([(1, "o1", 1), (2, "o2", 1)], "k long, oid string, mult long")
+    b = spark.createDataFrame([(1, "s1", 1), (2, "s2", 1)], "k long, seg string, mult long")
+    mv.refresh(1, a, b)
+    # batch 2 retracts k=2 entirely
+    mv.refresh(2, a.limit(0), spark.createDataFrame([(2, "s2", -1)], "k long, seg string, mult long"))
+    mv.refresh(3, spark.createDataFrame([(3, "o3", 1)], "k long, oid string, mult long"),
+               spark.createDataFrame([(3, "s3", 1)], "k long, seg string, mult long"))
+    before = sorted(map(tuple, mv.read_net().collect()))
+    mv.compact(keep_last=1)
+    batches = sorted(
+        d for d in _os.listdir(mv.m_path) if d.startswith("_batch=")
+    )
+    assert batches == ["_batch=0", "_batch=3"], batches
+    assert sorted(map(tuple, mv.read_net().collect())) == before
+    # the k=2 (+1, -1) pair must be GONE from the folded base, not net
+    base = spark.read.parquet(mv.m_path).where(F.col("_batch") == 0)
+    assert base.where(F.col("k") == 2).count() == 0
+    # crashed swap heals: strand M under '.old' as fsops would leave it
+    _os.rename(mv.m_path, mv.m_path + RETIRED_SUFFIX)
+    assert sorted(map(tuple, mv.read_net().collect())) == before
+    # and refresh still works against the healed, renumbered log
+    mv.refresh(4, spark.createDataFrame([(1, "o1b", 1)], "k long, oid string, mult long"),
+               b.limit(0))
+    after = {t[:3] for t in map(tuple, mv.read_net().collect())}
+    assert (1, "o1b", "s1") in after
