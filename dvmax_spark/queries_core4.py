@@ -1609,6 +1609,7 @@ def j_range_join(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "j_incremental_join_mv",
     ids=("J1", "S3", "A12"),
+    bench=True,  # heaviest new r4 op: keep it driver-visible (r3 lesson)
     sql="""
     SELECT c_mktsegment,
            count(*) AS n_orders,
