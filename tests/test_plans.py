@@ -445,3 +445,23 @@ def test_range_join_avoids_nested_loop(spark):
     assert "CartesianProduct" not in simple, simple
     assert "Join" in simple, simple
     assert "Python" not in simple, simple
+
+
+def test_join_mv_prior_state_reads_are_partition_pruned(spark, tmp_path):
+    """The delta rule's 'prior state' scans must carry the _batch
+    partition filter — at scale they must touch only committed batch
+    directories, never list-and-filter the whole log row-wise."""
+    from dvmax_spark.plans.join_mv import IncrementalJoinMV
+
+    mv = IncrementalJoinMV(spark, str(tmp_path / "mvp"), key="k")
+    a = spark.createDataFrame([(1, "a1")], "k long, a_val string")
+    b = spark.createDataFrame([(1, "b1")], "k long, b_val string")
+    mv.refresh(1, a, b)
+    mv.refresh(2, a, b)
+    prior = mv._read_prior(mv.a_path, 2)
+    plan = _simple_plan(prior)
+    assert "PartitionFilters" in plan, plan
+    assert "_batch" in plan, plan
+    # and no row-level Filter on _batch survives (pruning is metadata)
+    simple = plan.split("PartitionFilters")[0]
+    assert "Filter (_batch" not in simple, plan
