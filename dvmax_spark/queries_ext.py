@@ -997,3 +997,71 @@ def v_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.min("group_n").alias("min_group"),
     )
+
+
+@query(
+    "x_image_phash_dedup",
+    ids=("X11", "X1"),
+    sql="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS BIGINT) AS w,
+             CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, gy.y * 8 + gx.x AS idx,
+             (d.doc_id + ((gx.x * d.w) // 8) + 2 * ((gy.y * d.h) // 8)) % 256 AS p
+      FROM dims d
+      CROSS JOIN generate_series(0, 7) AS gx(x)
+      CROSS JOIN generate_series(0, 7) AS gy(y)
+    ), s AS (
+      SELECT doc_id, SUM(p) AS total FROM px GROUP BY doc_id
+    ), bits AS (
+      SELECT px.doc_id, px.w, px.h, px.idx,
+             CASE WHEN px.p * 64 >= s.total THEN 1 ELSE 0 END AS bit
+      FROM px JOIN s USING (doc_id)
+    ), hashes AS (
+      SELECT doc_id, w, h,
+             CAST(SUM(CASE WHEN idx < 32
+                           THEN bit * (CAST(1 AS BIGINT) << idx)
+                           ELSE 0 END) AS BIGINT) AS ahash_lo,
+             CAST(SUM(CASE WHEN idx >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                           ELSE 0 END) AS BIGINT) AS ahash_hi
+      FROM bits GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           ahash_hi, ahash_lo,
+           count(*) OVER (PARTITION BY w, h, ahash_hi, ahash_lo)
+             AS n_same_hash
+    FROM hashes ORDER BY doc_id
+    """,
+)
+def x_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup, decode REAL end to end: each doc's
+    synthetic PNG is actually encoded, decoded (zlib + filter
+    reversal) and aHashed in an Arrow batch (ext/multimodal.py:
+    ahash64 — 8×8 nearest-neighbor sample, integer mean threshold),
+    then duplicate groups are ONE hash-shuffle on (dims, hash). The
+    brightness-invariance of aHash makes re-leveled copies collide
+    where byte hashing (X1) sees distinct files — the image-side
+    member of the dedup family. Oracle recomputes the identical
+    integer bit math in SQL; parity is integer-exact."""
+    from pyspark.sql import Window
+
+    from dvmax_spark.ext.multimodal import attach_fake_payload, perceptual_hashes
+
+    docs = load_table(spark, "documents", sf)
+    hashes = perceptual_hashes(attach_fake_payload(docs.select("doc_id")))
+    w = Window.partitionBy("width", "height", "ahash_hi", "ahash_lo")
+    return (
+        hashes.select(
+            "doc_id",
+            "width",
+            "height",
+            "ahash_hi",
+            "ahash_lo",
+            F.count(F.lit(1)).over(w).alias("n_same_hash"),
+        )
+        .orderBy("doc_id")
+    )

@@ -689,3 +689,18 @@ def test_kll_rollup_repeated_folds_stay_in_error_band(spark, tmp_path):
             vals = [run[grp][qi] for run in runs]
             spread = max(vals) - min(vals)
             assert spread <= abs(min(vals)) * 0.06 + 0.5, (grp, qi, vals)
+
+
+def test_ahash_brightness_invariant_but_bytes_differ():
+    """The perceptual-dedup claim, directly: a constant brightness
+    shift produces DIFFERENT PNG bytes but the SAME aHash (threshold
+    moves with the mean); a structurally different image produces a
+    different aHash."""
+    from dvmax_spark.ext.multimodal import ahash64, make_png
+
+    base = make_png(16, 12, lambda x, y: (3 * x + 5 * y) % 200)
+    brighter = make_png(16, 12, lambda x, y: (3 * x + 5 * y) % 200 + 40)
+    other = make_png(16, 12, lambda x, y: (7 * x * y) % 251)
+    assert base != brighter  # byte-level dedup sees distinct files
+    assert ahash64(base) == ahash64(brighter)
+    assert ahash64(base) != ahash64(other)
