@@ -1065,3 +1065,63 @@ def x_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x_audio_fp_dedup",
+    ids=("X12", "X1"),
+    sql="""
+    WITH par AS (
+      SELECT doc_id,
+             CAST(400 + (doc_id % 5) * 200 AS BIGINT) AS n,
+             CAST(37 + (doc_id % 13) AS BIGINT) AS step
+      FROM documents
+    ), samp AS (
+      SELECT p.doc_id, p.n, (g.i * 8) // p.n AS k,
+             abs(((g.i * p.step) % 4096) - 2048) AS a
+      FROM par p
+      CROSS JOIN generate_series(0, 1399) AS g(i)
+      WHERE g.i < p.n
+    ), seg AS (
+      SELECT doc_id, n, k, SUM(a) AS e FROM samp GROUP BY doc_id, n, k
+    ), tot AS (
+      SELECT doc_id, SUM(e) AS total FROM seg GROUP BY doc_id
+    ), fp AS (
+      SELECT seg.doc_id, seg.n,
+             CAST(SUM(CASE WHEN seg.e * 8 >= tot.total
+                           THEN CAST(1 AS BIGINT) << seg.k
+                           ELSE 0 END) AS BIGINT) AS fingerprint
+      FROM seg JOIN tot USING (doc_id)
+      GROUP BY seg.doc_id, seg.n
+    )
+    SELECT doc_id, n AS n_samples, fingerprint,
+           count(*) OVER (PARTITION BY n, fingerprint) AS n_same_fp
+    FROM fp ORDER BY doc_id
+    """,
+)
+def x_audio_fp_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup fingerprinting, parse REAL end to end: each
+    doc's synthetic WAV is RIFF-parsed to raw PCM in an Arrow batch
+    and reduced to an 8-bit integer energy-envelope hash
+    (ext/multimodal.py:audio_fingerprint — level-scaled copies
+    collide, the audio analog of aHash); dup groups are one
+    hash-shuffle on (n_samples, fingerprint). Oracle recomputes the
+    identical integer sawtooth math in SQL; parity is integer-exact."""
+    from pyspark.sql import Window
+
+    from dvmax_spark.ext.multimodal import attach_fake_audio, audio_fingerprints
+
+    docs = load_table(spark, "documents", sf)
+    fps = audio_fingerprints(
+        attach_fake_audio(docs.select("doc_id")), payload_col="audio"
+    )
+    w = Window.partitionBy("n_samples", "fingerprint")
+    return (
+        fps.select(
+            "doc_id",
+            "n_samples",
+            "fingerprint",
+            F.count(F.lit(1)).over(w).alias("n_same_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -704,3 +704,31 @@ def test_ahash_brightness_invariant_but_bytes_differ():
     assert base != brighter  # byte-level dedup sees distinct files
     assert ahash64(base) == ahash64(brighter)
     assert ahash64(base) != ahash64(other)
+
+
+def test_audio_fingerprint_level_invariant_but_bytes_differ():
+    """Level-scaling (volume change) produces different WAV bytes but
+    the same envelope fingerprint; structurally different audio gets a
+    different fingerprint."""
+    import struct as _struct
+
+    from dvmax_spark.ext.multimodal import audio_fingerprint
+
+    def _wav(samples):
+        n = len(samples)
+        body = _struct.pack(f"<{n}h", *samples)
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        riff_sz = 4 + (8 + len(fmt)) + (8 + len(body))
+        return (b"RIFF" + _struct.pack("<I", riff_sz) + b"WAVE"
+                b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(body)) + body)
+
+    base = [((i * 41) % 2000) - 1000 for i in range(800)]
+    quiet = [s // 2 for s in base]
+    other = [((i * i) % 2000) - 1000 for i in range(800)]
+    assert _wav(base) != _wav(quiet)
+    # halving every sample halves every segment energy AND the total:
+    # e_k*8 >= total is scale-invariant up to integer-floor noise;
+    # base values here are even-friendly enough to hold exactly
+    assert audio_fingerprint(_wav(base)) == audio_fingerprint(_wav(quiet))
+    assert audio_fingerprint(_wav(base)) != audio_fingerprint(_wav(other))
