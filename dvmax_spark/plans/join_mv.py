@@ -78,6 +78,11 @@ class IncrementalJoinMV:
         construction, which is what makes replay exact)."""
         if not os.path.isdir(table_path):
             return None
+        # a batch whose delta was EMPTY writes only _SUCCESS (dynamic
+        # overwrite with zero partitions) — a dir with no _batch=
+        # subdirs has no schema to infer and no rows to contribute
+        if not any(d.startswith(f"{BATCH_COL}=") for d in os.listdir(table_path)):
+            return None
         df = self.spark.read.parquet(table_path)
         return df.where(F.col(BATCH_COL) < batch_id).drop(BATCH_COL)
 
@@ -283,3 +288,68 @@ def stream_into_join_mv(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_join_mv_stream(
+    spark: SparkSession,
+    tagged: DataFrame,
+    key: str,
+    n_files: int = 3,
+    base_dir: str | None = None,
+    mult_col: str | None = None,
+) -> IncrementalJoinMV:
+    """Run the streaming IVM end to end as a REAL multi-micro-batch
+    query (the t_stateful_session staging recipe): slice the tagged
+    batch frame into ``n_files`` parquet files with strictly increasing
+    mtimes, read them back one file per trigger, drain through
+    :func:`stream_into_join_mv` with availableNow, return the MV.
+    Slices are a deterministic ntile over the full column order, so
+    re-runs stage byte-identical streams."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    run_id = uuid.uuid4().hex[:12]
+    base = base_dir or f"/tmp/dvmax_joinmv_stream_{os.getpid()}_{run_id}"
+    in_dir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+
+    staged = tagged.withColumn(
+        "_slice", F.ntile(n_files).over(Window.orderBy(*tagged.columns))
+    )
+    now = None
+    for i in range(1, n_files + 1):
+        path = os.path.join(in_dir, f"slice_{i:03d}")
+        staged.where(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        part = next(
+            f
+            for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        os.replace(os.path.join(path, part), dst)
+        if now is None:
+            now = os.stat(dst).st_mtime
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(path, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    mv = IncrementalJoinMV(spark, os.path.join(base, "mv"), key, mult_col=mult_col)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_into_join_mv(
+            stream, mv, checkpoint_dir=ckpt, query_name=f"join_mv_{run_id}"
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return mv

@@ -1767,3 +1767,60 @@ def sql_api_q1(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf, names=("lineitem",))
     return spark.sql(_Q1_SQL)
+
+
+@query(
+    "t_stream_join_mv",
+    ids=("T3", "J1", "S3"),
+    sql="""
+    SELECT c_mktsegment AS seg,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 7 = 0
+    GROUP BY seg ORDER BY seg
+    """,
+)
+def t_stream_join_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING incremental view maintenance, run for real: orders
+    (a slice) and customer rows arrive interleaved as ONE tagged
+    stream over 3 micro-batches; foreachBatch folds each micro-batch's
+    deltas into the persisted join MV (plans/join_mv.py — micro-batch
+    id = MV batch id, exactly-once by partition overwrite). The oracle
+    joins the full tables one shot: a hash match proves the streaming
+    path converges to the batch join no matter how the rows were
+    sliced across micro-batches."""
+    from dvmax_spark.plans.join_mv import run_join_mv_stream
+
+    orders = (
+        load_table(spark, "orders", sf)
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.lit("A").alias("side"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("a_orderkey"),
+            F.col("o_totalprice").alias("a_price"),
+            F.lit(None).cast("string").alias("b_seg"),
+        )
+    )
+    cust = load_table(spark, "customer", sf).select(
+        F.lit("B").alias("side"),
+        F.col("c_custkey").alias("custkey"),
+        F.lit(None).cast("long").alias("a_orderkey"),
+        F.lit(None).cast("double").alias("a_price"),
+        F.col("c_mktsegment").alias("b_seg"),
+    )
+    mv = run_join_mv_stream(
+        spark, orders.unionByName(cust), key="custkey", n_files=3
+    )
+    cents = F.round(F.col("a_price") * 100).cast("bigint")
+    return (
+        mv.read()
+        .groupBy(F.col("b_seg").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("seg")
+    )
