@@ -140,6 +140,13 @@ class IncrementalJoinMV:
         # from the prior-state joins and double-add rows — the same
         # counter-replay trap the round-4 review caught in dedup_ingest.
         # Replaying the MOST RECENT batch (crash recovery) is legal.
+        for side, d in (("delta_a", delta_a), ("delta_b", delta_b)):
+            if BATCH_COL in d.columns:
+                raise ValueError(
+                    f"{side} carries reserved column {BATCH_COL!r} - rename "
+                    "it; refresh() would silently clobber it as the "
+                    "partition key"
+                )
         committed = self._max_batch()
         if committed is not None and batch_id < committed:
             raise ValueError(
@@ -217,6 +224,11 @@ class IncrementalJoinMV:
 
         from dvmax_spark.fsops import recover_swap, swap_dir
 
+        if keep_last < 1:
+            raise ValueError(
+                "keep_last must be >= 1: the newest batch may still be "
+                "replayed by a recovering driver and must not be folded"
+            )
         recover_swap(self.m_path)
         committed = self._max_batch()
         if committed is None:

@@ -234,3 +234,18 @@ def test_compact_folds_history_and_nets_retractions(spark, tmp_path):
                b.limit(0))
     after = {t[:3] for t in map(tuple, mv.read_net().collect())}
     assert (1, "o1b", "s1") in after
+
+
+def test_input_guards(spark, tmp_path):
+    """compact(keep_last=0) would fold the in-flight batch; a reserved
+    _batch column in a delta would be silently clobbered - both must
+    raise."""
+    import pytest
+
+    mv = _mk(spark, tmp_path, "guards")
+    mv.refresh(1, _a(spark, [(1, "a1")]), _b(spark, [(1, "b1")]))
+    with pytest.raises(ValueError, match="keep_last"):
+        mv.compact(keep_last=0)
+    bad = _a(spark, [(2, "a2")]).withColumn("_batch", F.lit(9))
+    with pytest.raises(ValueError, match="reserved"):
+        mv.refresh(2, bad, _b(spark, [(2, "b2")]))
