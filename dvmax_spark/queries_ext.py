@@ -1125,3 +1125,98 @@ def x_audio_fp_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x_image_phash_near",
+    ids=("X11", "X3"),
+    sql="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS BIGINT) AS w,
+             CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, gy.y * 8 + gx.x AS idx,
+             (d.doc_id + ((gx.x * d.w) // 8) + 2 * ((gy.y * d.h) // 8)) % 256 AS p
+      FROM dims d
+      CROSS JOIN generate_series(0, 7) AS gx(x)
+      CROSS JOIN generate_series(0, 7) AS gy(y)
+    ), s AS (
+      SELECT doc_id, SUM(p) AS total FROM px GROUP BY doc_id
+    ), bits AS (
+      SELECT px.doc_id, px.w, px.h, px.idx,
+             CASE WHEN px.p * 64 >= s.total THEN 1 ELSE 0 END AS bit
+      FROM px JOIN s USING (doc_id)
+    ), hashes AS (
+      SELECT doc_id, w, h,
+             CAST(SUM(CASE WHEN idx < 32
+                           THEN bit * (CAST(1 AS BIGINT) << idx)
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN idx >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id, w, h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b
+      ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def x_image_phash_near(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-duplicate image pairs via banded hamming LSH over the
+    aHash — the image-side analog of minhash banding: the 64-bit hash
+    splits into 4×16-bit bands, candidates meet on (dims, band index,
+    band value) — never n² — and the exact hamming distance verifies.
+    The ≤3 threshold is chosen for PROVABLE recall: 3 flipped bits
+    cannot touch all 4 bands (pigeonhole), so every qualifying pair
+    shares at least one clean band and the banded path returns exactly
+    the brute-force oracle's pairs. Same cap_buckets guard as text
+    LSH would apply on degenerate corpora."""
+    from dvmax_spark.ext.multimodal import attach_fake_payload, perceptual_hashes
+
+    docs = load_table(spark, "documents", sf)
+    hashes = perceptual_hashes(attach_fake_payload(docs.select("doc_id")))
+    mask = F.lit(0xFFFF).cast("long")
+    banded = hashes.select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), F.col("ahash_lo").bitwiseAND(mask).alias("bv")),
+                F.struct(F.lit(1).alias("bi"), F.shiftright("ahash_lo", 16).bitwiseAND(mask).alias("bv")),
+                F.struct(F.lit(2).alias("bi"), F.col("ahash_hi").bitwiseAND(mask).alias("bv")),
+                F.struct(F.lit(3).alias("bi"), F.shiftright("ahash_hi", 16).bitwiseAND(mask).alias("bv")),
+            )
+        ).alias("band"),
+    ).select("doc_id", "width", "height", "ahash_hi", "ahash_lo", "band.bi", "band.bv")
+    a = banded.select(
+        F.col("doc_id").alias("id_a"),
+        "width", "height", "bi", "bv",
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"),
+        "width", "height", "bi", "bv",
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    ).cast("long")
+    return (
+        a.join(b, ["width", "height", "bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
