@@ -140,3 +140,36 @@ class ContinuousRollup:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def stream_into_rollup(
+    stream: DataFrame,
+    roll: "ContinuousRollup",
+    checkpoint_dir: str | None = None,
+    query_name: str = "rollup_stream",
+    available_now: bool = True,
+):
+    """Streaming continuous aggregate: keep a :class:`ContinuousRollup`
+    current from a stream via foreachBatch. The partial-aggregate
+    merge is NOT idempotent, so exactly-once comes from the ``_meta``
+    marker that commits INSIDE the same atomic rename as the data: a
+    replayed micro-batch (crash between refresh and checkpoint
+    advance) sees its own id already applied and skips. Batch ids from
+    a FRESH checkpoint restart at 0 and are skipped by the same
+    monotone check — the contract is "new checkpoint → new rollup
+    path", made explicit here rather than silently double-merged."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = roll.read_meta()
+        if meta is not None and meta.get("batch") is not None and int(
+            batch_id
+        ) <= int(meta["batch"]):
+            return  # already merged (replay) — merging again would double-count
+        roll.refresh(batch_df, meta={"batch": int(batch_id)})
+
+    writer = stream.writeStream.foreachBatch(_sink).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1824,3 +1824,83 @@ def t_stream_join_mv(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "t_stream_rollup",
+    ids=("T1", "A1", "S3"),
+    sql="""
+    SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY grp, day
+    """,
+)
+def t_stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING continuous aggregate, run for real: the events table
+    arrives as 3 time-ordered micro-batches; foreachBatch merges each
+    batch's partials into the persisted rollup exactly-once (the
+    ``_meta`` batch marker commits inside the same atomic rename as
+    the data — plans/rollup.py:stream_into_rollup). The oracle
+    aggregates the full raw table one shot: a hash match proves the
+    streamed partial-merge path converges to the batch recompute."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from dvmax_spark.plans.rollup import ContinuousRollup, stream_into_rollup
+
+    ev = load_table(spark, "events", sf).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+    run_id = _uuid.uuid4().hex[:10]
+    base = os.path.join(_tf.gettempdir(), f"dvmax_rollup_stream_{os.getpid()}_{run_id}")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    staged = ev.withColumn("_b", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+    now = None
+    for i in (1, 2, 3):
+        p = os.path.join(in_dir, f"slice_{i}")
+        staged.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        part = next(
+            f for f in os.listdir(p) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        os.replace(os.path.join(p, part), dst)
+        if now is None:
+            now = os.stat(dst).st_mtime
+        os.utime(dst, (now + i, now + i))
+        import shutil as _sh
+
+        _sh.rmtree(p, ignore_errors=True)
+    roll = ContinuousRollup(spark, os.path.join(base, "roll"), "event_type", "ts", "value")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_into_rollup(
+            stream, roll, checkpoint_dir=os.path.join(base, "ckpt"),
+            query_name=f"rollup_{run_id}",
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        roll.read()
+        .select(
+            "grp", "day", "n",
+            F.round("sum_value", 2).alias("sum_value"),
+            "min_value", "max_value",
+        )
+        .orderBy("grp", "day")
+    )

@@ -102,3 +102,63 @@ def test_streaming_rollup_replayed_batch_is_skipped(spark, tmp_path):
     assert roll.read_meta() == {"batch_id": 0}
     full = _norm(aggregate_delta(ev, "event_type", "ts", "value").collect())
     assert _norm(roll.read_partials().collect()) == full  # counted ONCE
+
+
+def test_stream_into_rollup_exactly_once_and_replay_noop(spark, tmp_path):
+    """Streamed partial-merge must equal the batch recompute, and a
+    second drain on a FRESH checkpoint (ids restart at 0) must be a
+    no-op via the _meta monotone skip — the merge is not idempotent,
+    so this is the exactly-once contract."""
+    import os
+
+    from dvmax_spark.plans.rollup import ContinuousRollup, stream_into_rollup
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    staged = ev.withColumn("_b", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+    now = None
+    for i in (1, 2, 3):
+        p = str(tmp_path / f"s{i}")
+        staged.where(F.col("_b") == i).drop("_b").coalesce(1).write.parquet(p)
+        part = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        os.replace(os.path.join(p, part), dst)
+        if now is None:
+            now = os.stat(dst).st_mtime
+        os.utime(dst, (now + i, now + i))
+
+    roll = ContinuousRollup(spark, str(tmp_path / "roll"), "event_type", "ts", "value")
+
+    def _drain(ck):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_into_rollup(stream, roll, checkpoint_dir=str(tmp_path / ck))
+        q.awaitTermination(120)
+
+    _drain("ck1")
+    got = {
+        (r.grp, r.day): (r.n, round(r.sum_value, 2)) for r in roll.read().collect()
+    }
+    want = {
+        (r.grp, r.day): (r.n, round(r.sum_value, 2))
+        for r in ev.groupBy(
+            F.col("event_type").alias("grp"), F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+    _drain("ck_fresh")  # fresh checkpoint: everything re-delivered as 0..2
+    got2 = {
+        (r.grp, r.day): (r.n, round(r.sum_value, 2)) for r in roll.read().collect()
+    }
+    assert got2 == want
