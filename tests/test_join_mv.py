@@ -249,3 +249,76 @@ def test_input_guards(spark, tmp_path):
     bad = _a(spark, [(2, "a2")]).withColumn("_batch", F.lit(9))
     with pytest.raises(ValueError, match="reserved"):
         mv.refresh(2, bad, _b(spark, [(2, "b2")]))
+
+
+def test_stream_crash_after_refresh_replays_exactly(spark, tmp_path):
+    """Chaos: the foreachBatch sink dies AFTER the MV committed a
+    micro-batch but BEFORE the checkpoint advanced — on restart Spark
+    re-delivers that batch and refresh() must absorb the replay
+    byte-stably (overwrite own partitions, prior state pruned). Final
+    MV must equal the crash-free join."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from dvmax_spark.plans.join_mv import IncrementalJoinMV, stream_into_join_mv
+
+    schema = "side string, k long, a_val string, b_val string"
+    rows = [
+        ("A", 1, "a1", None), ("B", 1, None, "b1"),
+        ("A", 2, "a2", None), ("B", 2, None, "b2"),
+        ("A", 1, "a1x", None), ("B", 3, None, "b3"),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = None
+    for i in range(3):
+        p = os.path.join(in_dir, f"{i:03d}.parquet")
+        pd.DataFrame(rows[2 * i : 2 * i + 2],
+                     columns=["side", "k", "a_val", "b_val"]).to_parquet(p)
+        if now is None:
+            now = os.stat(p).st_mtime
+        os.utime(p, (now + i, now + i))
+
+    crash_flag = str(tmp_path / "crash_once")
+    open(crash_flag, "w").close()
+
+    class CrashyMV(IncrementalJoinMV):
+        def refresh(self, batch_id, da, db):
+            super().refresh(batch_id, da, db)
+            # die exactly once, right after batch 1's COMMITTED write
+            if batch_id == 1 and os.path.exists(crash_flag):
+                os.remove(crash_flag)
+                raise RuntimeError("injected crash after MV write")
+
+    mv = CrashyMV(spark, str(tmp_path / "mv"), key="k")
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        def _run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            q = stream_into_join_mv(
+                stream, mv, checkpoint_dir=str(tmp_path / "ckpt"),
+                query_name="join_mv_chaos",
+            )
+            q.awaitTermination(180)
+
+        with pytest.raises(Exception, match="injected crash"):
+            _run()
+        _run()  # restart on the SAME checkpoint: batch 1 replays
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    a_rows = [(r[1], r[2]) for r in rows if r[0] == "A"]
+    b_rows = [(r[1], r[3]) for r in rows if r[0] == "B"]
+    expected = sorted(map(tuple,
+        spark.createDataFrame(a_rows, "k long, a_val string")
+        .join(spark.createDataFrame(b_rows, "k long, b_val string"), "k")
+        .collect()))
+    got = sorted(map(tuple, mv.read().select("k", "a_val", "b_val").collect()))
+    assert got == expected
