@@ -1220,3 +1220,135 @@ def x_image_phash_near(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "x_multimodal_funnel",
+    ids=("X8", "X11", "X12", "X1"),
+    sql="""
+    WITH t AS (
+      SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents
+    ), q AS (
+      SELECT doc_id, source,
+             round(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len(toks) > 0
+                               THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                               ELSE 0 END)
+                 + 0.3 * least((CASE WHEN len(toks) > 0
+                                     THEN len(list_filter(toks,
+                                          x -> x IN ('the','a','of','and','in','to','is')))::DOUBLE
+                                          / len(toks)
+                                     ELSE 0 END) * 4.0, 1.0), 4) AS quality
+      FROM t
+    ), dims AS (
+      SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS w,
+             CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, gy.y * 8 + gx.x AS idx,
+             (d.doc_id + ((gx.x * d.w) // 8) + 2 * ((gy.y * d.h) // 8)) % 256 AS p
+      FROM dims d
+      CROSS JOIN generate_series(0, 7) AS gx(x)
+      CROSS JOIN generate_series(0, 7) AS gy(y)
+    ), ps AS (
+      SELECT doc_id, SUM(p) AS total FROM px GROUP BY doc_id
+    ), ih AS (
+      SELECT px.doc_id, px.w, px.h,
+             CAST(SUM(CASE WHEN idx < 32
+                           THEN (CASE WHEN px.p * 64 >= ps.total THEN 1 ELSE 0 END)
+                                * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN idx >= 32
+                           THEN (CASE WHEN px.p * 64 >= ps.total THEN 1 ELSE 0 END)
+                                * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi
+      FROM px JOIN ps USING (doc_id) GROUP BY px.doc_id, px.w, px.h
+    ), img AS (
+      SELECT doc_id,
+             CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY w, h, hi, lo)
+                  THEN 1 ELSE 0 END AS img_dup
+      FROM ih
+    ), par AS (
+      SELECT doc_id, CAST(400 + (doc_id % 5) * 200 AS BIGINT) AS n,
+             CAST(37 + (doc_id % 13) AS BIGINT) AS step
+      FROM documents
+    ), samp AS (
+      SELECT p.doc_id, p.n, (g.i * 8) // p.n AS k,
+             abs(((g.i * p.step) % 4096) - 2048) AS a
+      FROM par p CROSS JOIN generate_series(0, 1399) AS g(i)
+      WHERE g.i < p.n
+    ), seg AS (
+      SELECT doc_id, n, k, SUM(a) AS e FROM samp GROUP BY doc_id, n, k
+    ), tot AS (
+      SELECT doc_id, SUM(e) AS total FROM seg GROUP BY doc_id
+    ), af AS (
+      SELECT seg.doc_id, seg.n,
+             CAST(SUM(CASE WHEN seg.e * 8 >= tot.total
+                           THEN CAST(1 AS BIGINT) << seg.k ELSE 0 END) AS BIGINT) AS fp
+      FROM seg JOIN tot USING (doc_id) GROUP BY seg.doc_id, seg.n
+    ), aud AS (
+      SELECT doc_id,
+             CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY n, fp)
+                  THEN 1 ELSE 0 END AS aud_dup
+      FROM af
+    )
+    SELECT q.source,
+           count(*) AS n_docs,
+           CAST(sum(img.img_dup) AS BIGINT) AS n_img_dups,
+           CAST(sum(aud.aud_dup) AS BIGINT) AS n_audio_dups,
+           CAST(sum(CASE WHEN q.quality >= 0.5 AND img.img_dup = 0
+                              AND aud.aud_dup = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM q JOIN img USING (doc_id) JOIN aud USING (doc_id)
+    GROUP BY q.source ORDER BY q.source
+    """,
+)
+def x_multimodal_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The multimodal curation funnel in ONE dataflow: text quality
+    (X8 heuristic), perceptual image dedup (aHash group, canonical =
+    min doc id) and audio fingerprint dedup compose into a per-doc
+    keep verdict, reported per source. The three modality signals are
+    independent scans that join on doc_id — at 100 TB each runs at its
+    own parallelism and the verdict join is three slim (id, flag)
+    tables, not a re-shuffle of payload bytes."""
+    from pyspark.sql import Window
+
+    from dvmax_spark.ext.multimodal import (
+        attach_fake_audio,
+        attach_fake_payload,
+        audio_fingerprints,
+        perceptual_hashes,
+    )
+    from dvmax_spark.ext.textstats import quality_score
+
+    docs = load_table(spark, "documents", sf)
+    q = quality_score(docs).select(
+        "doc_id", "source", F.round("quality", 4).alias("quality")
+    )
+    iw = Window.partitionBy("width", "height", "ahash_hi", "ahash_lo")
+    img = perceptual_hashes(attach_fake_payload(docs.select("doc_id"))).select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(iw)).cast("int").alias("img_dup"),
+    )
+    aw = Window.partitionBy("n_samples", "fingerprint")
+    aud = audio_fingerprints(
+        attach_fake_audio(docs.select("doc_id")), payload_col="audio"
+    ).select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(aw)).cast("int").alias("aud_dup"),
+    )
+    kept = (
+        (F.col("quality") >= 0.5)
+        & (F.col("img_dup") == 0)
+        & (F.col("aud_dup") == 0)
+    ).cast("int")
+    return (
+        q.join(img, "doc_id")
+        .join(aud, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("img_dup").alias("n_img_dups"),
+            F.sum("aud_dup").alias("n_audio_dups"),
+            F.sum(kept).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
