@@ -414,3 +414,79 @@ def feature_hash_sql(
     GROUP BY doc_id, dim
     ORDER BY doc_id, dim
     """
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-1 corpus LM quality score: each doc's mean log10 of the
+    add-one-smoothed bigram conditional ``P(w2|w1) = (c(w1,w2)+1) /
+    (ctx(w1)+V)`` under corpus statistics — one step past
+    :func:`unigram_logprob` toward the CCNet LM filter: it penalizes
+    UNLIKELY TRANSITIONS (word salad built from common words) that
+    order-0 cannot see. Docs with fewer than two tokens have no
+    bigrams and drop out.
+
+    Scale shape mirrors unigram: the bigram stream aggregates to the
+    (Heaps-sublinear) bigram and context tables, which join back on
+    the bigram key; the vocab size is ONE broadcast scalar. No Python.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    n = F.size(arr) - 1
+    pairs = F.zip_with(
+        F.slice(arr, 1, n),
+        F.slice(arr, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = df.select(F.col(id_col), F.explode(pairs).alias("s")).select(
+        id_col, F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    ctx = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = df.select(F.explode(arr).alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("V")
+    )
+    p = (F.col("n2") + F.lit(1)).cast("double") / (
+        F.col("n1") + F.col("V")
+    )
+    return (
+        occ.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log10(p)), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bigram_logprob`."""
+    return f"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(str_split(lower({text_col}), ' '), x -> x <> '') AS a
+      FROM {table}
+    ), o AS (
+      SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)),
+                      i -> {{'w1': a[i], 'w2': a[i+1]}})) AS s
+        FROM arrs
+      )
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n2 FROM o GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, count(*) AS n1 FROM o GROUP BY w1
+    ), v AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS V
+      FROM (SELECT unnest(a) AS tok FROM arrs)
+    )
+    SELECT o.doc_id, count(*) AS n_bigrams,
+           round(avg(log10((c2.n2 + 1) / (ctx.n1 + v.V))), 4) AS avg_logprob
+    FROM o JOIN c2 USING (w1, w2) JOIN ctx USING (w1), v
+    GROUP BY o.doc_id ORDER BY o.doc_id
+    """

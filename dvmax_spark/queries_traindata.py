@@ -263,3 +263,16 @@ def x_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
     no OOV, feature-compatible across corpora by construction."""
     docs = load_table(spark, "documents", sf)
     return feature_hash(docs, dims=64).orderBy("doc_id", "dim")
+
+
+from dvmax_spark.ext.textstats import bigram_logprob, bigram_logprob_sql
+
+
+@query("x_bigram_logprob", ids=("X8",), sql=bigram_logprob_sql())
+def x_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-1 LM quality score (add-one-smoothed bigram conditionals
+    under corpus statistics): flags unlikely word TRANSITIONS that the
+    order-0 unigram filter cannot see. See ext.textstats.bigram_logprob
+    for the scale shape."""
+    docs = load_table(spark, "documents", sf)
+    return bigram_logprob(docs).orderBy("doc_id")
