@@ -339,3 +339,49 @@ def s5_pyds_stream(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@query(
+    "v_robust_outliers",
+    ids=("V1", "A5", "V3"),
+    sql="""
+    WITH m AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, median(dev) AS mad FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, count(*) AS n,
+           round(min(md.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3 * 1.4826 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def v_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier gate (median/MAD, the validation-family member
+    that mean/stddev z-scores lack): per event type, deviations beyond
+    3·1.4826·MAD flag as outliers — a single wild value cannot drag
+    the threshold the way it drags a stddev. Two grouped exact medians
+    + one slim join; both engines interpolate the even-n median as
+    (a+b)/2 so the float path is bit-identical end to end."""
+    ev = load_table(spark, "events", sf).select("event_type", "value")
+    m = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    d = ev.join(m, "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    md = d.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    out = (F.col("dev") > F.lit(3) * F.lit(1.4826) * F.col("mad")).cast("int")
+    return (
+        d.join(md, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(out).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
