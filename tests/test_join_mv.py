@@ -322,3 +322,32 @@ def test_stream_crash_after_refresh_replays_exactly(spark, tmp_path):
         .collect()))
     got = sorted(map(tuple, mv.read().select("k", "a_val", "b_val").collect()))
     assert got == expected
+
+
+def test_random_slicings_always_converge(spark, tmp_path):
+    """Seeded randomized slicings: however A- and B-rows are scattered
+    across 3 batches (including empty deltas and many-to-many keys),
+    the MV must equal the one-shot join. Catches delta-rule edge cases
+    a hand-picked arrival order misses."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        a_rows = [(rng.randint(1, 8), f"a{seed}_{i}") for i in range(25)]
+        b_rows = [(rng.randint(1, 8), f"b{seed}_{i}") for i in range(15)]
+        a_batches = [[], [], []]
+        b_batches = [[], [], []]
+        for r in a_rows:
+            a_batches[rng.randint(0, 2)].append(r)
+        for r in b_rows:
+            b_batches[rng.randint(0, 2)].append(r)
+        mv = _mk(spark, tmp_path, f"rand{seed}")
+        empty_a, empty_b = _a(spark, []).limit(0), _b(spark, []).limit(0)
+        for i in range(3):
+            da = _a(spark, a_batches[i]) if a_batches[i] else empty_a
+            db = _b(spark, b_batches[i]) if b_batches[i] else empty_b
+            mv.refresh(i + 1, da, db)
+        expected = sorted(
+            map(tuple, _a(spark, a_rows).join(_b(spark, b_rows), "k").collect())
+        )
+        assert _collect(mv) == expected, f"seed {seed} diverged"
