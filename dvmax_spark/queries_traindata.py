@@ -276,3 +276,93 @@ def x_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     for the scale shape."""
     docs = load_table(spark, "documents", sf)
     return bigram_logprob(docs).orderBy("doc_id")
+
+
+@query(
+    "t_stream_decontam",
+    ids=("X18", "T3", "S11"),
+    sql=decontaminate_sql(n=5, eval_source="src0"),
+)
+def t_stream_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING benchmark decontamination, run for real: the eval
+    slice's 5-grams persist once as a distinct-gram table; the
+    training corpus then arrives as 3 micro-batches, each
+    broadcast-semi-joined against it, clean/quarantined split into
+    batch-keyed sinks (streaming/decontam_ingest.py — replay-
+    idempotent by partition overwrite). The oracle is the BATCH
+    decontamination aggregate: a hash match proves the streamed gate
+    flags exactly the docs the one-shot sweep flags, independent of
+    micro-batch slicing."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from dvmax_spark.streaming.decontam_ingest import (
+        build_eval_grams,
+        stream_decontam_ingest,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    ev = docs.where(F.col("source") == "src0")
+    tr = docs.where(F.col("source") != "src0")
+    run_id = _uuid.uuid4().hex[:10]
+    base = _os.path.join(
+        _tf.gettempdir(), f"dvmax_decontam_{_os.getpid()}_{run_id}"
+    )
+    in_dir = _os.path.join(base, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    build_eval_grams(ev, _os.path.join(base, "ev_grams"), n=5)
+    staged = tr.withColumn("_b", F.ntile(3).over(Window.orderBy("doc_id")))
+    now = None
+    for i in (1, 2, 3):
+        p = _os.path.join(base, f"s{i}")
+        staged.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        part = next(
+            f for f in _os.listdir(p) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = _os.path.join(in_dir, f"{i:03d}.parquet")
+        _os.replace(_os.path.join(p, part), dst)
+        if now is None:
+            now = _os.stat(dst).st_mtime
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(p, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_decontam_ingest(
+            stream,
+            _os.path.join(base, "ev_grams"),
+            out_dir=_os.path.join(base, "clean"),
+            quarantine_dir=_os.path.join(base, "quarantine"),
+            n=5,
+            checkpoint_dir=_os.path.join(base, "ckpt"),
+            query_name=f"decontam_{run_id}",
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    clean = spark.read.parquet(_os.path.join(base, "clean")).select(
+        "doc_id", "source"
+    )
+    quar = spark.read.parquet(_os.path.join(base, "quarantine")).select(
+        "doc_id", "source"
+    )
+    return (
+        clean.withColumn("_c", F.lit(0))
+        .unionByName(quar.withColumn("_c", F.lit(1)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )

@@ -378,3 +378,72 @@ def test_stream_into_sketches_matches_batch_distinct(spark, events_dir, tmp_path
         d, n = exact[k]
         assert n_rows == n, k
         assert abs(est - d) <= d * 0.05 + 2, (k, est, d)
+
+
+def test_stream_decontam_fresh_checkpoint_replay_is_idempotent(spark, tmp_path):
+    """The decontam gate has NO cross-batch state (verdicts depend only
+    on the doc and the frozen eval grams), so even a FRESH-checkpoint
+    re-drain rewrites identical batch partitions — full idempotency,
+    stronger than the rollup/join-MV contracts."""
+    import os
+
+    from dvmax_spark.streaming.decontam_ingest import (
+        build_eval_grams,
+        stream_decontam_ingest,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = [
+        (1, "alpha beta gamma delta epsilon contaminated doc body"),
+        (2, "totally unrelated clean words in this document here"),
+        (3, "more clean text that shares nothing with the benchmark"),
+    ]
+    base = str(tmp_path)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    import pandas as pd
+
+    now = None
+    for i, row in enumerate(docs):
+        p = os.path.join(in_dir, f"{i:03d}.parquet")
+        pd.DataFrame([row], columns=["doc_id", "text"]).to_parquet(p)
+        if now is None:
+            now = os.stat(p).st_mtime
+        os.utime(p, (now + i, now + i))
+    build_eval_grams(ev, os.path.join(base, "ev"), n=5)
+
+    def _drain(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_decontam_ingest(
+            stream,
+            os.path.join(base, "ev"),
+            out_dir=os.path.join(base, "clean"),
+            quarantine_dir=os.path.join(base, "quar"),
+            n=5,
+            checkpoint_dir=os.path.join(base, ck),
+            query_name=f"decontam_test_{ck}",
+        )
+        q.awaitTermination(120)
+
+    _drain("ck1")
+    clean1 = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(base, "clean")).collect()
+    )
+    quar1 = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(base, "quar")).collect()
+    )
+    assert quar1 == [1] and clean1 == [2, 3]
+    _drain("ck2")  # fresh checkpoint: same batch ids, same partitions
+    clean2 = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(base, "clean")).collect()
+    )
+    quar2 = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(base, "quar")).collect()
+    )
+    assert (clean2, quar2) == (clean1, quar1)
