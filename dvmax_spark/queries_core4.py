@@ -1904,3 +1904,30 @@ def t_stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("grp", "day")
     )
+
+
+@query(
+    "j_fuzzy_edit1_join",
+    ids=("J6", "X2"),
+    sql="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def j_fuzzy_edit1_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy entity-resolution join: customer-name pairs within edit
+    distance 1 via SymSpell deletion-neighborhood blocking
+    (ext/entity.py) — an EQUI-join on {self}∪{1-deletions} keys with
+    PROVABLE recall, then exact levenshtein only on candidates. The
+    oracle brute-forces the n² distance matrix; the Spark plan never
+    builds it (explode → hash join → verify, the MinHash-banding
+    shape applied to strings)."""
+    from dvmax_spark.ext.entity import edit1_pairs
+
+    cust = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return edit1_pairs(cust).orderBy("id_a", "id_b")

@@ -465,3 +465,13 @@ def test_join_mv_prior_state_reads_are_partition_pruned(spark, tmp_path):
     # and no row-level Filter on _batch survives (pruning is metadata)
     simple = plan.split("PartitionFilters")[0]
     assert "Filter (_batch" not in simple, plan
+
+
+def test_fuzzy_edit1_join_avoids_cross_product(spark):
+    """The deletion-neighborhood fuzzy join must be an equi hash join
+    on the variant key — never the nested-loop cross product a raw
+    levenshtein predicate would plan."""
+    simple = _simple_plan(_q(spark, "j_fuzzy_edit1_join"))
+    assert "NestedLoop" not in simple, simple
+    assert "CartesianProduct" not in simple, simple
+    assert "Join" in simple, simple
