@@ -490,3 +490,165 @@ def bigram_logprob_sql(table: str = "documents", text_col: str = "text") -> str:
     FROM o JOIN c2 USING (w1, w2) JOIN ctx USING (w1), v
     GROUP BY o.doc_id ORDER BY o.doc_id
     """
+
+
+# ----------------------------------------------------------- Gopher gate
+
+# Distinct-presence stopword test (Gopher's "contains at least two of
+# the following English words" rule) — reuses the lang-id list so the
+# two heuristics can't drift.
+_GOPHER_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mwl_c: int = 300,
+    max_mwl_c: int = 1000,
+    max_symbol_ppm: int = 100_000,
+    min_alpha_ppm: int = 800_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1 /
+    the MassiveWeb filter heuristics), evaluated per document with a
+    first-failing-rule routing reason:
+
+      * word count in [min_words, max_words]
+      * mean word length in [3.0, 10.0] chars (reported ×100 exact)
+      * symbol-to-word ratio ('#' and '...') <= 0.1 (reported in ppm)
+      * >= 80% of words contain at least one alphabetic char (ppm)
+      * contains >= ``min_stopwords`` DISTINCT common English words
+
+    All arithmetic is EXACT bigint (`div` ratios reported ×100 / in
+    parts-per-million, matching DuckDB `//`) — no float crosses the
+    engine boundary, so parity is bit-exact by construction. Every
+    rule is a map-side Catalyst expression over the token array; zero
+    shuffles, zero Python (the reference's validation ops follow the
+    same rule-to-expression compilation, validation/rules.py).
+
+    Scale: embarrassingly parallel scan; at 100 TB this is the cheap
+    first gate that runs BEFORE any dedup shuffle (each rule prunes
+    the corpus the expensive operators see).
+    """
+    c = F.col(text_col)
+    tk = tokens(text_col)
+    sw = [F.lit(w) for w in _GOPHER_STOPWORDS]
+    ell = F.length(c) - F.length(F.replace(c, F.lit("...")))
+    staged = df.select(
+        F.col(id_col),
+        F.size(tk).cast("bigint").alias("n_words"),
+        # exact char mass of the words themselves, robust to repeated
+        # separators (translate strips EVERY space)
+        F.length(F.translate(c, " ", "")).cast("bigint").alias("char_sum"),
+        F.size(F.filter(tk, lambda x: x.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        (
+            (F.length(c) - F.length(F.replace(c, F.lit("#"))))
+            + (ell - ell % 3) / 3
+        )
+        .cast("bigint")
+        .alias("n_symbol"),
+        F.size(F.array_distinct(F.array_intersect(tk, F.array(*sw))))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    ratios = staged.select(
+        id_col,
+        "n_words",
+        F.expr("CASE WHEN n_words > 0 THEN (100 * char_sum) div n_words ELSE 0 END")
+        .cast("bigint")
+        .alias("mwl_c"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000000 * n_alpha) div n_words ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("alpha_ppm"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000000 * n_symbol) div n_words ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("symbol_ppm"),
+        "n_stop",
+    )
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_few_words"))
+        .when(F.col("n_words") > max_words, F.lit("too_many_words"))
+        .when(F.col("mwl_c") < min_mwl_c, F.lit("mean_word_len_low"))
+        .when(F.col("mwl_c") > max_mwl_c, F.lit("mean_word_len_high"))
+        .when(F.col("symbol_ppm") > max_symbol_ppm, F.lit("symbol_heavy"))
+        .when(F.col("alpha_ppm") < min_alpha_ppm, F.lit("non_alpha_heavy"))
+        .when(F.col("n_stop") < min_stopwords, F.lit("too_few_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return ratios.select(
+        id_col,
+        "n_words",
+        "mwl_c",
+        "alpha_ppm",
+        "symbol_ppm",
+        "n_stop",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    ).orderBy(id_col)
+
+
+def gopher_rules_sql(
+    table: str = "documents",
+    *,
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mwl_c: int = 300,
+    max_mwl_c: int = 1000,
+    max_symbol_ppm: int = 100_000,
+    min_alpha_ppm: int = 800_000,
+    min_stopwords: int = 2,
+) -> str:
+    sw = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return f"""
+    WITH staged AS (
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+             CAST(len(list_filter(str_split(text, ' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_symbol,
+             CAST(len(list_distinct(list_intersect(str_split(text, ' '),
+                      [{sw}]))) AS BIGINT) AS n_stop
+      FROM {table}
+    ), ratios AS (
+      SELECT doc_id, n_words,
+             CAST(CASE WHEN n_words > 0 THEN (100 * char_sum) // n_words
+                  ELSE 0 END AS BIGINT) AS mwl_c,
+             CAST(CASE WHEN n_words > 0 THEN (1000000 * n_alpha) // n_words
+                  ELSE 0 END AS BIGINT) AS alpha_ppm,
+             CAST(CASE WHEN n_words > 0 THEN (1000000 * n_symbol) // n_words
+                  ELSE 0 END AS BIGINT) AS symbol_ppm,
+             n_stop
+      FROM staged
+    )
+    SELECT doc_id, n_words, mwl_c, alpha_ppm, symbol_ppm, n_stop,
+           CASE WHEN n_words < {min_words} THEN 'too_few_words'
+                WHEN n_words > {max_words} THEN 'too_many_words'
+                WHEN mwl_c < {min_mwl_c} THEN 'mean_word_len_low'
+                WHEN mwl_c > {max_mwl_c} THEN 'mean_word_len_high'
+                WHEN symbol_ppm > {max_symbol_ppm} THEN 'symbol_heavy'
+                WHEN alpha_ppm < {min_alpha_ppm} THEN 'non_alpha_heavy'
+                WHEN n_stop < {min_stopwords} THEN 'too_few_stopwords'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN n_words < {min_words} THEN 'too_few_words'
+                WHEN n_words > {max_words} THEN 'too_many_words'
+                WHEN mwl_c < {min_mwl_c} THEN 'mean_word_len_low'
+                WHEN mwl_c > {max_mwl_c} THEN 'mean_word_len_high'
+                WHEN symbol_ppm > {max_symbol_ppm} THEN 'symbol_heavy'
+                WHEN alpha_ppm < {min_alpha_ppm} THEN 'non_alpha_heavy'
+                WHEN n_stop < {min_stopwords} THEN 'too_few_stopwords'
+                ELSE 'ok' END) = 'ok' AS keep
+    FROM ratios ORDER BY doc_id
+    """

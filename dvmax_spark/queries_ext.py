@@ -30,6 +30,8 @@ from dvmax_spark.ext.similarity import (
 )
 from dvmax_spark.ext.textstats import (
     fingerprint,
+    gopher_rules,
+    gopher_rules_sql,
     lang_id_sql,
     lang_scores,
     quality_score,
@@ -297,6 +299,18 @@ def x_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.round("quality", 4).alias("quality"))
         .orderBy("doc_id")
     )
+
+
+@query("x_gopher_rules", ids=("X8", "V6"), sql=gopher_rules_sql())
+def x_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveWeb quality GATE (Rae et al. 2021 §A1.1): word
+    count, mean word length, symbol ratio, alpha-word fraction,
+    distinct-stopword presence — each rule a map-side Catalyst
+    expression, with a first-failing-rule routing reason. All ratios
+    EXACT bigint (×100 / ppm), so parity is bit-exact by
+    construction. Zero shuffles — the cheap first gate 100 TB runs
+    before any dedup shuffle."""
+    return gopher_rules(load_table(spark, "documents", sf))
 
 
 @query(

@@ -732,3 +732,35 @@ def test_audio_fingerprint_level_invariant_but_bytes_differ():
     # base values here are even-friendly enough to hold exactly
     assert audio_fingerprint(_wav(base)) == audio_fingerprint(_wav(quiet))
     assert audio_fingerprint(_wav(base)) != audio_fingerprint(_wav(other))
+
+
+def test_gopher_rules_routing_and_edge_cases(spark):
+    """Synthetic docs hit each rule: the gate must route every doc to
+    its FIRST failing rule, keep must equal reason=='ok', and the
+    integer ratios must be exact (mean word len x100, symbol ppm)."""
+    from dvmax_spark.ext.textstats import gopher_rules
+
+    rows = [
+        # 0: passes everything (25 words, the+a stopwords, alpha)
+        (0, "the quick brown fox jumps over a lazy dog near " + " ".join(["word"] * 15)),
+        # 1: too few words (first rule wins even though stopwords also fail)
+        (1, "tiny doc"),
+        # 2: symbol heavy: 25 words incl '#' runs and '...'
+        (2, "the a " + " ".join(["token"] * 18) + " ## ## ## ... ..."),
+        # 3: too few stopwords (25 alpha words, no stoplist hits)
+        (3, " ".join(["zqx" + str(i) for i in range(25)])),
+        # 4: non-alpha heavy: 20 words, only 2 alphabetic
+        (4, "the aaaa " + " ".join(["12345"] * 18)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[0]["reason"] == "ok" and out[0]["keep"]
+    assert out[1]["reason"] == "too_few_words" and not out[1]["keep"]
+    assert out[2]["reason"] == "symbol_heavy"
+    # 25 words, 6 '#' chars + 2 '...' = 8 symbols -> 320000 ppm
+    assert out[2]["symbol_ppm"] == 8 * 1_000_000 // 25
+    assert out[3]["reason"] == "too_few_stopwords"
+    assert out[4]["reason"] == "non_alpha_heavy"
+    assert out[4]["alpha_ppm"] == 2 * 1_000_000 // 20
+    for r in out.values():
+        assert r["keep"] == (r["reason"] == "ok")
