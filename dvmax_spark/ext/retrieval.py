@@ -477,3 +477,137 @@ def doc_chunks_sql(
     FROM st
     ORDER BY {id_col}, chunk_idx
     """
+
+
+# ----------------------------------------------- duplicated-span REMOVAL
+
+def span_dedup_clean(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-corpus duplicated-span REMOVAL (the acting sibling of
+    ``dup_span_stats``' reporting): every token position covered by a
+    word ``n``-gram that also occurs in at least one OTHER document is
+    deleted, and the cleaned text is reconstructed from the surviving
+    tokens in original order — ExactSubstr-style dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better")
+    at token-n-gram granularity, the form a Spark cluster can run as a
+    join instead of a suffix array.
+
+    Per doc returns exact token counts and an md5 of the cleaned text
+    (a doc whose every position is covered cleans to the empty
+    string). Removal can create NEW adjacencies in the cleaned text —
+    as in the paper, those are not re-examined (single-pass contract,
+    pinned by test).
+
+    Scale shape: gram occurrences shuffle ONCE with their start
+    positions (the same inverted-index as dup_span_stats); cross-doc
+    gram ids semi-join back; coverage expands by a factor of n ONLY on
+    duplicated starts (not the corpus); the per-doc rebuild is one
+    ordered aggregate bounded by document length. ``max_doc_freq`` is
+    the 100 TB boilerplate knob with the OPPOSITE conservativeness of
+    the stats op: here pruning hot grams means those spans are KEPT
+    (boilerplate handled by the cheaper block/gram filters), never
+    that extra text is deleted. No Python anywhere.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(shingle_seq(text_col, n)).alias("gpos", "g")
+    )
+    # per-(gram, doc) first so the cross-doc count is a cheap second
+    # aggregate of an already-shuffled subtree
+    per = occ.select("g", id_col).distinct()
+    gdocs = (
+        per.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    if max_doc_freq is not None:
+        gdocs = gdocs.where(F.col("n_docs") <= max_doc_freq)
+    covered = (
+        occ.join(gdocs.select("g"), "g", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.length(F.coalesce(F.col("clean_text"), F.lit("")))
+            .cast("bigint")
+            .alias("clean_len"),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_hash"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def span_dedup_clean_sql(
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, str_split({text_col}, ' ') AS tk FROM {table}
+    ),
+    occ AS (
+      SELECT {id_col}, i, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+      FROM t, unnest(range(1, len(tk) - {n} + 2)) u(i)
+    ),
+    gdocs AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT {id_col}) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT {id_col}, pos FROM (
+        SELECT {id_col}, unnest(range(i, i + {n})) AS pos
+        FROM occ SEMI JOIN gdocs USING (g)
+      )
+    ),
+    toks AS (
+      SELECT {id_col}, pos, tk[pos] AS tok
+      FROM t, unnest(range(1, len(tk) + 1)) u(pos)
+    ),
+    kept AS (
+      SELECT {id_col}, pos, tok FROM toks ANTI JOIN cov USING ({id_col}, pos)
+    ),
+    rebuilt AS (
+      SELECT {id_col}, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY {id_col}
+    )
+    SELECT t.{id_col},
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+           md5(coalesce(r.clean_text, '')) AS clean_hash
+    FROM t LEFT JOIN rebuilt r USING ({id_col})
+    ORDER BY t.{id_col}
+    """

@@ -21,6 +21,8 @@ from dvmax_spark.ext.retrieval import (
     doc_chunks_sql,
     dup_span_stats,
     dup_span_stats_sql,
+    span_dedup_clean,
+    span_dedup_clean_sql,
     vocabulary,
     vocabulary_sql,
 )
@@ -54,6 +56,17 @@ def x_dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     shared with exact Jaccard: one gram-occurrence shuffle, gram-level
     distinct-doc counts semi-joined back."""
     return dup_span_stats(load_table(spark, "documents", sf), n=8)
+
+
+@query("x_span_dedup_clean", ids=("X10", "X15", "X1"), bench=True, sql=span_dedup_clean_sql(n=8))
+def x_span_dedup_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022 at
+    token-8-gram granularity): positions covered by a cross-document
+    duplicated 8-gram are deleted and the cleaned text reconstructed
+    (exact counts + md5 per doc). Same one-shuffle inverted-index as
+    x_dup_span_stats, plus an n-bounded coverage expansion on
+    duplicated starts only and an ordered per-doc rebuild."""
+    return span_dedup_clean(load_table(spark, "documents", sf), n=8)
 
 
 @query("x_doc_chunks", ids=("X7", "X10"), bench=True, sql=doc_chunks_sql())

@@ -251,3 +251,49 @@ def test_doc_chunks_coverage_property(spark):
         assert all(1 <= c <= 2 for c in cover)
 
     check()
+
+
+def test_span_dedup_clean_removes_exact_covered_positions(spark):
+    """Hand-built corpus: the shared 8-gram 'a..h' covers exactly its
+    8 positions in each doc; surviving tokens rebuild in order; a
+    unique doc is untouched (hash equals md5 of its own text)."""
+    import hashlib
+
+    from dvmax_spark.ext.retrieval import span_dedup_clean
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "z y a b c d e f g h x"),
+        (3, "q w e r t u i o p s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_dedup_clean(df, n=8).toPandas().set_index("doc_id")
+    # doc1: grams at 0..2 — 'a..h' (dup), 'b..i', 'c..j' (unique);
+    # covered = positions 0..7, kept = 'i j'
+    assert out.loc[1, "n_removed"] == 8
+    assert out.loc[1, "clean_hash"] == hashlib.md5(b"i j").hexdigest()
+    # doc2: dup gram starts at pos 2, covers 2..9 -> kept 'z y x'
+    assert out.loc[2, "n_removed"] == 8
+    assert out.loc[2, "clean_hash"] == hashlib.md5(b"z y x").hexdigest()
+    # doc3 untouched: identity hash
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "clean_hash"] == hashlib.md5(b"q w e r t u i o p s").hexdigest()
+
+
+def test_span_dedup_clean_full_coverage_and_conservative_cap(spark):
+    """Identical docs clean to empty text; max_doc_freq pruning can
+    only KEEP more text (never delete extra) — the documented
+    conservativeness direction of the 100 TB knob."""
+    from dvmax_spark.ext.retrieval import span_dedup_clean
+
+    rows = [(i, "a b c d e f g h i j") for i in range(4)] + [
+        (9, "u n i q u e words only here now")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_dedup_clean(df, n=8).toPandas().set_index("doc_id")
+    for i in range(4):
+        assert out.loc[i, "clean_len"] == 0 and out.loc[i, "n_removed"] == 10
+    capped = span_dedup_clean(df, n=8, max_doc_freq=2).toPandas().set_index("doc_id")
+    # the shared grams appear in 4 docs > cap -> treated as boilerplate, kept
+    assert (capped["n_removed"] <= out["n_removed"]).all()
+    assert capped.loc[0, "n_removed"] == 0
