@@ -519,6 +519,12 @@ def span_dedup_clean(
     occ = df.select(
         F.col(id_col), F.posexplode(shingle_seq(text_col, n)).alias("gpos", "g")
     )
+    # materialize the gram-occurrence stream once (lazy localCheckpoint,
+    # same contract as dup_span_stats): its two consumers — the
+    # cross-doc gram counts and the covered-position expansion — would
+    # otherwise each rebuild every gram from the raw text (column
+    # pruning specializes the subtrees, defeating ReuseExchange)
+    occ = occ.localCheckpoint(eager=False)
     # per-(gram, doc) first so the cross-doc count is a cheap second
     # aggregate of an already-shuffled subtree
     per = occ.select("g", id_col).distinct()

@@ -475,3 +475,27 @@ def test_fuzzy_edit1_join_avoids_cross_product(spark):
     assert "NestedLoop" not in simple, simple
     assert "CartesianProduct" not in simple, simple
     assert "Join" in simple, simple
+
+
+def test_gopher_gate_is_map_side_only(spark):
+    """The Gopher quality gate must stay a pure map-side expression
+    scan (zero hash exchanges — only the final orderBy range exchange)
+    with zero Python: the cheap first gate at 100 TB."""
+    plan = _simple_plan(_q(spark, "x_gopher_rules"))
+    assert plan.count("hashpartitioning") == 0, plan
+    assert "Python" not in plan, plan
+
+
+def test_span_dedup_clean_plan_shape(spark):
+    """ExactSubstr-style removal: no Python anywhere, and the coverage
+    expansion must hang off the gram-occurrence subtree (bounded hash
+    exchanges: gram agg, covered distinct, anti-join, rebuild — not a
+    corpus-squared shape)."""
+    plan = _simple_plan(_q(spark, "x_span_dedup_clean"))
+    assert "Python" not in plan, plan
+    # gram distinct + cross-doc count + covered distinct + kept anti-join
+    # + per-doc rebuild + base left join: generous ceiling, but an
+    # accidental extra corpus-wide shuffle (e.g. losing the semi-join)
+    # would blow past it
+    assert plan.count("hashpartitioning") <= 10, plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan
