@@ -91,6 +91,102 @@ def decontaminate(
     return train.join(bad, id_col, "left_anti")
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 500_000,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-doc contamination DEGREE (the finer sibling of the boolean
+    ``contaminated_ids``): for every training doc, the fraction of its
+    DISTINCT word ``n``-grams that also occur in the eval set —
+    PaLM §7-style graded overlap, where a doc is flagged only when the
+    overlap fraction crosses a threshold rather than on any single
+    shared gram.
+
+    Fraction reported in EXACT integer ppm (bigint `div`, matching
+    DuckDB `//`), so parity is bit-exact. Docs with no grams (shorter
+    than ``n`` words) report 0/0 -> 0 ppm, not contaminated.
+
+    Scale shape: identical to decontaminate — the eval gram set
+    broadcasts (benchmarks are tiny next to a 100 TB corpus), the
+    corpus streams through ONE map-side semi-match aggregated per doc;
+    corpus grams never shuffle on the gram key.
+    """
+    ev = eval_df.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+    hit = tr.join(ev, "g", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    base = train.select(
+        F.col(id_col),
+        F.size(shingles(text_col, n)).cast("bigint").alias("n_grams"),
+    )
+    out = (
+        base.join(hit, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_grams > 0 THEN (1000000 * n_hit) div n_grams "
+                "ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("overlap_ppm"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        "overlap_ppm",
+        (F.col("overlap_ppm") >= threshold_ppm).alias("contaminated"),
+    ).orderBy(id_col)
+
+
+def contamination_overlap_sql(
+    n: int = 5, eval_source: str = "src0", threshold_ppm: int = 500_000
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source, unnest({_duck_grams(n)}) AS g FROM toks
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE source = '{eval_source}'
+    ), hit AS (
+      SELECT grams.doc_id, count(*) AS n_hit
+      FROM grams SEMI JOIN ev USING (g)
+      WHERE source <> '{eval_source}'
+      GROUP BY grams.doc_id
+    ), base AS (
+      SELECT doc_id, CAST(len({_duck_grams(n)}) AS BIGINT) AS n_grams
+      FROM toks WHERE source <> '{eval_source}'
+    )
+    SELECT b.doc_id, b.n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(CASE WHEN b.n_grams > 0
+                THEN (1000000 * coalesce(h.n_hit, 0)) // b.n_grams
+                ELSE 0 END AS BIGINT) AS overlap_ppm,
+           (CASE WHEN b.n_grams > 0
+                THEN (1000000 * coalesce(h.n_hit, 0)) // b.n_grams
+                ELSE 0 END) >= {threshold_ppm} AS contaminated
+    FROM base b LEFT JOIN hit h USING (doc_id)
+    ORDER BY b.doc_id
+    """
+
+
 def train_split(
     df: DataFrame,
     id_col: str = "doc_id",

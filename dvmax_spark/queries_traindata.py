@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from dvmax_spark.catalog import load_table
 from dvmax_spark.ext.traindata import (
     contaminated_ids,
+    contamination_overlap,
+    contamination_overlap_sql,
     group_split,
     group_split_sql,
     decontaminate_sql,
@@ -50,6 +52,22 @@ def x_traindata_funnel(spark: SparkSession, sf: str) -> DataFrame:
     deterministic sample audit (X21) — one row per split."""
     docs = load_table(spark, "documents", sf)
     return traindata_funnel(docs)
+
+
+@query(
+    "x_contam_overlap",
+    ids=("X18",),
+    sql=contamination_overlap_sql(n=5, eval_source="src0", threshold_ppm=500_000),
+)
+def x_contam_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded contamination (PaLM §7-style): per training doc, the
+    EXACT ppm fraction of its distinct 5-grams shared with the eval
+    slice, flagged only above 50%. Same broadcast-semi-join shape as
+    x_decontaminate — the corpus never shuffles on the gram key."""
+    docs = load_table(spark, "documents", sf)
+    ev = docs.where(F.col("source") == "src0")
+    tr = docs.where(F.col("source") != "src0")
+    return contamination_overlap(tr, ev, n=5, threshold_ppm=500_000)
 
 
 @query("x_decontaminate", ids=("X18",), sql=decontaminate_sql(n=5, eval_source="src0"))

@@ -223,3 +223,36 @@ def test_bpe_pair_counts_matches_python_reference(spark):
                                "doc_id long, text string")
     got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df, top_k=100).collect()}
     assert got == dict(ref)
+
+
+def test_contamination_overlap_exact_fractions(spark):
+    """Graded contamination: exact ppm fractions, threshold semantics,
+    and the no-gram edge (doc shorter than n reports 0 ppm, clean)."""
+    from dvmax_spark.ext.traindata import contamination_overlap
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            # grams (n=5): 2 of 2 distinct grams shared -> 1000000 ppm
+            (1, "alpha beta gamma delta epsilon zeta"),
+            # 6 tokens -> 2 grams, 1 shared -> 500000 ppm (>= threshold)
+            (2, "alpha beta gamma delta epsilon other"),
+            # no overlap
+            (3, "one two three four five six seven"),
+            # shorter than n: zero grams
+            (4, "tiny doc here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_overlap(tr, ev, n=5, threshold_ppm=500_000).collect()
+    }
+    assert out[1]["overlap_ppm"] == 1_000_000 and out[1]["contaminated"]
+    assert out[2]["n_grams"] == 2 and out[2]["n_hit"] == 1
+    assert out[2]["overlap_ppm"] == 500_000 and out[2]["contaminated"]
+    assert out[3]["n_hit"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_grams"] == 0 and out[4]["overlap_ppm"] == 0
+    assert not out[4]["contaminated"]
