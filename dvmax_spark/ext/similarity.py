@@ -492,3 +492,145 @@ def semantic_dedup_sql(
     FROM embeddings e JOIN comp c USING (vec_id)
     ORDER BY e.vec_id
     """
+
+
+# -------------------------------------------------- persisted IVF index
+
+class IVFIndex:
+    """Persisted IVF ANN index — the production build-once/probe-many
+    shape next to the per-query ``cosine_topk_ivf`` (the ANN sibling
+    of ``MinHashIndex``'s incremental-dedup store).
+
+    Layout: ``<path>/centroids`` is a tiny parquet table
+    (bucket, center) from a seeded spherical-KMeans fit;
+    ``<path>/lists`` holds the inverted lists PARTITIONED BY bucket.
+    A probe computes its ``nprobe`` nearest centroids, then reads the
+    lists table with a LITERAL ``bucket IN (...)`` filter — parquet
+    partition pruning IS the inverted-list seek, so query cost scales
+    with the probed lists, not the corpus. ``append`` assigns new
+    vectors to the EXISTING centroids (no refit — the standard IVF
+    contract; recall for appended data degrades only as the data
+    distribution drifts, at which point you rebuild).
+
+    Vectors are L2-normalized for assignment (unit sphere: euclidean
+    argmin == cosine argmax) and stored un-normalized for the exact
+    re-scoring pass.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_clusters: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.n_clusters = n_clusters
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # internal: (id, v double-array, vn unit-norm) projection
+    def _normed(self, emb: DataFrame) -> DataFrame:
+        return emb.select(
+            F.col(self.id_col), as_double(self.vec_col).alias("v")
+        ).withColumn("vn", F.transform("v", lambda x: x / norm(F.col("v"))))
+
+    def _assign(self, vecs: DataFrame, centers: DataFrame) -> DataFrame:
+        """Nearest-centroid bucket per vector via broadcast argmin."""
+        d2 = F.aggregate(
+            F.zip_with("vn", "center", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("_d2").asc(), F.col("bucket").asc()
+        )
+        return (
+            vecs.crossJoin(F.broadcast(centers))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(self.id_col, "v", "bucket")
+        )
+
+    def build(self, emb: DataFrame) -> None:
+        """Fit the coarse quantizer and write centroids + lists."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = self._normed(emb)
+        ml_input = vecs.withColumn("features", array_to_vector("vn"))
+        model = KMeans(k=self.n_clusters, seed=42, maxIter=20).fit(ml_input)
+        assigned = model.transform(ml_input).select(
+            self.id_col, "v", F.col("prediction").alias("bucket")
+        )
+        centers = self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "bucket int, center array<double>",
+        )
+        centers.coalesce(1).write.mode("overwrite").parquet(self.path + "/centroids")
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("bucket")
+            .option("compression", "zstd")
+            .parquet(self.path + "/lists")
+        )
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "/centroids")
+
+    def append(self, emb: DataFrame) -> None:
+        """Admit new vectors under the existing quantizer (no refit)."""
+        assigned = self._assign(self._normed(emb), self.centroids())
+        (
+            assigned.write.mode("append")
+            .partitionBy("bucket")
+            .option("compression", "zstd")
+            .parquet(self.path + "/lists")
+        )
+
+    def probe(self, queries: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
+        """Exact-cosine top-k over the ``nprobe`` nearest inverted
+        lists per query. The probed bucket set (≤ nprobe × |queries|,
+        bounded by n_clusters) is collected so the lists scan carries
+        a LITERAL partition filter — the documented pruning contract.
+        """
+        q = self._normed(queries)
+        d2 = F.aggregate(
+            F.zip_with("vn", "center", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wp = Window.partitionBy(self.id_col).orderBy(
+            F.col("_d2").asc(), F.col("bucket").asc()
+        )
+        probed = (
+            q.crossJoin(F.broadcast(self.centroids()))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(wp))
+            .where(F.col("_rn") <= nprobe)
+            .select(F.col(self.id_col).alias("q_id"), F.col("v").alias("q_v"), "bucket")
+        )
+        # bounded driver collect: distinct probed buckets <= n_clusters
+        buckets = sorted({r["bucket"] for r in probed.select("bucket").distinct().collect()})
+        lists = (
+            self.spark.read.parquet(self.path + "/lists")
+            .where(F.col("bucket").isin(buckets))
+            .select(F.col(self.id_col).alias("c_id"), F.col("v").alias("c_v"), "bucket")
+        )
+        pairs = (
+            probed.join(lists, "bucket")
+            .where(F.col("q_id") != F.col("c_id"))
+            .dropDuplicates(["q_id", "c_id"])
+        )
+        scored = pairs.select(
+            "q_id", "c_id", F.round(cosine(F.col("q_v"), F.col("c_v")), 4).alias("cos")
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("q_id", "rnk", "c_id", F.col("cos").alias("cosine"))
+        )

@@ -70,6 +70,27 @@ def x_cosine_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("x_ivf_index_probe", ids=("X6",), sql=None)
+def x_ivf_index_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted IVF index, build-once/probe-many (the production ANN
+    serving shape): centroids + bucket-partitioned inverted lists on
+    disk; the probe reads ONLY its nprobe buckets via a literal
+    partition filter — parquet partition pruning is the inverted-list
+    seek. Rows-only (seeded KMeans quantizer); recall + pruning are
+    property-tested (tests/test_ext.py)."""
+    import os as _os
+
+    from dvmax_spark.ext.similarity import IVFIndex
+
+    emb = load_table(spark, "embeddings", sf)
+    path = f"/tmp/dvmax_ivfidx_{_os.getpid()}_{abs(hash(sf)) % 10**8}"
+    idx = IVFIndex(spark, path, n_clusters=8)
+    idx.build(emb)
+    return idx.probe(emb.where(F.col("vec_id") < 10), k=3, nprobe=2).orderBy(
+        "q_id", "rnk"
+    )
+
+
 @query(
     "x_bpe_token_count",
     ids=("X7",),

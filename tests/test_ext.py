@@ -764,3 +764,44 @@ def test_gopher_rules_routing_and_edge_cases(spark):
     assert out[4]["alpha_ppm"] == 2 * 1_000_000 // 20
     for r in out.values():
         assert r["keep"] == (r["reason"] == "ok")
+
+
+def test_ivf_index_probe_matches_per_query_ivf(spark, emb, tmp_path):
+    """The persisted index must return EXACTLY what the per-query IVF
+    computes under the same quantizer (seeded KMeans on the same data
+    -> same centroids), and its lists scan must carry a literal
+    partition filter — partition pruning IS the inverted-list seek."""
+    from dvmax_spark.ext.similarity import IVFIndex, cosine_topk_ivf
+
+    idx = IVFIndex(spark, str(tmp_path / "ivf"), n_clusters=8)
+    idx.build(emb)
+    q = emb.where(F.col("vec_id") < 10)
+    got = idx.probe(q, k=3, nprobe=2)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln and "IN" in ln for ln in scans), scans
+    want = cosine_topk_ivf(emb, range(10), k=3, n_clusters=8, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_index_append_finds_new_vectors(spark, tmp_path):
+    """Append admits vectors under the EXISTING quantizer: a vector
+    appended as a near-copy of a query must surface at rank 1 with
+    cosine ~1 even though it was not in the build set."""
+    import numpy as np
+
+    from dvmax_spark.ext.similarity import IVFIndex
+
+    rng = np.random.default_rng(11)
+    base = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(100)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    idx = IVFIndex(spark, str(tmp_path / "ivf2"), n_clusters=4)
+    idx.build(emb)
+    # near-copy of vec 5 (scaled: same direction, cosine 1.0)
+    copy = [(1005, [2.0 * x for x in base[5][1]])]
+    idx.append(spark.createDataFrame(copy, "vec_id long, embedding array<double>"))
+    out = idx.probe(emb.where(F.col("vec_id") == 5), k=1, nprobe=1).collect()
+    assert len(out) == 1
+    assert out[0]["c_id"] == 1005 and out[0]["cosine"] >= 0.9999
