@@ -555,8 +555,11 @@ class IVFIndex:
             .select(self.id_col, "v", "bucket")
         )
 
-    def build(self, emb: DataFrame) -> None:
-        """Fit the coarse quantizer and write centroids + lists."""
+    def build(self, emb: DataFrame, batch_key: int | str | None = None) -> None:
+        """Fit the coarse quantizer and write centroids + lists.
+
+        Pass ``batch_key`` iff subsequent appends will use batch keys
+        (one consistent partition-directory depth per index)."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -571,9 +574,12 @@ class IVFIndex:
             "bucket int, center array<double>",
         )
         centers.coalesce(1).write.mode("overwrite").parquet(self.path + "/centroids")
+        part_cols = ["bucket"] if batch_key is None else ["ingest_batch", "bucket"]
+        if batch_key is not None:
+            assigned = assigned.withColumn("ingest_batch", F.lit(str(batch_key)))
         (
             assigned.write.mode("overwrite")
-            .partitionBy("bucket")
+            .partitionBy(*part_cols)
             .option("compression", "zstd")
             .parquet(self.path + "/lists")
         )
@@ -581,15 +587,36 @@ class IVFIndex:
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.path + "/centroids")
 
-    def append(self, emb: DataFrame) -> None:
-        """Admit new vectors under the existing quantizer (no refit)."""
+    def append(self, emb: DataFrame, batch_key: int | str | None = None) -> None:
+        """Admit new vectors under the existing quantizer (no refit).
+
+        ``batch_key`` (streaming / replayable ingest) switches the
+        lists layout to ``ingest_batch=<key>/bucket=<b>`` and makes
+        the write an IDEMPOTENT dynamic partition overwrite — a
+        replayed batch rewrites its own partitions instead of
+        appending a second copy (the same crash-replay contract as
+        MinHashIndex.append). Without it, replaying an append
+        duplicates list entries. A given index must be written
+        consistently (always with batch keys, or never): parquet
+        partition discovery requires one directory depth, so ``build``
+        takes the same ``batch_key`` mode."""
         assigned = self._assign(self._normed(emb), self.centroids())
-        (
-            assigned.write.mode("append")
-            .partitionBy("bucket")
-            .option("compression", "zstd")
-            .parquet(self.path + "/lists")
-        )
+        if batch_key is None:
+            (
+                assigned.write.mode("append")
+                .partitionBy("bucket")
+                .option("compression", "zstd")
+                .parquet(self.path + "/lists")
+            )
+        else:
+            (
+                assigned.withColumn("ingest_batch", F.lit(str(batch_key)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch", "bucket")
+                .option("compression", "zstd")
+                .parquet(self.path + "/lists")
+            )
 
     def probe(self, queries: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
         """Exact-cosine top-k over the ``nprobe`` nearest inverted
@@ -615,6 +642,10 @@ class IVFIndex:
         )
         # bounded driver collect: distinct probed buckets <= n_clusters
         buckets = sorted({r["bucket"] for r in probed.select("bucket").distinct().collect()})
+        if not buckets:  # empty query set: empty result, correct schema
+            return self.spark.createDataFrame(
+                [], "q_id bigint, rnk int, c_id bigint, cosine double"
+            )
         lists = (
             self.spark.read.parquet(self.path + "/lists")
             .where(F.col("bucket").isin(buckets))

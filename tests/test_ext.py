@@ -805,3 +805,31 @@ def test_ivf_index_append_finds_new_vectors(spark, tmp_path):
     out = idx.probe(emb.where(F.col("vec_id") == 5), k=1, nprobe=1).collect()
     assert len(out) == 1
     assert out[0]["c_id"] == 1005 and out[0]["cosine"] >= 0.9999
+
+
+def test_ivf_index_batch_append_is_replay_idempotent(spark, tmp_path):
+    """Batch-keyed appends are dynamic partition overwrites: replaying
+    the same batch (crash-recovery) must NOT duplicate list entries —
+    and a probe over an empty query set returns an empty frame with
+    the contract schema instead of an isin([]) analysis error."""
+    import numpy as np
+
+    from dvmax_spark.ext.similarity import IVFIndex
+
+    rng = np.random.default_rng(3)
+    mk = lambda ids: spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    emb = mk(range(60))
+    idx = IVFIndex(spark, str(tmp_path / "ivf3"), n_clusters=4)
+    idx.build(emb, batch_key=0)
+    batch = mk(range(100, 120))
+    idx.append(batch, batch_key=1)
+    n_once = spark.read.parquet(str(tmp_path / "ivf3" / "lists")).count()
+    idx.append(batch, batch_key=1)  # replay
+    n_twice = spark.read.parquet(str(tmp_path / "ivf3" / "lists")).count()
+    assert n_once == n_twice == 80
+    empty = idx.probe(emb.where(F.col("vec_id") < 0), k=3, nprobe=2)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["q_id", "rnk", "c_id", "cosine"]
