@@ -91,6 +91,71 @@ def x_ivf_index_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("t_stream_ivf", ids=("X6", "T3"), sql=None)
+def t_stream_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ANN-index maintenance, run for real: half the
+    embeddings build the persisted IVF index; the other half arrives
+    as 2 micro-batches through stream_into_ivf (batch-keyed dynamic
+    partition overwrites — replay-idempotent, monotone-guarded). The
+    probe then runs over the streamed index. Rows-only (seeded KMeans
+    quantizer); batch-equivalence vs an all-at-once append is pinned
+    by tests/test_streaming.py."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from dvmax_spark.ext.similarity import IVFIndex
+    from dvmax_spark.streaming.ingest import stream_into_ivf
+
+    emb = load_table(spark, "embeddings", sf)
+    n = emb.count()
+    half = n // 2
+    run_id = _uuid.uuid4().hex[:10]
+    base = _os.path.join(_tf.gettempdir(), f"dvmax_ivf_stream_{_os.getpid()}_{run_id}")
+    in_dir = _os.path.join(base, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    later = emb.where(F.col("vec_id") >= half)
+    now = None
+    for i, (lo_ok, hi_ok) in enumerate(((True, False), (False, True))):
+        mid = half + (n - half) // 2
+        cond = (F.col("vec_id") < mid) if lo_ok else (F.col("vec_id") >= mid)
+        p = _os.path.join(in_dir, f"slice_{i}")
+        later.where(cond).coalesce(1).write.mode("overwrite").parquet(p)
+        part = next(
+            f for f in _os.listdir(p) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = _os.path.join(in_dir, f"{i:03d}.parquet")
+        _os.replace(_os.path.join(p, part), dst)
+        if now is None:
+            now = _os.stat(dst).st_mtime
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(p, ignore_errors=True)
+    idx = IVFIndex(spark, _os.path.join(base, "idx"), n_clusters=8)
+    idx.build(emb.where(F.col("vec_id") < half), batch_key="base")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_into_ivf(
+            stream, idx, checkpoint_dir=_os.path.join(base, "ckpt"),
+            query_name=f"ivf_{run_id}",
+        )
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return idx.probe(emb.where(F.col("vec_id") < 10), k=3, nprobe=2).orderBy(
+        "q_id", "rnk"
+    )
+
+
 @query(
     "x_bpe_token_count",
     ids=("X7",),

@@ -190,3 +190,68 @@ def stream_into_sketches(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_ivf(
+    stream_df: DataFrame,
+    index,
+    checkpoint_dir: str,
+    query_name: str = "ivf_ingest",
+    available_now: bool = True,
+):
+    """Maintain a persisted :class:`~dvmax_spark.ext.similarity.IVFIndex`
+    from an embedding stream: each micro-batch is assigned under the
+    EXISTING quantizer and admitted via the index's batch-keyed append
+    — a dynamic partition overwrite of ``ingest_batch=s<id>/bucket=<b>``,
+    so foreachBatch's replay-of-the-last-batch rewrites its own
+    partitions byte-stably. No marker file is needed: the write itself
+    is idempotent (the streaming-dedup-ingest contract, not the
+    sketch sink's merge-marker one, because appends don't read-modify-
+    write prior state).
+
+    The index must have been built with a batch key (one consistent
+    partition-directory depth; ``IVFIndex.build(emb, batch_key="base")``).
+
+    Guard (the join-MV counter trap): micro-batch ids restart at 0
+    with a FRESH checkpoint, and a dynamic overwrite under a reused
+    key would silently replace an earlier run's partitions with
+    different vectors. Batch ids must therefore be monotone vs the
+    stream keys already in the index — replaying the NEWEST committed
+    batch is legal (that is exactly the crash-replay case), anything
+    older raises instead of corrupting the lists.
+    """
+    import os
+
+    def _max_stream_key(path: str) -> int | None:
+        try:
+            keys = [
+                int(d.split("=s", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith("ingest_batch=s")
+            ]
+            return max(keys) if keys else None
+        except (OSError, ValueError):
+            return None
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prev = _max_stream_key(index.path + "/lists")
+        if prev is not None and batch_id < prev:
+            raise ValueError(
+                f"stream_into_ivf: micro-batch {batch_id} is older than the "
+                f"newest committed stream batch s{prev} — a fresh checkpoint "
+                "against an already-written index would overwrite committed "
+                "list partitions. Use one checkpoint per index lifetime, or "
+                "rebuild the index."
+            )
+        index.append(batch_df, batch_key=f"s{batch_id}")
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

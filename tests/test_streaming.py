@@ -447,3 +447,76 @@ def test_stream_decontam_fresh_checkpoint_replay_is_idempotent(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(os.path.join(base, "quar")).collect()
     )
     assert (clean2, quar2) == (clean1, quar1)
+
+
+def test_stream_into_ivf_matches_batch_appends(spark, tmp_path):
+    """Streaming embedding ingest into the persisted IVF index: after
+    draining the stream, probes must equal a batch-built index holding
+    the same vectors; and a stale micro-batch id (fresh-checkpoint
+    restart against a written index) must refuse rather than overwrite
+    committed list partitions."""
+    import numpy as np
+
+    from dvmax_spark.ext.similarity import IVFIndex
+    from dvmax_spark.streaming.ingest import stream_into_ivf
+
+    rng = np.random.default_rng(17)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(90)]
+    base = spark.createDataFrame(vecs[:40], "vec_id long, embedding array<double>")
+    later = vecs[40:]
+
+    # stream side: base build + 2 staged slices drained via readStream
+    s_idx = IVFIndex(spark, str(tmp_path / "s_idx"), n_clusters=4)
+    s_idx.build(base, batch_key="base")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = None
+    for i, sl in enumerate([later[:25], later[25:]]):
+        pdf = spark.createDataFrame(sl, "vec_id long, embedding array<double>").toPandas()
+        dst = os.path.join(in_dir, f"{i:03d}.parquet")
+        pdf.to_parquet(dst)
+        if now is None:
+            now = os.stat(dst).st_mtime
+        os.utime(dst, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_into_ivf(stream, s_idx, checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # batch side: same quantizer (same seed + same build data), same rows
+    b_idx = IVFIndex(spark, str(tmp_path / "b_idx"), n_clusters=4)
+    b_idx.build(base, batch_key="base")
+    b_idx.append(
+        spark.createDataFrame(later, "vec_id long, embedding array<double>"),
+        batch_key="s0",
+    )
+    queries = base.where(F.col("vec_id") < 8)
+    got = sorted(map(tuple, s_idx.probe(queries, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, b_idx.probe(queries, k=3, nprobe=2).collect()))
+    assert got == want and len(got) == 24
+
+    # fresh-checkpoint restart against the written index: micro-batch
+    # ids restart at 0 < committed s1 — the guard must refuse instead
+    # of overwriting committed list partitions
+    with pytest.raises(Exception, match="older than the newest"):
+        stream2 = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q2 = stream_into_ivf(stream2, s_idx, checkpoint_dir=str(tmp_path / "ckpt2"))
+        try:
+            q2.awaitTermination(120)
+            if q2.exception() is not None:
+                raise RuntimeError(q2.exception().desc)
+        finally:
+            q2.stop()
