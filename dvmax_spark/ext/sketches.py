@@ -142,3 +142,133 @@ def audience_overlap(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
             "est_a_minus_b"
         ),
     ).orderBy("grp_a", "grp_b")
+
+
+# ----------------------------------------------------- count-min sketch
+
+def _cms_hash(key: Column, row: int, width: int) -> Column:
+    """Portable md5-derived bucket for hash row ``row`` — engine-
+    independent (same construction as dedup's _portable_hash), so the
+    whole sketch has an exact SQL twin."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit(f"{row}:"), key.cast("string")), "utf-8")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_table(df: DataFrame, key_col: str, width: int = 64, depth: int = 4) -> DataFrame:
+    """Count-Min sketch of key OCCURRENCES: ``depth`` independent hash
+    rows × ``width`` counters (row, col, counter).
+
+    Unlike HLL/KLL/theta, CMS counters are plain SUMS — the sketch is
+    merge-invariant under ANY partitioning or partial aggregation, so
+    it is exactly deterministic and carries a value-exact DuckDB
+    oracle (the rest of the sketch family is error-band tested
+    instead). Scale shape: exact per-key partial counts first (one
+    hash-agg — the explode to depth rows happens on the |keys|-sized
+    aggregate, not the event stream), then a (row, col) re-aggregate
+    into depth×width cells; estimates never underestimate
+    (est >= true count, property-tested)."""
+    per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    rows = [
+        per.select(
+            F.lit(j).alias("row"),
+            _cms_hash(F.col(key_col), j, width).alias("col"),
+            F.col("n"),
+        )
+        for j in range(depth)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionAll(r)
+    return u.groupBy("row", "col").agg(F.sum("n").cast("long").alias("counter"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Top-``k`` exact heavy hitters with their CMS ESTIMATES — the
+    standard sketch-accuracy report (est = min over rows of the probed
+    counter; overest = est - true >= 0 always)."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col(key_col).asc())
+    top = per.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+    cms = cms_table(df, key_col, width, depth)
+    probes = None
+    for j in range(depth):
+        p = top.select(
+            key_col,
+            "n_events",
+            F.lit(j).alias("row"),
+            _cms_hash(F.col(key_col), j, width).alias("col"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    est = (
+        probes.join(F.broadcast(cms), ["row", "col"])
+        .groupBy(key_col, "n_events")
+        .agg(F.min("counter").alias("est"))
+    )
+    return est.select(
+        key_col,
+        "n_events",
+        "est",
+        (F.col("est") - F.col("n_events")).alias("overest"),
+    ).orderBy(F.col("n_events").desc(), F.col(key_col).asc())
+
+
+def cms_heavy_hitters_sql(
+    key_col: str = "user_id",
+    table: str = "events",
+    k: int = 10,
+    width: int = 64,
+    depth: int = 4,
+) -> str:
+    def h(j: int, key: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{j}:' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+            f" % {width})"
+        )
+
+    rows_sql = " UNION ALL ".join(
+        f"SELECT {j} AS row, {h(j, key_col)} AS col, n FROM per" for j in range(depth)
+    )
+    probes_sql = " UNION ALL ".join(
+        f"SELECT {key_col}, n_events, {j} AS row, {h(j, key_col)} AS col FROM top"
+        for j in range(depth)
+    )
+    return f"""
+    WITH per AS (
+      SELECT {key_col}, count(*) AS n FROM {table} GROUP BY {key_col}
+    ),
+    cells AS ({rows_sql}),
+    cms AS (
+      SELECT row, col, CAST(sum(n) AS BIGINT) AS counter
+      FROM cells GROUP BY row, col
+    ),
+    top AS (
+      SELECT {key_col}, CAST(n AS BIGINT) AS n_events
+      FROM per ORDER BY n DESC, {key_col} ASC LIMIT {k}
+    ),
+    probes AS ({probes_sql}),
+    est AS (
+      SELECT p.{key_col}, p.n_events, min(c.counter) AS est
+      FROM probes p JOIN cms c USING (row, col)
+      GROUP BY p.{key_col}, p.n_events
+    )
+    SELECT {key_col}, n_events, est, est - n_events AS overest
+    FROM est ORDER BY n_events DESC, {key_col} ASC
+    """

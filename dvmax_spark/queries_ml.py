@@ -348,6 +348,26 @@ def a_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "a_cms_heavy_hitters",
+    ids=("A10", "A1"),
+    sql=__import__("dvmax_spark.ext.sketches", fromlist=["cms_heavy_hitters_sql"]).cms_heavy_hitters_sql(
+        key_col="user_id", table="events", k=10, width=64, depth=4
+    ),
+)
+def a_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: top-10 exact users with their
+    CMS estimates and overestimate. CMS counters are SUMS, so the
+    sketch is merge-invariant and — uniquely in the sketch family —
+    carries an exact md5-portable DuckDB oracle (HLL/KLL/theta are
+    error-band tested instead). Never underestimates by construction
+    (overest >= 0, also property-tested)."""
+    from dvmax_spark.ext.sketches import cms_heavy_hitters
+
+    ev = load_table(spark, "events", sf)
+    return cms_heavy_hitters(ev, "user_id", k=10, width=64, depth=4)
+
+
 @query("a_kll_quantile_rollup", ids=("A5", "A10"), sql=None)
 def a_kll_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable KLL quantile sketches (ext/sketches.py) with the full

@@ -833,3 +833,39 @@ def test_ivf_index_batch_append_is_replay_idempotent(spark, tmp_path):
     empty = idx.probe(emb.where(F.col("vec_id") < 0), k=3, nprobe=2)
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["q_id", "rnk", "c_id", "cosine"]
+
+
+def test_cms_never_underestimates_and_merges_exactly(spark):
+    """Count-Min guarantees: (1) est >= true count for EVERY key (not
+    just the reported top-k); (2) sketches of disjoint halves merged
+    by cell-sum equal the whole-stream sketch — the merge-invariance
+    that makes CMS exactly deterministic at any partitioning."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.sketches import cms_table, _cms_hash
+
+    ev = load_table(spark, "events", SF)
+    cms = cms_table(ev, "user_id", width=64, depth=4)
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    probes = None
+    for j in range(4):
+        p = per.select(
+            "user_id", "n", F.lit(j).alias("row"),
+            _cms_hash(F.col("user_id"), j, 64).alias("col"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    est = (
+        probes.join(cms, ["row", "col"])
+        .groupBy("user_id", "n")
+        .agg(F.min("counter").alias("est"))
+    )
+    bad = est.where(F.col("est") < F.col("n")).count()
+    assert bad == 0
+    # merge invariance
+    h1 = cms_table(ev.where(F.col("event_id") % 2 == 0), "user_id", 64, 4)
+    h2 = cms_table(ev.where(F.col("event_id") % 2 == 1), "user_id", 64, 4)
+    merged = (
+        h1.unionAll(h2).groupBy("row", "col").agg(F.sum("counter").alias("counter"))
+    )
+    full = {(r["row"], r["col"]): r["counter"] for r in cms.collect()}
+    got = {(r["row"], r["col"]): r["counter"] for r in merged.collect()}
+    assert got == full
