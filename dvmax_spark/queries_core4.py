@@ -1931,3 +1931,120 @@ def j_fuzzy_edit1_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
     return edit1_pairs(cust).orderBy("id_a", "id_b")
+
+
+@query(
+    "x_er_golden_record",
+    ids=("X17", "J6", "A2"),
+    sql="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+       AND a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node AS c_custkey, min(src) AS cluster_id FROM reach GROUP BY node
+    ),
+    sized AS (
+      SELECT c.cluster_id, cu.c_custkey, cu.c_name, cu.c_acctbal,
+             count(*) OVER (PARTITION BY c.cluster_id) AS sz
+      FROM customer cu JOIN comp c USING (c_custkey)
+    ),
+    multi AS (SELECT * FROM sized WHERE sz >= 2),
+    agg AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             round(sum(c_acctbal), 2) AS total_acctbal
+      FROM multi GROUP BY cluster_id
+    ),
+    g AS (
+      SELECT cluster_id, c_custkey AS golden_id, c_name AS golden_name
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cluster_id
+          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM multi
+      ) WHERE rn = 1
+    )
+    SELECT a.cluster_id, a.n_members, g.golden_id, g.golden_name, a.total_acctbal
+    FROM agg a JOIN g USING (cluster_id) ORDER BY a.cluster_id
+    """,
+)
+def x_er_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution END-TO-END: fuzzy edit-1 name pairs (SymSpell
+    deletion blocking — never the n² matrix) → connected components
+    (the dedup_clusters min-label propagation, reused verbatim on a
+    different entity) → GOLDEN-RECORD merge per multi-member cluster
+    (survivorship: highest-balance member donates the name, balances
+    sum). The oracle brute-forces pairs + recursive reachability —
+    value-exact, proving blocking+propagation lose nothing. The
+    deletion-blocked candidate set joins the (tiny) attribute table
+    twice — at 100 TB both are broadcast lookups against the
+    candidate stream."""
+    from dvmax_spark.ext.dedup import dedup_clusters
+    from dvmax_spark.ext.entity import edit1_pairs
+
+    cust = load_table(spark, "customer", sf).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"
+    )
+    # name-similarity candidates, then structured-attribute agreement
+    # (nation + segment) — the classic two-stage ER match rule; without
+    # it the sequential synthetic names chain into one giant component
+    cand = edit1_pairs(
+        cust.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    ).select("id_a", "id_b")
+    attrs = cust.select("c_custkey", "c_nationkey", "c_mktsegment")
+    pairs = (
+        cand.join(
+            attrs.select(
+                F.col("c_custkey").alias("id_a"),
+                F.col("c_nationkey").alias("_na"),
+                F.col("c_mktsegment").alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            attrs.select(
+                F.col("c_custkey").alias("id_b"),
+                F.col("c_nationkey").alias("_nb"),
+                F.col("c_mktsegment").alias("_sb"),
+            ),
+            "id_b",
+        )
+        .where((F.col("_na") == F.col("_nb")) & (F.col("_sa") == F.col("_sb")))
+        .select("id_a", "id_b")
+    )
+    cl = dedup_clusters(cust, pairs, id_col="c_custkey")
+    multi = cl.where(F.col("cluster_size") >= 2).select("c_custkey", "cluster_id")
+    j = multi.join(cust, "c_custkey")
+    agg = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    g = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("c_custkey").alias("golden_id"),
+            F.col("c_name").alias("golden_name"),
+        )
+    )
+    return (
+        agg.join(g, "cluster_id")
+        .select("cluster_id", "n_members", "golden_id", "golden_name", "total_acctbal")
+        .orderBy("cluster_id")
+    )
