@@ -202,11 +202,11 @@ def cms_heavy_hitters(
     """Top-``k`` exact heavy hitters with their CMS ESTIMATES — the
     standard sketch-accuracy report (est = min over rows of the probed
     counter; overest = est - true >= 0 always)."""
-    from pyspark.sql import Window
-
     per = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    w = Window.orderBy(F.col("n_events").desc(), F.col(key_col).asc())
-    top = per.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+    # distributed top-k (TakeOrderedAndProject with a collision-free
+    # tie-break), NOT an unpartitioned row_number window — the window
+    # form funnels every key through one partition at scale
+    top = per.orderBy(F.col("n_events").desc(), F.col(key_col).asc()).limit(k)
     cms = cms_table(df, key_col, width, depth)
     probes = None
     for j in range(depth):
