@@ -100,6 +100,24 @@ def main() -> None:
     t_clusters = time.perf_counter() - t0
     print(f"dedup_clusters: {n_clustered:,} non-root members in {t_clusters:.1f} s")
 
+    # --- ExactSubstr-style span removal over the same corpus (the
+    # newest heavy operator): uncapped, then with the hot-gram cap
+    from dvmax_spark.ext.retrieval import span_dedup_clean
+
+    for label, cap in (("uncapped", None), (f"max_doc_freq={CAP}", CAP)):
+        t0 = time.perf_counter()
+        cleaned = span_dedup_clean(docs, n=8, max_doc_freq=cap)
+        agg = cleaned.agg(
+            F.sum("n_removed").alias("rm"),
+            F.sum("n_tokens").alias("tot"),
+            F.sum(F.when(F.col("clean_len") == 0, 1).otherwise(0)).alias("wiped"),
+        ).collect()[0]
+        t_clean = time.perf_counter() - t0
+        print(
+            f"span_dedup_clean[{label}]: removed {agg.rm:,}/{agg.tot:,} tokens, "
+            f"{agg.wiped:,} docs fully wiped in {t_clean:.1f} s"
+        )
+
     # --- streaming greedy ingest (4 micro-batches of 25k)
     import shutil
     import tempfile
