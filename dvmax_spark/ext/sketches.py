@@ -198,16 +198,22 @@ def cms_heavy_hitters(
     k: int = 10,
     width: int = 64,
     depth: int = 4,
+    cms: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` exact heavy hitters with their CMS ESTIMATES — the
     standard sketch-accuracy report (est = min over rows of the probed
-    counter; overest = est - true >= 0 always)."""
+    counter; overest = est - true >= 0 always). Pass ``cms`` to probe
+    a PREBUILT sketch table (e.g. one maintained from a stream by
+    stream_into_cms) instead of sketching ``df`` — merge-invariance
+    makes the two byte-identical, which t_stream_cms proves against
+    the same exact oracle."""
     per = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     # distributed top-k (TakeOrderedAndProject with a collision-free
     # tie-break), NOT an unpartitioned row_number window — the window
     # form funnels every key through one partition at scale
     top = per.orderBy(F.col("n_events").desc(), F.col(key_col).asc()).limit(k)
-    cms = cms_table(df, key_col, width, depth)
+    if cms is None:
+        cms = cms_table(df, key_col, width, depth)
     probes = None
     for j in range(depth):
         p = top.select(

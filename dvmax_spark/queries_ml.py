@@ -157,6 +157,79 @@ def t_stream_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "t_stream_cms",
+    ids=("A10", "T1", "S3"),
+    sql=__import__("dvmax_spark.ext.sketches", fromlist=["cms_heavy_hitters_sql"]).cms_heavy_hitters_sql(
+        key_col="user_id", table="events", k=10, width=64, depth=4
+    ),
+)
+def t_stream_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING frequency sketch, run for real: events arrive as 3
+    time-ordered micro-batches; foreachBatch sums each batch's CMS
+    cells into the persisted store exactly-once (in-swap _meta
+    marker). The heavy-hitter report then probes the STREAMED sketch
+    — and hash-matches the BATCH path's exact oracle, because CMS
+    cells are sums and therefore merge-invariant across any batch
+    slicing. A streaming query with a value-exact SQL oracle."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+
+    from dvmax_spark.ext.sketches import cms_heavy_hitters
+    from dvmax_spark.streaming.ingest import stream_into_cms
+
+    ev = load_table(spark, "events", sf).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+    )
+    run_id = _uuid.uuid4().hex[:10]
+    base = _os.path.join(_tf.gettempdir(), f"dvmax_cms_stream_{_os.getpid()}_{run_id}")
+    in_dir = _os.path.join(base, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    staged = ev.withColumn("_b", F.ntile(3).over(_W.orderBy("ts", "event_id")))
+    now = None
+    for i in (1, 2, 3):
+        p = _os.path.join(in_dir, f"slice_{i}")
+        staged.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        part = next(
+            f for f in _os.listdir(p) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = _os.path.join(in_dir, f"{i:03d}.parquet")
+        _os.replace(_os.path.join(p, part), dst)
+        if now is None:
+            now = _os.stat(dst).st_mtime
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(p, ignore_errors=True)
+    cms_path = _os.path.join(base, "cms")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_into_cms(
+            stream, cms_path, "user_id", width=64, depth=4,
+            checkpoint_dir=_os.path.join(base, "ckpt"),
+            query_name=f"cms_{run_id}",
+        )
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    streamed_cms = spark.read.parquet(cms_path)
+    full = load_table(spark, "events", sf)
+    return cms_heavy_hitters(full, "user_id", k=10, width=64, depth=4, cms=streamed_cms)
+
+
+@query(
     "x_bpe_token_count",
     ids=("X7",),
     sql="""

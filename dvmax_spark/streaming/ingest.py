@@ -255,3 +255,77 @@ def stream_into_ivf(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_cms(
+    stream_df: DataFrame,
+    path: str,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+    checkpoint_dir: str | None = None,
+    query_name: str = "cms_ingest",
+    available_now: bool = True,
+):
+    """Maintain a persisted Count-Min sketch table from a stream: each
+    micro-batch's (row, col) cell counts SUM into the store — a
+    streaming FREQUENCY materialized view next to the HLL distinct
+    one (stream_into_sketches). Because CMS cells are plain sums, the
+    streamed table is BYTE-IDENTICAL to a batch sketch of the same
+    rows (merge-invariance) — t_stream_cms proves it against the
+    batch path's exact SQL oracle.
+
+    Exactly-once: cell summing is not idempotent under foreachBatch's
+    replay, so the applied batch id commits as ``_meta.json`` INSIDE
+    the staging dir — marker and data swap in the same atomic rename
+    (the stream_into_sketches contract), and a crashed promote heals
+    via fsops.recover_swap before the marker check.
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.ext.sketches import cms_table
+    from dvmax_spark.fsops import recover_swap, swap_dir
+
+    def _applied(batch_id: int) -> bool:
+        try:
+            with open(os.path.join(path, "_meta.json")) as fh:
+                return json.load(fh)["batch_id"] >= batch_id
+        except (OSError, ValueError, KeyError):
+            return False
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swap(path)
+        if _applied(batch_id) or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new = cms_table(batch_df, key_col, width, depth)
+        if os.path.isdir(path):
+            cur = spark.read.parquet(path)
+            merged = (
+                cur.unionByName(new)
+                .groupBy("row", "col")
+                .agg(F.sum("counter").cast("long").alias("counter"))
+            )
+        else:
+            merged = new
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        with open(os.path.join(staging, "_meta.json"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        retired = swap_dir(path, staging)
+        if retired:
+            shutil.rmtree(retired, ignore_errors=True)
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

