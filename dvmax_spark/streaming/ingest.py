@@ -280,6 +280,12 @@ def stream_into_cms(
     the staging dir — marker and data swap in the same atomic rename
     (the stream_into_sketches contract), and a crashed promote heals
     via fsops.recover_swap before the marker check.
+
+    Contract shared with the other marker sinks: ONE checkpoint per
+    store lifetime. A fresh checkpoint restarts micro-batch ids at 0,
+    and the ``>= batch_id`` marker test would then silently SKIP
+    genuinely-new early batches (the mirror image of the overwrite
+    trap the batch-keyed sinks guard against).
     """
     import json
     import os

@@ -499,3 +499,22 @@ def test_span_dedup_clean_plan_shape(spark):
     # would blow past it
     assert plan.count("hashpartitioning") <= 10, plan
     assert "LeftAnti" in plan and "LeftSemi" in plan, plan
+
+
+def test_cms_heavy_hitters_plan_shape(spark):
+    """CMS report: distributed top-k (TakeOrderedAndProject — never an
+    unpartitioned window), the depth×width sketch broadcast to the
+    probe join, zero Python."""
+    plan = _simple_plan(_q(spark, "a_cms_heavy_hitters"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_er_golden_record_no_cartesian(spark):
+    """Entity resolution must never build the n² name matrix: the plan
+    has no CartesianProduct/NestedLoop pair stage (deletion-neighborhood
+    blocking is an equi-join) and no Python."""
+    plan = _simple_plan(_q(spark, "x_er_golden_record"))
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
