@@ -1,0 +1,231 @@
+"""Distributed BPE tokenizer training + encoding.
+
+Implements the byte-pair-encoding subword algorithm of Sennrich et al.
+2016 ("Neural Machine Translation of Rare Words with Subword Units")
+as an iterative Spark job over the word-frequency dictionary — the
+natural extension of the single-iteration ``bpe_pair_counts`` op
+(ext/textstats.py:303) to a full tokenizer-training loop, something a
+training-data pipeline needs end-to-end (train merges -> encode corpus
+-> token-budget planning / sequence packing on REAL token counts).
+
+Scale shape (the Heaps-law trick, applied twice):
+
+* **Training never touches the corpus after pass 1.** The only
+  corpus-proportional work is the word-frequency aggregate (one
+  explode + partial hash-agg). Every merge iteration then runs over
+  the word DICT (Heaps-law sublinear in corpus size: ~10^8 rows for a
+  100 TB corpus — a small table by Spark standards), so 10k merges
+  over trillions of tokens stay feasible.
+* **Encoding segments DISTINCT words only**, then maps the corpus
+  through the (word -> tokens) dict with one equi-join. The fold that
+  applies merges runs dict-many times, not corpus-many times.
+* **The merge decision is inherently sequential** (each iteration's
+  argmax depends on the previous merge), so one 1-row collect per
+  iteration is the irreducible driver traffic — the same structure
+  every published distributed BPE trainer has. Everything else stays
+  on executors as Catalyst expressions: the leftmost-greedy merge is
+  a lazy ``CASE``-guarded ``aggregate()`` fold over the symbol array
+  (no Python, no UDFs), and the dict is ``localCheckpoint``-ed each
+  iteration so expression depth and lineage stay O(1) across
+  thousands of merges.
+
+Determinism: ties in the pair argmax break on (count desc, left asc,
+right asc); given the same corpus the merge list is bit-identical
+across runs and cluster layouts (counts are exact integers).
+
+Reference behavior anchor: the reference repo ships token-counting
+only (`tokens.py: count_tokens`, whitespace+punct heuristic); this
+module goes past it per the brief's training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["train_bpe", "bpe_encode", "merges_to_df", "word_symbol_dict"]
+
+
+def word_symbol_dict(
+    df: DataFrame, text_col: str = "text", eow: str = "</w>"
+) -> DataFrame:
+    """Pass 1: corpus -> word-frequency dict with initial symbol arrays.
+
+    One explode + one partial hash-aggregate — the ONLY
+    corpus-proportional stage in BPE training. Each word becomes its
+    per-character symbol array with the end-of-word marker appended as
+    a distinct final symbol (Sennrich's ``</w>``), so word-final
+    merges are learned separately from word-internal ones.
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    return wc.select(
+        "w",
+        "f",
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit(eow))).alias("symbols"),
+    )
+
+
+def _pair_counts(dict_df: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the symbol dict (overlap
+    counting, matching reference BPE trainers). Shuffles only the
+    dict-sized pair stream; partial aggregation applies."""
+    syms = F.col("symbols")
+    n = F.size(syms) - 1
+    pairs = F.zip_with(
+        F.slice(syms, 1, n),
+        F.slice(syms, 2, n),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        dict_df.where(F.size(syms) >= 2)
+        .select("f", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def _merge_fold(symbols: Column, left: str, right: str, merged: str) -> Column:
+    """Leftmost-greedy application of one merge (left,right)->merged to
+    a symbol array, as a pure Catalyst ``aggregate`` fold.
+
+    The fold appends each symbol unless the accumulator's last element
+    is ``left`` and the current symbol is ``right``, in which case the
+    pair collapses into ``merged``. Because the merged symbol differs
+    from ``left`` (concat of two non-empty strings), an element
+    produced by this merge can never immediately re-merge — exactly
+    the leftmost-greedy, non-overlapping semantics of reference BPE
+    (e.g. merge (a,a) turns ``a a a`` into ``aa a``).
+
+    ``CASE`` branches are lazy at runtime, so the array-rebuild slice
+    only evaluates on actual merges, and the whole fold is guarded by
+    an ``array_contains`` pre-check so untouched words (the vast
+    majority each iteration) skip it entirely.
+    """
+    l, r, m = F.lit(left), F.lit(right), F.lit(merged)
+
+    def step(acc: Column, s: Column) -> Column:
+        last = F.try_element_at(acc, F.lit(-1))
+        hit = last.isNotNull() & (last == l) & (s == r)
+        return F.when(
+            hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m))
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    folded = F.aggregate(symbols, F.array().cast("array<string>"), step)
+    return F.when(F.array_contains(symbols, left), folded).otherwise(symbols)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_count: int = 2,
+    eow: str = "</w>",
+) -> list[dict]:
+    """Learn ``num_merges`` BPE merges from a corpus.
+
+    Returns the ordered merge list
+    ``[{"rank", "left", "right", "merged", "cnt"}, ...]`` (stops early
+    when no pair reaches ``min_count``). The list is small by
+    construction (one row per merge) — it is the tokenizer artifact a
+    user persists and feeds to :func:`bpe_encode`.
+
+    Each iteration: dict-sized pair count -> 1-row argmax collect ->
+    Catalyst fold applying the merge -> eager ``localCheckpoint`` (the
+    dict is Heaps-law small, so re-materializing it per iteration is
+    cheap and keeps both lineage and codegen expression depth O(1)).
+    """
+    dict_df = word_symbol_dict(df, text_col, eow).localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for rank in range(num_merges):
+        top = (
+            _pair_counts(dict_df)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merged = left + right
+        merges.append(
+            {"rank": rank, "left": left, "right": right, "merged": merged, "cnt": cnt}
+        )
+        dict_df = dict_df.withColumn(
+            "symbols", _merge_fold(F.col("symbols"), left, right, merged)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def merges_to_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
+    """Materialize a learned merge list as a DataFrame
+    (rank, left, right, merged, cnt) — the persistable tokenizer
+    artifact."""
+    schema = "rank INT, left STRING, right STRING, merged STRING, cnt BIGINT"
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["cnt"]) for m in merges],
+        schema=schema,
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eow: str = "</w>",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Encode a corpus with a learned merge list: (id, tokens, n_tokens).
+
+    Scale shape: segmentation runs over DISTINCT words only (the
+    Heaps-law dict), applying each merge in rank order with the same
+    lazy Catalyst fold used in training; every ``checkpoint_every``
+    merges the dict is eagerly checkpointed so expression depth stays
+    bounded no matter how long the merge list is. The corpus then maps
+    word -> tokens with ONE equi-join on the word (AQE broadcasts the
+    dict when it is small; at 10^8-word scale it is a plain shuffle
+    join on an already-aggregated table) and per-doc token arrays are
+    rebuilt with an order-preserving ``array_sort`` on (position,
+    token-index) — no Python anywhere.
+
+    Tokens keep the ``eow`` marker on word-final symbols, matching the
+    training representation; downstream token counts are therefore
+    consistent with what the trained vocabulary would produce.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).where(F.col("w") != "")
+
+    dict_df = (
+        words.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.concat(F.split(F.col("w"), ""), F.array(F.lit(eow))).alias("symbols"),
+        )
+    )
+    for i, m in enumerate(sorted(merges, key=lambda x: x["rank"])):
+        dict_df = dict_df.withColumn(
+            "symbols", _merge_fold(F.col("symbols"), m["left"], m["right"], m["merged"])
+        )
+        if (i + 1) % checkpoint_every == 0:
+            dict_df = dict_df.localCheckpoint(eager=True)
+
+    per_word = words.join(dict_df, "w")
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("symbols").alias("toks")))
+            ).alias("ordered")
+        )
+        .select(
+            id_col,
+            F.flatten(F.col("ordered.toks")).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )

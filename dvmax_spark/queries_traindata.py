@@ -384,3 +384,49 @@ def t_stream_decontam(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- BPE trainer
+from dvmax_spark.ext.bpe import bpe_encode, merges_to_df, train_bpe
+
+
+@query("x_bpe_train", ids=("X7",), bench=True)
+def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Full distributed BPE tokenizer training (Sennrich et al. 2016):
+    12 merge iterations over the Heaps-law word dict — the iterative
+    completion of x_bpe_pair_counts' single inner-loop step. Rows-only
+    by design (iterative algorithm, SURVEY §2.12): the sequential
+    golden reference in tests/test_bpe.py must match the merge list
+    BIT-exactly, and determinism across partitionings is tested. The
+    corpus is touched once (word-count pass); every iteration is a
+    dict-sized pair count + a lazy Catalyst merge fold, checkpointed
+    so lineage stays O(1) at any merge count."""
+    docs = load_table(spark, "documents", sf)
+    return merges_to_df(spark, train_bpe(docs, num_merges=12)).orderBy("rank")
+
+
+@query("x_bpe_fertility", ids=("X7", "X8"))
+def x_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility audit: train 8 BPE merges, encode the corpus
+    (distinct-word segmentation + one equi-join back — ext/bpe.py's
+    Heaps-law encode path), and report per-source token totals and
+    chars-per-token compression. The metric a data-mixture owner
+    watches when a tokenizer change reprices every domain's token
+    budget. Rows-only by design (depends on the iterative trainer);
+    encode semantics are golden-tested in tests/test_bpe.py."""
+    docs = load_table(spark, "documents", sf)
+    merges = train_bpe(docs, num_merges=8)
+    enc = bpe_encode(docs, merges)
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(enc.select("doc_id", "n_tokens"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
