@@ -36,6 +36,21 @@ across runs and cluster layouts (counts are exact integers).
 Reference behavior anchor: the reference repo ships token-counting
 only (`tokens.py: count_tokens`, whitespace+punct heuristic); this
 module goes past it per the brief's training-data-pipeline mandate.
+
+Known caveats (standard for character-level BPE, documented rather
+than hidden):
+
+* **BMP-only character splitting.** Java's ``split("")`` yields UTF-16
+  code units, so astral-plane characters (emoji, rare CJK) split into
+  surrogate halves where a code-point tokenizer would keep one symbol.
+  The testdata is BMP-only (same caveat as ext/textstats.py's
+  ``bpe_pair_counts_sql``); a production deployment over astral text
+  would switch the initial split to grapheme clusters.
+* **Marker collision.** A merge chain can in principle assemble the
+  literal ``</w>`` string from mid-word ``< / w >`` characters, making
+  it indistinguishable from the end-of-word marker — the classic
+  Sennrich-representation caveat; pick a marker outside the corpus
+  alphabet if that matters.
 """
 
 from __future__ import annotations
@@ -43,7 +58,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["train_bpe", "bpe_encode", "merges_to_df", "word_symbol_dict"]
+__all__ = [
+    "train_bpe",
+    "bpe_encode",
+    "bpe_vocab",
+    "merges_to_df",
+    "word_symbol_dict",
+]
 
 
 def word_symbol_dict(
@@ -170,6 +191,45 @@ def merges_to_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
     )
 
 
+def _apply_merges(
+    dict_df: DataFrame, merges: list[dict], checkpoint_every: int
+) -> DataFrame:
+    """Apply a learned merge list in rank order to a (w, symbols, ...)
+    dict, eagerly checkpointing every ``checkpoint_every`` merges so
+    codegen expression depth and lineage stay bounded regardless of
+    merge-list length."""
+    for i, m in enumerate(sorted(merges, key=lambda x: x["rank"])):
+        dict_df = dict_df.withColumn(
+            "symbols", _merge_fold(F.col("symbols"), m["left"], m["right"], m["merged"])
+        )
+        if (i + 1) % checkpoint_every == 0:
+            dict_df = dict_df.localCheckpoint(eager=True)
+    return dict_df
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    eow: str = "</w>",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Final subword vocabulary after a merge list: (token, freq).
+
+    The third tokenizer artifact (merges -> segmented dict -> vocab):
+    re-derives the word dict, applies the merges (dict-sized work),
+    and sums word frequencies per surviving symbol. Deterministic
+    given the merge list; golden-tested against the sequential
+    reference in tests/test_bpe.py.
+    """
+    dict_df = _apply_merges(word_symbol_dict(df, text_col, eow), merges, checkpoint_every)
+    return (
+        dict_df.select("f", F.explode("symbols").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("f").alias("freq"))
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[dict],
@@ -200,20 +260,16 @@ def bpe_encode(
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
     ).where(F.col("w") != "")
 
-    dict_df = (
+    dict_df = _apply_merges(
         words.select("w")
         .distinct()
         .select(
             "w",
             F.concat(F.split(F.col("w"), ""), F.array(F.lit(eow))).alias("symbols"),
-        )
+        ),
+        merges,
+        checkpoint_every,
     )
-    for i, m in enumerate(sorted(merges, key=lambda x: x["rank"])):
-        dict_df = dict_df.withColumn(
-            "symbols", _merge_fold(F.col("symbols"), m["left"], m["right"], m["merged"])
-        )
-        if (i + 1) % checkpoint_every == 0:
-            dict_df = dict_df.localCheckpoint(eager=True)
 
     per_word = words.join(dict_df, "w")
     return (

@@ -617,3 +617,131 @@ def span_dedup_clean_sql(
     FROM t LEFT JOIN rebuilt r USING ({id_col})
     ORDER BY t.{id_col}
     """
+
+
+# ------------------------------------------------------------- collocations
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information (Church & Hanks 1990): PMI(a,b) =
+    log10(p(a,b) / (p(a)p(b))) with p from exact corpus counts —
+    the phrase-mining step before tokenizer/vocab decisions (which
+    bigrams deserve to become single tokens).
+
+    Plan shape: one corpus-proportional pass each for unigram and
+    bigram counts (explode -> partial hash-agg; bigrams pair
+    whole-array slices, never per-element lambdas). PMI math then runs
+    on the vocab-sized aggregates: two equi-joins to attach c_a/c_b
+    (AQE broadcasts the unigram side when small) and the two corpus
+    totals ride in as broadcast 1-row aggregates. Bigrams never cross
+    document boundaries. ``min_count`` keeps the noise floor out
+    BEFORE the joins, so the joined stream is the interesting tail
+    only.
+
+    Float policy (cross-engine): all counts stay exact integers; the
+    single ratio is computed in double with an identical association
+    order in the DuckDB twin (+,*,/ are bit-identical), log10 rounded
+    to 4 dp once, and ranking happens on the ROUNDED score with
+    (w1, w2) tie-break.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = df.select(ws.alias("ws"))
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    arr = F.col("ws")
+    n = F.size(arr) - 1
+    pairs = F.zip_with(
+        F.slice(arr, 1, n),
+        F.slice(arr, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        base.where(F.size(arr) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    n_big = big.agg(F.sum("c_ab").alias("n_big"))
+    scored = (
+        big.where(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+    )
+    num = (
+        F.col("c_ab").cast("double")
+        * F.col("n_tok").cast("double")
+        * F.col("n_tok").cast("double")
+    )
+    den = (
+        F.col("n_big").cast("double")
+        * F.col("c_a").cast("double")
+        * F.col("c_b").cast("double")
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(F.log10(num / den), 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def pmi_collocations_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations` — identical double
+    association order so +,*,/ stay bit-identical before the single
+    rounded log10."""
+    return f"""
+    WITH base AS (
+      SELECT list_filter(str_split({text_col}, ' '), w -> w <> '') AS ws
+      FROM {table}
+    ),
+    uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(ws) AS w FROM base) GROUP BY w
+    ),
+    big AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_ab
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS p
+        FROM base WHERE len(ws) >= 2
+      ) GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni
+    ),
+    btot AS (
+      SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM big
+    )
+    SELECT b.w1, b.w2, b.c_ab,
+           round(log10(
+             (CAST(b.c_ab AS DOUBLE) * CAST(t.n_tok AS DOUBLE)
+              * CAST(t.n_tok AS DOUBLE))
+             / (CAST(bt.n_big AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                * CAST(ub.c AS DOUBLE))), 4) AS pmi
+    FROM big b
+    JOIN uni ua ON ua.w = b.w1
+    JOIN uni ub ON ub.w = b.w2
+    CROSS JOIN tot t CROSS JOIN btot bt
+    WHERE b.c_ab >= {min_count}
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT {k}
+    """

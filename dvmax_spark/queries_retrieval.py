@@ -129,3 +129,16 @@ def x_block_dedup(spark: SparkSession, sf: str) -> DataFrame:
     an order of magnitude lighter at the same corpus and gates which
     docs the expensive gram pass ever sees."""
     return block_dedup_stats(load_table(spark, "documents", sf), w=16)
+
+
+from dvmax_spark.ext.retrieval import pmi_collocations, pmi_collocations_sql
+
+
+@query("x_pmi_collocations", ids=("X7", "X8"), sql=pmi_collocations_sql(min_count=5, k=50))
+def x_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-word collocation mining by PMI (Church & Hanks 1990):
+    which bigrams co-occur far above chance — the phrase-discovery
+    step feeding tokenizer vocab decisions (x_bpe_train's word-level
+    sibling). Exact integer counts; single rounded log10; ranking on
+    the rounded score with (w1, w2) tie-break."""
+    return pmi_collocations(load_table(spark, "documents", sf), min_count=5, k=50)

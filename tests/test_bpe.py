@@ -14,7 +14,13 @@ from collections import Counter
 import pytest
 from pyspark.sql import functions as F
 
-from dvmax_spark.ext.bpe import bpe_encode, merges_to_df, train_bpe, word_symbol_dict
+from dvmax_spark.ext.bpe import (
+    bpe_encode,
+    bpe_vocab,
+    merges_to_df,
+    train_bpe,
+    word_symbol_dict,
+)
 
 EOW = "</w>"
 
@@ -189,6 +195,23 @@ def test_empty_and_whitespace_docs(spark):
     # empty/whitespace docs contribute no words => absent from encode output
     assert 0 not in enc and 1 not in enc
     assert "".join(enc[2]).replace(EOW, " ").strip() == "hi hi hi"
+
+
+def test_vocab_matches_reference_and_encode_totals(spark, docs):
+    """bpe_vocab must equal the reference's token-frequency table, and
+    its total mass must equal the INDEPENDENT encode path's total
+    token count (dict aggregation vs join-back cross-check)."""
+    merges = train_bpe(docs, num_merges=8)
+    got = {r["token"]: r["freq"] for r in bpe_vocab(docs, merges).collect()}
+    want: Counter = Counter()
+    for t in CORPUS:
+        for tok in ref_encode(t, merges):
+            want[tok] += 1
+    assert got == dict(want)
+    total_enc = (
+        bpe_encode(docs, merges).agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+    )
+    assert sum(got.values()) == total_enc
 
 
 def test_merges_to_df_roundtrip(spark, docs):
