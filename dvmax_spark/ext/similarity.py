@@ -665,3 +665,94 @@ class IVFIndex:
             .where(F.col("rnk") <= k)
             .select("q_id", "rnk", "c_id", F.col("cos").alias("cosine"))
         )
+
+
+# ---------------------------------------------------------- hard negatives
+def hard_negatives(
+    emb: DataFrame,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training: for
+    each query vector, the top-``k`` most-similar candidates whose
+    label DIFFERS from the query's — the near-miss examples that teach
+    an embedding model its decision boundary (the in-batch-negatives
+    upgrade every dense-retriever recipe ships).
+
+    Same exact-cosine scale shape as cosine_topk_bruteforce: the
+    query side is a broadcast of a handful of rows, candidates stream
+    by once, norms are computed below the join, cosine is rounded to
+    4 dp BEFORE ranking with a candidate-id tie-break. At 100 TB the
+    label filter prunes candidate pairs before ranking; for mining
+    over MILLIONS of queries, swap the broadcast cross join for the
+    IVF/LSH bucket join (same downstream ranking), exactly as the
+    X5→X6 pair does.
+    """
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("hard_negatives needs at least one query id")
+    vecs = emb.select(
+        F.col(id_col), F.col(label_col), as_double(vec_col).alias("v")
+    )
+    q = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col("v").alias("q_v"),
+        norm(F.col("v")).alias("q_n"),
+    )
+    c = vecs.select(
+        F.col(id_col).alias("c_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col("v").alias("c_v"),
+        norm(F.col("v")).alias("c_n"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where((F.col("q_id") != F.col("c_id")) & (F.col("q_label") != F.col("neg_label")))
+    )
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        "neg_label",
+        F.round(
+            dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 4
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "rnk", "c_id", "neg_label", F.col("cos").alias("cosine"))
+    )
+
+
+def hard_negatives_sql(query_ids, k: int = 5, table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`hard_negatives` (list_cosine_similarity
+    matches the Spark dot/norm fold bit-for-bit pre-round — the proven
+    x_cosine_topk pairing)."""
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("hard_negatives needs at least one query id")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM {table}
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS neg_label,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cos
+      FROM v q JOIN v c
+        ON q.vec_id != c.vec_id AND q.label != c.label
+      WHERE q.vec_id IN ({ids})
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM pairs
+    )
+    SELECT q_id, rnk, c_id, neg_label, cos AS cosine
+    FROM ranked WHERE rnk <= {k}
+    ORDER BY q_id, rnk
+    """

@@ -517,3 +517,37 @@ def x_embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, explained_variance double, cumulative double"
     )
+
+
+# ---------------------------------------------------- contrastive + quality
+from dvmax_spark.ext.similarity import hard_negatives, hard_negatives_sql
+
+
+@query(
+    "x_hard_negatives",
+    ids=("X5",),
+    sql=hard_negatives_sql(query_ids=range(10), k=5),
+)
+def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for retriever/contrastive training: per
+    query vector, top-5 most-similar OTHER-label candidates (the
+    near-miss examples that define the decision boundary). Exact
+    cosine, rounded before ranking, id tie-break — value-exact vs the
+    DuckDB twin."""
+    emb = load_table(spark, "embeddings", sf)
+    return hard_negatives(emb, query_ids=range(10), k=5).orderBy("q_id", "rnk")
+
+
+from dvmax_spark.ml.quality import quality_classifier_report
+
+
+@query("x_quality_classifier", ids=("X8", "X13"))
+def x_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """FastText-style quality classifier (CCNet/LLaMA recipe):
+    LogisticRegression over HashingTF features, distilled from the
+    deterministic Gopher gate on a 70% hash split, scored over the
+    whole corpus; per-source gate-vs-model keep counts + held-out
+    agreement. Rows-only by design (LBFGS float aggregation);
+    held-out agreement floors are property-tested in
+    tests/test_ml_quality.py."""
+    return quality_classifier_report(load_table(spark, "documents", sf))
