@@ -285,3 +285,29 @@ def bpe_encode(
         )
         .withColumn("n_tokens", F.size("tokens"))
     )
+
+
+def save_merges(spark: SparkSession, merges: list[dict], path: str) -> None:
+    """Persist a learned merge list as a parquet artifact (the
+    tokenizer file a 100 TB pipeline trains once and ships to every
+    encode job). Single small file; overwrite is atomic enough at
+    this granularity because readers list the directory at load time
+    (same contract as the sketch tables — a torn read sees the old or
+    the new artifact, never a mix, since ranks are self-describing)."""
+    merges_to_df(spark, merges).repartition(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark: SparkSession, path: str) -> list[dict]:
+    """Load a persisted merge list, rank-ordered, ready for
+    :func:`bpe_encode` / :func:`bpe_vocab`."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [
+        {
+            "rank": r["rank"],
+            "left": r["left"],
+            "right": r["right"],
+            "merged": r["merged"],
+            "cnt": r["cnt"],
+        }
+        for r in rows
+    ]

@@ -756,3 +756,120 @@ def hard_negatives_sql(query_ids, k: int = 5, table: str = "embeddings") -> str:
     FROM ranked WHERE rnk <= {k}
     ORDER BY q_id, rnk
     """
+
+
+# ---------------------------------------------------------- triplet mining
+def training_triplets(
+    emb: DataFrame,
+    query_ids,
+    k_pos: int = 2,
+    k_neg: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for metric-learning
+    / retriever training: per anchor, the ``k_pos`` nearest SAME-label
+    vectors crossed with the ``k_neg`` nearest OTHER-label vectors
+    (the hard negatives), with the cosine margin the triplet loss
+    would see. One broadcast of the anchor rows; candidates stream by
+    once and split into the two ranked sides; the final per-anchor
+    cross of k_pos × k_neg tiny row sets is a broadcast-sized join.
+
+    Float policy: cosines rounded to 4 dp before ranking (id
+    tie-breaks); the margin is a subtraction of the two already-
+    rounded doubles — bit-identical cross-engine.
+    """
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("training_triplets needs at least one query id")
+    vecs = emb.select(
+        F.col(id_col), F.col(label_col), as_double(vec_col).alias("v")
+    )
+    q = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col("v").alias("q_v"),
+        norm(F.col("v")).alias("q_n"),
+    )
+    c = vecs.select(
+        F.col(id_col).alias("c_id"),
+        F.col(label_col).alias("c_label"),
+        F.col("v").alias("c_v"),
+        norm(F.col("v")).alias("c_n"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            F.round(
+                dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 4
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    pos = (
+        scored.where(F.col("q_label") == F.col("c_label"))
+        .withColumn("pos_rnk", F.row_number().over(w))
+        .where(F.col("pos_rnk") <= k_pos)
+        .select("q_id", "pos_rnk", F.col("c_id").alias("pos_id"), F.col("cos").alias("pos_cos"))
+    )
+    neg = (
+        scored.where(F.col("q_label") != F.col("c_label"))
+        .withColumn("neg_rnk", F.row_number().over(w))
+        .where(F.col("neg_rnk") <= k_neg)
+        .select("q_id", "neg_rnk", F.col("c_id").alias("neg_id"), F.col("cos").alias("neg_cos"))
+    )
+    return pos.join(neg, "q_id").select(
+        "q_id",
+        "pos_rnk",
+        "neg_rnk",
+        "pos_id",
+        "neg_id",
+        "pos_cos",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
+def training_triplets_sql(
+    query_ids, k_pos: int = 2, k_neg: int = 2, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`training_triplets`."""
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("training_triplets needs at least one query id")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM {table}
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+             c.vec_id AS c_id, c.label AS c_label,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cos
+      FROM v q JOIN v c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN ({ids})
+    ),
+    pos AS (
+      SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS pos_rnk,
+             c_id AS pos_id, cos AS pos_cos
+      FROM scored WHERE q_label = c_label
+      QUALIFY pos_rnk <= {k_pos}
+    ),
+    neg AS (
+      SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS neg_rnk,
+             c_id AS neg_id, cos AS neg_cos
+      FROM scored WHERE q_label != c_label
+      QUALIFY neg_rnk <= {k_neg}
+    )
+    SELECT p.q_id, p.pos_rnk, n.neg_rnk, p.pos_id, n.neg_id,
+           p.pos_cos, n.neg_cos, p.pos_cos - n.neg_cos AS margin
+    FROM pos p JOIN neg n USING (q_id)
+    ORDER BY q_id, pos_rnk, neg_rnk
+    """

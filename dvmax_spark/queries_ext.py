@@ -1366,3 +1366,62 @@ def x_multimodal_funnel(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------------- soft dedup mass
+def _soft_dedup_mass_sql() -> str:
+    """Oracle: the full dedup_clusters recursive-CTE pipeline as a
+    FROM-subquery, aggregated to per-source duplicate-mass shrinkage.
+    All arithmetic exact bigint (`//` matches Spark `div`)."""
+    return f"""
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered,
+           CAST(sum(d.n_chars) AS BIGINT) AS raw_chars,
+           CAST(sum((1000000 * d.n_chars) // c.cluster_size) AS BIGINT)
+             AS eff_chars_x1e6
+    FROM documents d
+    JOIN ({dedup_clusters_sql()}) c USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@query("x_soft_dedup_mass", ids=("X17", "X21"), sql=_soft_dedup_mass_sql())
+def x_soft_dedup_mass(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft deduplication (keep everything, DOWN-WEIGHT duplicates by
+    1/cluster_size) accounted per source: raw char mass vs effective
+    (weight-scaled) mass — the duplicate-shrinkage dashboard that
+    tells a mixture owner how much of each source is repeated template
+    mass before hard-dropping anything. Weights stay exact integers
+    (ppm-scaled bigint `div`, the proven all-integer parity pattern),
+    so the whole pipeline — LSH pairs -> connected components ->
+    inverse-cluster-size weights -> per-source rollup — is value-exact
+    vs the recursive-CTE oracle."""
+    docs = load_table(spark, "documents", sf)
+    pairs = minhash_lsh_pairs(
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
+        num_hashes=32,
+        bands=16,
+        shingle_n=2,
+        threshold=0.1,
+    )
+    clusters = dedup_clusters(docs, pairs, rank_col="n_chars")
+    joined = docs.select("doc_id", "source", "n_chars").join(
+        clusters.select("doc_id", "cluster_size"), "doc_id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("cluster_size") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_clustered"),
+            F.sum("n_chars").alias("raw_chars"),
+            F.sum(F.expr("(1000000 * n_chars) div cluster_size")).alias(
+                "eff_chars_x1e6"
+            ),
+        )
+        .orderBy("source")
+    )

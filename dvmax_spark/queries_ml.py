@@ -551,3 +551,23 @@ def x_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     held-out agreement floors are property-tested in
     tests/test_ml_quality.py."""
     return quality_classifier_report(load_table(spark, "documents", sf))
+
+
+from dvmax_spark.ext.similarity import training_triplets, training_triplets_sql
+
+
+@query(
+    "x_training_triplets",
+    ids=("X5",),
+    sql=training_triplets_sql(query_ids=range(10), k_pos=2, k_neg=2),
+)
+def x_training_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    """Triplet mining for metric-learning: per anchor, 2 nearest
+    same-label positives × 2 hardest other-label negatives with the
+    cosine margin the triplet loss would see. Value-exact vs the
+    DuckDB twin (rounded cosines; margin is a subtraction of two
+    already-rounded doubles — bit-identical)."""
+    emb = load_table(spark, "embeddings", sf)
+    return training_triplets(emb, query_ids=range(10), k_pos=2, k_neg=2).orderBy(
+        "q_id", "pos_rnk", "neg_rnk"
+    )

@@ -224,3 +224,17 @@ def test_merges_to_df_roundtrip(spark, docs):
 def test_word_dict_no_python_in_plan(docs):
     plan = word_symbol_dict(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_save_load_merges_roundtrip(spark, docs, tmp_path):
+    from dvmax_spark.ext.bpe import load_merges, save_merges
+
+    merges = train_bpe(docs, num_merges=6)
+    path = str(tmp_path / "bpe_merges")
+    save_merges(spark, merges, path)
+    loaded = load_merges(spark, path)
+    assert loaded == merges
+    # encode with the loaded artifact == encode with the in-memory one
+    a = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, loaded).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, merges).collect()}
+    assert a == b

@@ -137,3 +137,28 @@ def test_hard_negatives_harder_than_random(spark):
         .collect()[0]["m"]
     )
     assert mined > rand_avg + 0.1
+
+
+def test_training_triplets_structure(spark):
+    from dvmax_spark.ext.similarity import training_triplets
+
+    emb = load_table(spark, "embeddings", SF)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = training_triplets(emb, query_ids=range(5), k_pos=2, k_neg=2).collect()
+    assert len(rows) == 5 * 2 * 2  # full pos × neg cross per anchor
+    for r in rows:
+        assert labels[r["pos_id"]] == labels[r["q_id"]]
+        assert labels[r["neg_id"]] != labels[r["q_id"]]
+        assert r["pos_id"] != r["q_id"] and r["neg_id"] != r["q_id"]
+        assert abs(r["margin"] - (r["pos_cos"] - r["neg_cos"])) < 1e-12
+
+
+def test_triplets_empty_query_guard(spark):
+    from dvmax_spark.ext.similarity import training_triplets, training_triplets_sql
+    from dvmax_spark.ext.similarity import hard_negatives, hard_negatives_sql
+
+    emb = load_table(spark, "embeddings", SF)
+    for fn in (lambda: training_triplets(emb, []), lambda: training_triplets_sql([]),
+               lambda: hard_negatives(emb, []), lambda: hard_negatives_sql([])):
+        with pytest.raises(ValueError):
+            fn()
