@@ -1,0 +1,223 @@
+"""[EXT] DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023, public): score every raw-corpus document by how
+target-like its hashed n-gram profile is, then keep the top mass.
+The importance weight of a document is
+
+    log w(x) = sum_{g in grams(x)} log p_target(bucket(g))
+                                 - log p_raw(bucket(g))
+
+where both distributions are bag-of-hashed-n-gram unigram models with
+add-one smoothing over a FIXED number of hash buckets. Because the
+feature space is a fixed-size bucket table (not the open vocabulary),
+the model fits in a broadcast no matter how large the corpus is.
+
+Scale shape (the part that survives 100 TB):
+  * one explode -> hash-bucket pass over the corpus (map-side),
+  * two hash-aggregations whose OUTPUT is O(buckets) rows — partial
+    aggregation collapses each executor's stream before the shuffle,
+  * the per-bucket log-ratio table is broadcast back (O(buckets)),
+  * per-doc weight is one more partial aggregation, shuffled on doc_id.
+  No global structure other than the tiny bucket table; the only
+  global sort lives in the SELECTION step, where the toy-scale exact
+  rank is documented as replaceable by a KLL/approx-quantile threshold
+  (ext/sketches.py) at real scale.
+
+Cross-engine float policy: every per-bucket log-ratio is computed from
+exact-integer-valued doubles (products < 2^53), rounded once to 1e-6
+and scaled to BIGINT; per-document weights are then exact integer sums
+— no distributed float summation anywhere, so Spark and DuckDB agree
+bit-for-bit (the `ppm` pattern used across this repo).
+
+Reference behavioral parity: the reference engine has no data-
+selection stage; this extends the training-data funnel (SURVEY §2 X18
+-X21) with the standard importance-resampling recipe from the public
+paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dvmax_spark.ext.dedup import _portable_hash, shingle_seq
+from dvmax_spark.ext.traindata import _DUCK_HASH
+
+__all__ = ["dsir_logweights", "dsir_select", "dsir_select_sql"]
+
+
+def _gram_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    buckets: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id_col, *extra_cols, b) — one row per n-gram occurrence, with
+    the gram hashed into ``[0, buckets)`` by the engine-portable md5
+    hash. Multiplicity is kept (bag-of-n-grams, per the paper)."""
+    cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
+    return df.select(
+        *cols, F.explode(shingle_seq(text_col, n)).alias("_g")
+    ).select(*cols, (_portable_hash(F.col("_g")) % buckets).alias("b"))
+
+
+def _log_ratio_x1e6(buckets: int) -> Column:
+    """Per-bucket CAST(round(1e6 * log10(p_t/p_r)) AS BIGINT) from the
+    raw integer counts. All four factors are exact integers cast to
+    double before multiplying (products stay < 2^53 at any sf this
+    repo tests), so both engines feed log10 the identical double."""
+    num = (F.col("c_t") + 1).cast("double") * (F.col("n_r") + buckets).cast("double")
+    den = (F.col("c_r") + 1).cast("double") * (F.col("n_t") + buckets).cast("double")
+    return F.round(F.log10(num / den) * 1e6, 0).cast("long")
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: Column,
+    n: int = 2,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, n_grams, logw_x1e6)`` for every document.
+
+    ``target`` is a boolean Column over ``df``'s rows marking the
+    target domain (e.g. ``F.col("lang") == "en"``); the raw
+    distribution is the whole of ``df``. Documents too short to emit a
+    single n-gram get weight 0 (no evidence either way).
+    """
+    gb = _gram_buckets(
+        df.withColumn("_is_t", target.cast("int")), text_col, id_col, n, buckets,
+        extra_cols=("_is_t",),
+    )
+    counts = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum("_is_t").cast("long").alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    lr = (
+        counts.crossJoin(F.broadcast(totals))
+        .select("b", _log_ratio_x1e6(buckets).alias("lr6"))
+    )
+    docw = (
+        gb.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr6").alias("logw_x1e6"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(docw, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("logw_x1e6", F.lit(0)).alias("logw_x1e6"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    pct: int = 25,
+    n: int = 2,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` report of DSIR top-``pct``% selection:
+    ``(group, n_docs, n_selected, sel_logw_x1e6)``.
+
+    Selection here is the exact global rank (weight desc, id asc;
+    floor(N*pct/100) docs kept) so the DuckDB oracle can reproduce it
+    bit-for-bit. At 100 TB the rank threshold would come from a
+    mergeable quantile sketch over ``logw_x1e6`` (ext/sketches.py
+    kll_*) instead of a global sort — the weights themselves need no
+    change."""
+    w = dsir_logweights(df, target, n=n, buckets=buckets, id_col=id_col, text_col=text_col)
+    scored = df.select(id_col, group_col).join(w, id_col)
+    total = scored.agg(F.count(F.lit(1)).alias("n_all"))
+    rn = F.row_number().over(
+        Window.orderBy(F.col("logw_x1e6").desc(), F.col(id_col).asc())
+    )
+    ranked = scored.withColumn("rn", rn).crossJoin(F.broadcast(total))
+    sel = (F.col("rn") * 100 <= F.col("n_all") * pct).cast("int")
+    return (
+        ranked.select(group_col, "logw_x1e6", sel.alias("is_sel"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_sel").cast("long").alias("n_selected"),
+            F.sum(F.col("is_sel") * F.col("logw_x1e6")).alias("sel_logw_x1e6"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def _duck_grams_bag(n: int) -> str:
+    """DuckDB word-n-gram list over str_split alias ``t`` WITH
+    multiplicity (bag semantics — DSIR counts every occurrence),
+    mirroring dedup.shingle_seq exactly (ext/traindata._duck_grams is
+    the distinct-set twin of dedup.shingles)."""
+    joins = " || ' ' || ".join(f"t[i+{k}]" for k in range(1, n))
+    return (
+        "list_filter(list_transform(t, (x, i) -> "
+        f"CASE WHEN i + {n - 1} <= len(t) THEN x || ' ' || {joins} END), "
+        "g -> g IS NOT NULL)"
+    )
+
+
+def dsir_select_sql(
+    target_pred: str = "lang = 'en'",
+    pct: int = 25,
+    n: int = 2,
+    buckets: int = 256,
+    table: str = "documents",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`dsir_select` (target given as a SQL
+    predicate over the table's columns)."""
+    bucket_expr = f"{_DUCK_HASH.format(expr='_g')} % {buckets})"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {group_col}, CASE WHEN {target_pred} THEN 1 ELSE 0 END AS is_t,
+             str_split(text, ' ') AS t
+      FROM {table}
+    ), gb AS (
+      SELECT doc_id, is_t, {bucket_expr} AS b
+      FROM (SELECT doc_id, is_t, unnest({_duck_grams_bag(n)}) AS _g FROM toks)
+    ), counts AS (
+      SELECT b, count(*) AS c_r, CAST(sum(is_t) AS BIGINT) AS c_t
+      FROM gb GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t
+      FROM counts
+    ), lr AS (
+      SELECT b, CAST(round(log10(
+               ((c_t + 1)::DOUBLE * (n_r + {buckets})::DOUBLE) /
+               ((c_r + 1)::DOUBLE * (n_t + {buckets})::DOUBLE)) * 1e6) AS BIGINT) AS lr6
+      FROM counts, tot
+    ), docw AS (
+      SELECT doc_id, CAST(sum(lr6) AS BIGINT) AS logw_x1e6
+      FROM gb JOIN lr USING (b) GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.{group_col}, COALESCE(w.logw_x1e6, 0) AS logw_x1e6
+      FROM {table} d LEFT JOIN docw w USING (doc_id)
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY logw_x1e6 DESC, doc_id) AS rn,
+             count(*) OVER () AS n_all
+      FROM scored
+    )
+    SELECT {group_col}, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn * 100 <= n_all * {pct} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(sum(CASE WHEN rn * 100 <= n_all * {pct} THEN logw_x1e6 ELSE 0 END) AS BIGINT)
+             AS sel_logw_x1e6
+    FROM ranked GROUP BY {group_col} ORDER BY {group_col}
+    """

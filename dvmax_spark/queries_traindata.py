@@ -430,3 +430,24 @@ def x_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+from dvmax_spark.ext.dsir import dsir_select, dsir_select_sql
+
+
+@query(
+    "x_dsir_select",
+    ids=("X21", "X8"),
+    sql=dsir_select_sql(target_pred="lang = 'en'", pct=25, n=2, buckets=256),
+)
+def x_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., NeurIPS 2023): score
+    every document by the log-likelihood ratio of its hashed-bigram
+    profile under a target (lang='en') vs raw bag-of-n-grams model,
+    keep the top 25%, and report the per-source selection — the
+    data-selection dashboard that shows which sources the target
+    distribution actually pulls from. Every per-bucket log-ratio is
+    rounded once and scaled to bigint, so all distributed sums are
+    exact integers (value-exact vs the DuckDB twin)."""
+    docs = load_table(spark, "documents", sf)
+    return dsir_select(docs, target=F.col("lang") == "en", pct=25, n=2, buckets=256)
