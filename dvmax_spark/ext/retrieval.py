@@ -46,7 +46,7 @@ __all__ = [
 # statistics here count positions; dedup takes array_distinct on top) —
 # one implementation, so the byte-compatibility the SQL oracles depend
 # on can't drift between the modules.
-from dvmax_spark.ext.dedup import shingle_seq  # noqa: E402,F401
+from dvmax_spark.ext.dedup import shingle_seq, shingles  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------- vocabulary
@@ -744,4 +744,94 @@ def pmi_collocations_sql(
     WHERE b.c_ab >= {min_count}
     ORDER BY pmi DESC, w1 ASC, w2 ASC
     LIMIT {k}
+    """
+
+
+# ------------------------------------------------------------ source overlap
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise inter-source n-gram Jaccard — the template-sharing /
+    cross-source duplication matrix a mixture owner reads before
+    assigning per-source weights (two "different" crawls that share
+    40% of their 3-gram sets are one source wearing two hats, and
+    their combined weight double-counts that mass).
+
+    Output: ``(src_a, src_b, n_inter, n_union, jaccard_ppm)`` for every
+    unordered pair with at least one shared gram (src_a < src_b).
+    Jaccard is exact-integer ppm (``1e6*inter div union``), so the
+    result is value-exact cross-engine.
+
+    Scale shape: one explode -> DISTINCT (group, gram) pass (partial
+    aggregation collapses within-partition repeats before the
+    shuffle), then a self-join on the gram. A gram shared by S sources
+    expands to S^2 rows — bounded by the SQUARE OF THE SOURCE COUNT
+    per gram, not by corpus size, because the join operands are
+    already source-level distinct. Mixtures have tens of sources, so
+    the blowup is structurally capped (cf. the per-doc joins in
+    ext/dedup.py, which need explicit bucket caps)."""
+    sg = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(shingles(F.col(text_col), n)).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sg.groupBy("grp").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sg.select(F.col("grp").alias("src_a"), "g")
+        .join(sg.select(F.col("grp").alias("src_b"), "g"), "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("grp", "src_a").withColumnRenamed("sz", "sz_a")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("grp", "src_b").withColumnRenamed("sz", "sz_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).alias("n_union"),
+            F.expr("(1000000 * n_inter) div (sz_a + sz_b - n_inter)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def source_overlap_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`source_overlap`."""
+    from dvmax_spark.ext.traindata import _duck_grams
+
+    return f"""
+    WITH toks AS (
+      SELECT {group_col} AS grp, str_split({text_col}, ' ') AS t FROM {table}
+    ), sg AS (
+      SELECT DISTINCT grp, g
+      FROM (SELECT grp, unnest({_duck_grams(n)}) AS g FROM toks)
+    ), sizes AS (
+      SELECT grp, count(*) AS sz FROM sg GROUP BY grp
+    ), inter AS (
+      SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS n_inter
+      FROM sg a JOIN sg b USING (g)
+      WHERE a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_inter,
+           sa.sz + sb.sz - n_inter AS n_union,
+           (1000000 * n_inter) // (sa.sz + sb.sz - n_inter) AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.grp = src_a
+    JOIN sizes sb ON sb.grp = src_b
+    ORDER BY src_a, src_b
     """

@@ -142,3 +142,16 @@ def x_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     sibling). Exact integer counts; single rounded log10; ranking on
     the rounded score with (w1, w2) tie-break."""
     return pmi_collocations(load_table(spark, "documents", sf), min_count=5, k=50)
+
+
+from dvmax_spark.ext.retrieval import source_overlap, source_overlap_sql
+
+
+@query("x_source_overlap", ids=("X2", "X17"), sql=source_overlap_sql(n=3))
+def x_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise inter-source 3-gram Jaccard matrix: which pairs of
+    corpus sources share template mass (one crawl wearing two hats
+    double-counts its weight in the mixture). All-integer ppm Jaccard,
+    value-exact; join blowup bounded by the source-count square per
+    gram, not by corpus size."""
+    return source_overlap(load_table(spark, "documents", sf), n=3)

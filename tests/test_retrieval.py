@@ -297,3 +297,37 @@ def test_span_dedup_clean_full_coverage_and_conservative_cap(spark):
     # the shared grams appear in 4 docs > cap -> treated as boilerplate, kept
     assert (capped["n_removed"] <= out["n_removed"]).all()
     assert capped.loc[0, "n_removed"] == 0
+
+
+def test_source_overlap_invariants(spark):
+    from dvmax_spark.ext.retrieval import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "a b c d", "s2"),      # identical grams -> jaccard 1
+            (3, "x y z w", "s3"),      # disjoint from s1/s2
+            (4, "a b c q", "s3"),      # partial overlap with s1
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["src_a"], r["src_b"]): r for r in source_overlap(docs, n=3).collect()}
+    assert rows[("s1", "s2")]["jaccard_ppm"] == 1_000_000
+    # s1 grams {abc,bcd}; s3 grams {xyz,yzw,abq... } -> shares {"a b c"}
+    r13 = rows[("s1", "s3")]
+    assert r13["n_inter"] == 1 and r13["n_union"] == 5
+    assert r13["jaccard_ppm"] == 1_000_000 // 5
+    # no self-pairs, src_a < src_b only
+    assert all(a < b for a, b in rows)
+
+
+def test_source_overlap_distinct_before_join(spark):
+    """The self-join operands must be source-level DISTINCT so a hot
+    gram costs |sources|^2, not |docs|^2: both join children must
+    aggregate before the join."""
+    from dvmax_spark.ext.retrieval import source_overlap
+
+    plan = source_overlap(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the (grp, gram) distinct shows up as a HashAggregate under each side
+    assert plan.count("HashAggregate") >= 4
