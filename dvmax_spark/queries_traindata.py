@@ -451,3 +451,90 @@ def x_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     exact integers (value-exact vs the DuckDB twin)."""
     docs = load_table(spark, "documents", sf)
     return dsir_select(docs, target=F.col("lang") == "en", pct=25, n=2, buckets=256)
+
+
+def _funnel_attrition_sql(min_chars: int = 100, min_tok: int = 10,
+                          sample_pct: int = 20, eval_source: str = "src0") -> str:
+    from dvmax_spark.ext.traindata import _duck_bucket, _duck_grams
+
+    b = _duck_bucket("doc_id::VARCHAR", 100)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, text, n_chars, len(str_split(text, ' ')) AS n_tok
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, source, unnest({_duck_grams(5)}) AS g FROM toks
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE source = '{eval_source}'
+    ), contam AS (
+      SELECT DISTINCT grams.doc_id FROM grams JOIN ev USING (g)
+      WHERE source <> '{eval_source}'
+    ), flags AS (
+      SELECT bb.doc_id, bb.source, bb.n_tok,
+             CASE WHEN bb.text IS NOT NULL AND bb.n_chars >= {min_chars} THEN 1 ELSE 0 END AS f_clean,
+             CASE WHEN bb.n_tok >= {min_tok} THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS f_decon,
+             CASE WHEN {b} < {sample_pct} THEN 1 ELSE 0 END AS f_samp
+      FROM base bb LEFT JOIN contam c USING (doc_id)
+      WHERE bb.source <> '{eval_source}'
+    )
+    SELECT source, count(*) AS n_raw,
+           CAST(sum(f_clean) AS BIGINT) AS n_clean,
+           CAST(sum(f_clean * f_len) AS BIGINT) AS n_len,
+           CAST(sum(f_clean * f_len * f_decon) AS BIGINT) AS n_decontam,
+           CAST(sum(f_clean * f_len * f_decon * f_samp) AS BIGINT) AS n_final,
+           CAST(sum(CASE WHEN f_clean * f_len * f_decon * f_samp = 1
+                    THEN n_tok ELSE 0 END) AS BIGINT) AS tok_final
+    FROM flags GROUP BY source ORDER BY source
+    """
+
+
+@query("x_funnel_attrition", ids=("X18", "X21", "A12"), sql=_funnel_attrition_sql())
+def x_funnel_attrition(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source curation attrition matrix: how many of each source's
+    documents survive each successive gate — cleanliness (length in
+    chars), minimum token count, benchmark decontamination, and the
+    deterministic sample — plus the final token mass. The per-SOURCE
+    view x_traindata_funnel's per-split rollup can't give, and the
+    first report a mixture owner asks for ("which source is the
+    contamination coming from?"). Gates are evaluated independently
+    in ONE pass over the corpus (map-side flags + one broadcast
+    semi-join for contamination), reported cumulatively; all counts
+    exact integers."""
+    from dvmax_spark.ext.traindata import contaminated_ids
+
+    docs = load_table(spark, "documents", sf)
+    ev = docs.where(F.col("source") == "src0")
+    tr = docs.where(F.col("source") != "src0")
+    contam = contaminated_ids(tr, ev, n=5).withColumn("_c", F.lit(1))
+    flags = (
+        tr.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+            (F.col("text").isNotNull() & (F.col("n_chars") >= 100)).cast("int").alias("f_clean"),
+        )
+        .withColumn("f_len", (F.col("n_tok") >= 10).cast("int"))
+        .join(contam, "doc_id", "left")
+        .withColumn("f_decon", F.col("_c").isNull().cast("int"))
+        .withColumn("f_samp", (hash_bucket("doc_id", 100) < 20).cast("int"))
+    )
+    fin = F.col("f_clean") * F.col("f_len") * F.col("f_decon") * F.col("f_samp")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("f_clean").cast("bigint").alias("n_clean"),
+            F.sum(F.col("f_clean") * F.col("f_len")).cast("bigint").alias("n_len"),
+            F.sum(F.col("f_clean") * F.col("f_len") * F.col("f_decon"))
+            .cast("bigint")
+            .alias("n_decontam"),
+            F.sum(fin).cast("bigint").alias("n_final"),
+            F.sum(F.when(fin == 1, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tok_final"),
+        )
+        .orderBy("source")
+    )

@@ -256,3 +256,16 @@ def test_contamination_overlap_exact_fractions(spark):
     assert out[3]["n_hit"] == 0 and not out[3]["contaminated"]
     assert out[4]["n_grams"] == 0 and out[4]["overlap_ppm"] == 0
     assert not out[4]["contaminated"]
+
+
+def test_funnel_attrition_monotone_and_jvm_side(spark):
+    """Cumulative gates can only shrink counts, and the whole matrix
+    is one JVM-side pass (broadcast semi-join for contamination)."""
+    from dvmax_spark.queries_traindata import x_funnel_attrition
+
+    df = x_funnel_attrition(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for r in df.collect():
+        assert r["n_raw"] >= r["n_clean"] >= r["n_len"] >= r["n_decontam"] >= r["n_final"]
+        assert r["tok_final"] >= r["n_final"] * 10  # every survivor has >= min_tok tokens
