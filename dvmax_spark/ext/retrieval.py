@@ -24,7 +24,7 @@ Scale shapes (100 TB contract):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -834,4 +834,100 @@ def source_overlap_sql(
     JOIN sizes sa ON sa.grp = src_a
     JOIN sizes sb ON sb.grp = src_b
     ORDER BY src_a, src_b
+    """
+
+
+# ------------------------------------------------------------- vocab growth
+def vocab_growth(
+    df: DataFrame,
+    deciles: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-word
+    count vs cumulative token count at ``deciles`` corpus prefixes (in
+    ``id_col`` order). The curve that sizes a tokenizer vocab and
+    predicts how much NEW vocabulary another 10x of corpus will bring
+    (V ~ k*N^b, b<1 — sublinear, which is also why this repo's BPE
+    trainer can hold the word dictionary in memory at 100 TB).
+
+    Exact-integer throughout: a word's first appearance is
+    min(doc_id), prefixes are exact rank cutoffs, and every output is
+    a count — value-exact cross-engine by construction.
+
+    Scale shape: explode -> two hash-aggs (per-doc token counts, O(docs)
+    rows; per-word first-doc, O(vocab) rows). The decile assignment
+    needs each doc's global rank — at this repo's test scale a global
+    row_number; at 100 TB the id->rank map is a range-partition sort
+    or (for monotone synthetic ids like these) arithmetic on the id
+    itself. Final rollup is ``deciles`` rows through one tiny window.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    n_docs = per_doc.agg(F.count(F.lit(1)).alias("n_all"))
+    ranked = per_doc.withColumn(
+        "rn", F.row_number().over(Window.orderBy(id_col))
+    ).crossJoin(F.broadcast(n_docs))
+    # first checkpoint that includes this doc: ceil(rn*D/n) as exact ints
+    dec = F.expr(f"(rn * {deciles} + n_all - 1) div n_all")
+    ranked = ranked.withColumn("dec", dec)
+    doc_stats = ranked.groupBy("dec").agg(
+        F.count(F.lit(1)).alias("d_docs"), F.sum("n_tok").alias("d_toks")
+    )
+    first = toks.groupBy("tok").agg(F.min(id_col).alias("first_doc"))
+    vocab_stats = (
+        first.join(
+            ranked.select(F.col(id_col).alias("first_doc"), "dec"), "first_doc"
+        )
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).alias("d_vocab"))
+    )
+    w = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doc_stats.join(vocab_stats, "dec", "left")
+        .select(
+            F.col("dec").alias("decile"),
+            F.sum("d_docs").over(w).alias("n_docs_cum"),
+            F.sum("d_toks").over(w).alias("n_tokens_cum"),
+            F.sum(F.coalesce("d_vocab", F.lit(0))).over(w).alias("n_vocab_cum"),
+        )
+        .orderBy("decile")
+    )
+
+
+def vocab_growth_sql(table: str = "documents", deciles: int = 10) -> str:
+    """DuckDB twin of :func:`vocab_growth`."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM {table})
+      WHERE tok <> ''
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS n_all
+      FROM per_doc
+    ), withdec AS (
+      SELECT *, (rn * {deciles} + n_all - 1) // n_all AS dec FROM ranked
+    ), doc_stats AS (
+      SELECT dec, count(*) AS d_docs, CAST(sum(n_tok) AS BIGINT) AS d_toks
+      FROM withdec GROUP BY dec
+    ), first AS (
+      SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+    ), vocab_stats AS (
+      SELECT w.dec, count(*) AS d_vocab
+      FROM first f JOIN withdec w ON w.doc_id = f.first_doc
+      GROUP BY w.dec
+    )
+    SELECT d.dec AS decile,
+           CAST(sum(d.d_docs) OVER cum AS BIGINT) AS n_docs_cum,
+           CAST(sum(d.d_toks) OVER cum AS BIGINT) AS n_tokens_cum,
+           CAST(sum(COALESCE(v.d_vocab, 0)) OVER cum AS BIGINT) AS n_vocab_cum
+    FROM doc_stats d LEFT JOIN vocab_stats v USING (dec)
+    WINDOW cum AS (ORDER BY d.dec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
     """

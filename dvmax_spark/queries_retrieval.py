@@ -155,3 +155,16 @@ def x_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     value-exact; join blowup bounded by the source-count square per
     gram, not by corpus size."""
     return source_overlap(load_table(spark, "documents", sf), n=3)
+
+
+from dvmax_spark.ext.retrieval import vocab_growth, vocab_growth_sql
+
+
+@query("x_vocab_growth", ids=("X7",), sql=vocab_growth_sql(deciles=10))
+def x_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct words vs
+    cumulative tokens at ten corpus prefixes — the statistic that sizes
+    a tokenizer vocabulary and justifies the BPE trainer's in-memory
+    word dictionary (vocab grows sublinearly while tokens grow
+    linearly). All counts exact integers, value-exact."""
+    return vocab_growth(load_table(spark, "documents", sf), deciles=10)

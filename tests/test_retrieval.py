@@ -331,3 +331,22 @@ def test_source_overlap_distinct_before_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the (grp, gram) distinct shows up as a HashAggregate under each side
     assert plan.count("HashAggregate") >= 4
+
+
+def test_vocab_growth_sublinear_and_monotone(spark):
+    """Heaps law: vocab grows monotonically but SLOWER than tokens —
+    the last decile must add fewer new words per new token than the
+    first (sublinearity the BPE in-memory word dict relies on)."""
+    from dvmax_spark.ext.retrieval import vocab_growth
+
+    rows = vocab_growth(_docs(spark), deciles=10).collect()
+    assert len(rows) == 10
+    assert rows[-1]["n_docs_cum"] == sum(1 for _ in _docs(spark).collect())
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_tokens_cum"] > a["n_tokens_cum"]
+        assert b["n_vocab_cum"] >= a["n_vocab_cum"]
+    first_rate = rows[0]["n_vocab_cum"] / rows[0]["n_tokens_cum"]
+    last_rate = (rows[-1]["n_vocab_cum"] - rows[-2]["n_vocab_cum"]) / (
+        rows[-1]["n_tokens_cum"] - rows[-2]["n_tokens_cum"]
+    )
+    assert last_rate < first_rate
