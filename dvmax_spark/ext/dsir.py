@@ -91,10 +91,14 @@ def dsir_logweights(
         df.withColumn("_is_t", target.cast("int")), text_col, id_col, n, buckets,
         extra_cols=("_is_t",),
     )
+    # Materialize the O(buckets) count table once: `counts` feeds both
+    # `totals` and the log-ratio table, and without the checkpoint each
+    # consumer would re-run the corpus gram scan (3 passes instead of
+    # the paper's 2 — one to fit the models, one to score).
     counts = gb.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum("_is_t").cast("long").alias("c_t"),
-    )
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
     )

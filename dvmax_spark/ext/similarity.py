@@ -772,9 +772,10 @@ def training_triplets(
     / retriever training: per anchor, the ``k_pos`` nearest SAME-label
     vectors crossed with the ``k_neg`` nearest OTHER-label vectors
     (the hard negatives), with the cosine margin the triplet loss
-    would see. One broadcast of the anchor rows; candidates stream by
-    once and split into the two ranked sides; the final per-anchor
-    cross of k_pos × k_neg tiny row sets is a broadcast-sized join.
+    would see. One broadcast of the anchor rows; the candidate set
+    streams by twice (once per ranked side — the two window branches
+    are separate scans); the final per-anchor cross of k_pos × k_neg
+    tiny row sets is a broadcast-sized join.
 
     Float policy: cosines rounded to 4 dp before ranking (id
     tie-breaks); the margin is a subtraction of the two already-

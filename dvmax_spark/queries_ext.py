@@ -1388,7 +1388,7 @@ def _soft_dedup_mass_sql() -> str:
     """
 
 
-@query("x_soft_dedup_mass", ids=("X17", "X21"), sql=_soft_dedup_mass_sql())
+@query("x_soft_dedup_mass", ids=("X17", "X21"), bench=True, sql=_soft_dedup_mass_sql())
 def x_soft_dedup_mass(spark: SparkSession, sf: str) -> DataFrame:
     """Soft deduplication (keep everything, DOWN-WEIGHT duplicates by
     1/cluster_size) accounted per source: raw char mass vs effective

@@ -438,6 +438,7 @@ from dvmax_spark.ext.dsir import dsir_select, dsir_select_sql
 @query(
     "x_dsir_select",
     ids=("X21", "X8"),
+    bench=True,
     sql=dsir_select_sql(target_pred="lang = 'en'", pct=25, n=2, buckets=256),
 )
 def x_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
