@@ -823,3 +823,96 @@ def token_budget_plan_sql(
              // avail_tokens AS sample_rate_ppm
     FROM a ORDER BY source
     """
+
+
+def mixture_schedule(
+    df: DataFrame,
+    n_bands: int = 5,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic training-order interleave (stride scheduling,
+    Waldspurger & Weihl 1994, applied to data mixing): every source's
+    documents are spread evenly across the whole training run instead
+    of clumping — the k-th doc of a source with n_i docs lands near
+    global fraction (2k+1)/(2n_i), so a 10x-bigger source takes 10x
+    more slots but at 10x the frequency, never as a contiguous block.
+    Within-source order is a seeded pseudo-shuffle (portable hash of
+    the id), so the schedule is reproducible across runs and engines.
+
+    Returns the verification rollup: per (source, band) doc counts
+    over ``n_bands`` equal slices of the global order — a uniform
+    interleave shows each source's mass split ~evenly across bands
+    (the property a curriculum owner actually checks; emitting the
+    raw order is `.withColumn` on the same `global_pos`).
+
+    Exact-integer throughout (stride keys are bigint `div` results;
+    ties broken on (key, source, rank)), so value-exact cross-engine.
+    The two global row_numbers are the toy-exact form; at 100 TB the
+    stride KEY needs no global structure at all — writers emit
+    (key-range, shard) files directly and the bands are key prefixes.
+    """
+    from dvmax_spark.ext.dedup import _portable_hash
+
+    n_i = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_i"))
+    ranked = (
+        df.select(id_col, group_col)
+        .withColumn("h", _portable_hash(F.col(id_col).cast("string")))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy("h", id_col)
+            )
+            - 1,
+        )
+        .join(F.broadcast(n_i), group_col)
+        .withColumn("key", F.expr("((2 * r + 1) * 1000000000000) div (2 * n_i)"))
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("n_all"))
+    pos = (
+        ranked.withColumn(
+            "global_pos",
+            F.row_number().over(Window.orderBy("key", group_col, "r")) - 1,
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("band", F.expr(f"(global_pos * {n_bands}) div n_all"))
+    )
+    return (
+        pos.groupBy(group_col, "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("global_pos").alias("first_pos"),
+            F.max("global_pos").alias("last_pos"),
+        )
+        .orderBy(group_col, "band")
+    )
+
+
+def mixture_schedule_sql(
+    n_bands: int = 5, table: str = "documents", group_col: str = "source"
+) -> str:
+    """DuckDB twin of :func:`mixture_schedule`."""
+    h = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)"
+    return f"""
+    WITH n AS (
+      SELECT {group_col}, count(*) AS n_i FROM {table} GROUP BY {group_col}
+    ), ranked AS (
+      SELECT d.doc_id, d.{group_col}, n.n_i,
+             row_number() OVER (
+               PARTITION BY d.{group_col} ORDER BY {h}, d.doc_id
+             ) - 1 AS r
+      FROM {table} d JOIN n USING ({group_col})
+    ), keyed AS (
+      SELECT *, ((2 * r + 1) * 1000000000000) // (2 * n_i) AS key,
+             count(*) OVER () AS n_all
+      FROM ranked
+    ), pos AS (
+      SELECT *, row_number() OVER (ORDER BY key, {group_col}, r) - 1 AS global_pos
+      FROM keyed
+    )
+    SELECT {group_col}, (global_pos * {n_bands}) // n_all AS band,
+           count(*) AS n_docs,
+           CAST(min(global_pos) AS BIGINT) AS first_pos,
+           CAST(max(global_pos) AS BIGINT) AS last_pos
+    FROM pos GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -539,3 +539,16 @@ def x_funnel_attrition(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+from dvmax_spark.ext.traindata import mixture_schedule, mixture_schedule_sql
+
+
+@query("x_mixture_schedule", ids=("X21", "X19"), sql=mixture_schedule_sql(n_bands=5))
+def x_mixture_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order interleave via stride scheduling:
+    every source spread evenly over the run (no source-contiguous
+    clumps that would skew late-training gradients), within-source
+    order a reproducible hash shuffle. Output is the per-(source,
+    band) uniformity rollup; all-integer, value-exact."""
+    return mixture_schedule(load_table(spark, "documents", sf), n_bands=5)

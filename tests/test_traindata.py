@@ -269,3 +269,22 @@ def test_funnel_attrition_monotone_and_jvm_side(spark):
     for r in df.collect():
         assert r["n_raw"] >= r["n_clean"] >= r["n_len"] >= r["n_decontam"] >= r["n_final"]
         assert r["tok_final"] >= r["n_final"] * 10  # every survivor has >= min_tok tokens
+
+
+def test_mixture_schedule_interleaves_uniformly(spark):
+    """Stride scheduling must spread every source near-evenly across
+    the global-order bands (no contiguous source blocks), and the
+    rollup must partition the corpus."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.traindata import mixture_schedule
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01")
+    out = mixture_schedule(docs, n_bands=5).collect()
+    n_total = docs.count()
+    assert sum(r["n_docs"] for r in out) == n_total
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r["n_docs"])
+    for src, counts in per_src.items():
+        assert len(counts) == 5, (src, counts)  # present in EVERY band
+        assert max(counts) - min(counts) <= 2, (src, counts)
