@@ -42,7 +42,13 @@ from pyspark.sql import functions as F
 from dvmax_spark.ext.dedup import _portable_hash, shingle_seq
 from dvmax_spark.ext.traindata import _DUCK_HASH
 
-__all__ = ["dsir_logweights", "dsir_select", "dsir_select_sql"]
+__all__ = [
+    "dsir_bucket_counts",
+    "dsir_logweights",
+    "dsir_score",
+    "dsir_select",
+    "dsir_select_sql",
+]
 
 
 def _gram_buckets(
@@ -72,7 +78,7 @@ def _log_ratio_x1e6(buckets: int) -> Column:
     return F.round(F.log10(num / den) * 1e6, 0).cast("long")
 
 
-def dsir_logweights(
+def dsir_bucket_counts(
     df: DataFrame,
     target: Column,
     n: int = 2,
@@ -80,25 +86,35 @@ def dsir_logweights(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(id_col, n_grams, logw_x1e6)`` for every document.
-
-    ``target`` is a boolean Column over ``df``'s rows marking the
-    target domain (e.g. ``F.col("lang") == "en"``); the raw
-    distribution is the whole of ``df``. Documents too short to emit a
-    single n-gram get weight 0 (no evidence either way).
-    """
+    """The importance model's sufficient statistics: ``(b, c_r, c_t)``
+    — raw and target gram counts per hash bucket. A MONOID under
+    per-bucket integer sum, which is what makes the model maintainable
+    incrementally (batch unions, micro-batches, partial corpora all
+    merge with one groupBy-sum; see streaming.ingest
+    stream_into_dsir_model)."""
     gb = _gram_buckets(
         df.withColumn("_is_t", target.cast("int")), text_col, id_col, n, buckets,
         extra_cols=("_is_t",),
     )
-    # Materialize the O(buckets) count table once: `counts` feeds both
-    # `totals` and the log-ratio table, and without the checkpoint each
-    # consumer would re-run the corpus gram scan (3 passes instead of
-    # the paper's 2 — one to fit the models, one to score).
-    counts = gb.groupBy("b").agg(
+    return gb.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum("_is_t").cast("long").alias("c_t"),
-    ).localCheckpoint()
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    counts: DataFrame,
+    n: int = 2,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against an already-fitted model (``counts`` as
+    produced by :func:`dsir_bucket_counts`, possibly accumulated over
+    many batches): ``(id_col, n_grams, logw_x1e6)``. One corpus pass.
+    Documents too short to emit a single n-gram get weight 0 (no
+    evidence either way)."""
     totals = counts.agg(
         F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
     )
@@ -106,6 +122,7 @@ def dsir_logweights(
         counts.crossJoin(F.broadcast(totals))
         .select("b", _log_ratio_x1e6(buckets).alias("lr6"))
     )
+    gb = _gram_buckets(df, text_col, id_col, n, buckets)
     docw = (
         gb.join(F.broadcast(lr), "b")
         .groupBy(id_col)
@@ -122,6 +139,31 @@ def dsir_logweights(
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("logw_x1e6", F.lit(0)).alias("logw_x1e6"),
         )
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: Column,
+    n: int = 2,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, n_grams, logw_x1e6)`` for every document, fitting
+    the model on ``df`` itself (the paper's one-shot form).
+
+    ``target`` is a boolean Column over ``df``'s rows marking the
+    target domain (e.g. ``F.col("lang") == "en"``); the raw
+    distribution is the whole of ``df``. Materializes the O(buckets)
+    count table once (localCheckpoint) so the corpus is touched
+    exactly twice — fit, then score — never three times.
+    """
+    counts = dsir_bucket_counts(
+        df, target, n=n, buckets=buckets, id_col=id_col, text_col=text_col
+    ).localCheckpoint()
+    return dsir_score(
+        df, counts, n=n, buckets=buckets, id_col=id_col, text_col=text_col
     )
 
 

@@ -335,3 +335,81 @@ def stream_into_cms(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_dsir_model(
+    stream_df: DataFrame,
+    path: str,
+    target,
+    checkpoint_dir: str,
+    n: int = 2,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "dsir_model_ingest",
+    available_now: bool = True,
+):
+    """Maintain the DSIR importance model (ext/dsir.py's per-bucket
+    ``(b, c_r, c_t)`` sufficient statistics) from a document stream:
+    each micro-batch's bucket counts integer-sum-merge into the
+    persisted model, so importance weights for NEW data are always
+    scoreable against everything ingested so far without rescanning
+    the corpus — the model is a monoid, which is the whole reason the
+    bucket-count formulation scales. ``target`` is the boolean Column
+    marking target-domain rows (evaluated per batch).
+
+    Exactly-once via the same contract as stream_into_sketches:
+    count-merge is not idempotent under foreachBatch replay, so the
+    applied batch id commits as _meta.json INSIDE the staging dir and
+    swaps atomically with the data; a crash between the promote's two
+    renames heals via fsops.recover_swap on the next batch."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.ext.dsir import dsir_bucket_counts
+    from dvmax_spark.fsops import recover_swap, swap_dir
+
+    def _applied(batch_id: int) -> bool:
+        try:
+            with open(os.path.join(path, "_meta.json")) as fh:
+                return json.load(fh)["batch_id"] >= batch_id
+        except (OSError, ValueError, KeyError):
+            return False
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swap(path)
+        if _applied(batch_id) or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new = dsir_bucket_counts(
+            batch_df, target, n=n, buckets=buckets, id_col=id_col, text_col=text_col
+        )
+        if os.path.isdir(path):
+            cur = spark.read.parquet(path)
+            merged = (
+                cur.unionByName(new)
+                .groupBy("b")
+                .agg(F.sum("c_r").alias("c_r"), F.sum("c_t").alias("c_t"))
+            )
+        else:
+            merged = new
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        with open(os.path.join(staging, "_meta.json"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        retired = swap_dir(path, staging)
+        if retired:
+            shutil.rmtree(retired, ignore_errors=True)
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -63,3 +63,60 @@ def test_dsir_plan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the bucket log-ratio table must come back as a broadcast, not a shuffle join
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_into_dsir_model_equals_batch(spark, tmp_path):
+    """Micro-batched model maintenance must reproduce the one-shot
+    batch model EXACTLY (integer monoid), survive a crashed promote,
+    and score identically to the batch path."""
+    import os
+    import shutil
+
+    from dvmax_spark.ext.dsir import dsir_bucket_counts, dsir_logweights, dsir_score
+    from dvmax_spark.streaming.ingest import stream_into_dsir_model
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text", "lang")
+    pdf = docs.toPandas()
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    path = str(tmp_path / "model")
+
+    def _feed(sl, name):
+        spark.createDataFrame(sl).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(str(tmp_path / name), f),
+                    os.path.join(in_dir, name + ".parquet"),
+                )
+
+    def _drain():
+        stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(in_dir)
+        q = stream_into_dsir_model(
+            stream, path, target=F.col("lang") == "en",
+            checkpoint_dir=str(tmp_path / "ck"), query_name="dsir_t",
+        )
+        q.awaitTermination(120)
+
+    _feed(pdf.iloc[:200], "b1")
+    _drain()
+    os.rename(path, path + ".old")  # crash window mid-promote
+    _feed(pdf.iloc[200:], "b2")
+    _drain()
+
+    streamed = {
+        r["b"]: (r["c_r"], r["c_t"]) for r in spark.read.parquet(path).collect()
+    }
+    batch = {
+        r["b"]: (r["c_r"], r["c_t"])
+        for r in dsir_bucket_counts(docs, target=F.col("lang") == "en").collect()
+    }
+    assert streamed == batch
+    # scoring against the streamed model == the one-shot batch weights
+    model = spark.read.parquet(path).select("b", "c_r", "c_t")
+    a = {r["doc_id"]: r["logw_x1e6"] for r in dsir_score(docs, model).collect()}
+    b = {r["doc_id"]: r["logw_x1e6"]
+         for r in dsir_logweights(docs, target=F.col("lang") == "en").collect()}
+    assert a == b
