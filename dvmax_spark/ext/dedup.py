@@ -987,3 +987,100 @@ def incremental_dedup_sql(
     ORDER BY new_id, old_id
     """
 
+
+
+def canonical_by_degree(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Centrality-based canonical selection: within every near-dup
+    cluster (size > 1), keep the document with the most pair edges —
+    the hub of the dup family. A template with many light variations
+    forms a star; the rank-by-length policy (:func:`dedup_clusters`
+    ``rank_col``) keeps the LONGEST variant, while this policy keeps
+    the version everything else actually derives from (the public
+    near-dup canonicalization alternative, cf. star-graph dedup in
+    web-crawl pipelines). Ties break on id.
+
+    Output: one row per multi-doc cluster —
+    ``(cluster_id, cluster_size, canonical_id, canonical_degree)``.
+
+    Scale shape: degree is one count-aggregate over the (already
+    bucket-capped) pair list; components reuse
+    :func:`dedup_clusters`'s propagation; the per-cluster argmax is a
+    ``max_by`` aggregate (single shuffle on cluster_id, partial
+    aggregation map-side) — no window over the corpus."""
+    clusters = dedup_clusters(df, pairs, id_col=id_col, max_iter=max_iter)
+    edges = pairs.select(F.col("id_a").alias(id_col)).unionAll(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    deg = edges.groupBy(id_col).agg(F.count(F.lit(1)).alias("degree"))
+    x = (
+        clusters.select(id_col, "cluster_id")
+        .join(deg, id_col, "left")
+        .withColumn("degree", F.coalesce("degree", F.lit(0)))
+    )
+    # argmax(degree, then smallest id): max_by on an exact composite —
+    # degree * 2^32 - id is injective for ids < 2^32 and orders by
+    # (degree asc, id desc), so its max is (max degree, min id)
+    key = F.col("degree") * F.lit(4294967296) - F.col(id_col)
+    return (
+        x.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(F.col(id_col), key).alias("canonical_id"),
+            F.max("degree").alias("canonical_degree"),
+        )
+        .where(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+def canonical_by_degree_sql(
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.1,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`canonical_by_degree` over
+    :func:`minhash_lsh_pairs` evidence."""
+    ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM lsh_pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM lsh_pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM {table}
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node
+    ),
+    deg AS (
+      SELECT s AS doc_id, count(*) AS degree
+      FROM (SELECT id_a AS s FROM lsh_pairs UNION ALL SELECT id_b FROM lsh_pairs)
+      GROUP BY s
+    ),
+    x AS (
+      SELECT c.doc_id, c.cluster_id, COALESCE(deg.degree, 0) AS degree
+      FROM comp c LEFT JOIN deg USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cluster_id ORDER BY degree DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             max(degree) OVER (PARTITION BY cluster_id) AS max_degree
+      FROM x
+    )
+    SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           doc_id AS canonical_id, CAST(max_degree AS BIGINT) AS canonical_degree
+    FROM ranked WHERE rn = 1 AND cluster_size > 1
+    ORDER BY cluster_id
+    """

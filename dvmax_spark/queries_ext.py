@@ -1425,3 +1425,24 @@ def x_soft_dedup_mass(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+from dvmax_spark.ext.dedup import canonical_by_degree, canonical_by_degree_sql
+
+
+@query("x_canonical_by_degree", ids=("X17", "X3"), sql=canonical_by_degree_sql())
+def x_canonical_by_degree(spark: SparkSession, sf: str) -> DataFrame:
+    """Centrality-based canonical selection: per near-dup cluster, keep
+    the doc with the most pair edges (the template hub) instead of the
+    longest variant — the alternative canonicalization policy, with the
+    per-cluster argmax as a map-side max_by aggregate rather than a
+    corpus window. Value-exact vs the recursive-CTE oracle."""
+    docs = load_table(spark, "documents", sf)
+    pairs = minhash_lsh_pairs(
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
+        num_hashes=32,
+        bands=16,
+        shingle_n=2,
+        threshold=0.1,
+    )
+    return canonical_by_degree(docs, pairs)

@@ -141,3 +141,27 @@ def test_dedup_clusters_terminates_on_adversarial_chain(spark):
     out = dedup_clusters(docs, pairs, max_iter=3)
     assert out.count() == n
     assert out.select("doc_id").distinct().count() == n
+
+
+def test_canonical_by_degree_picks_the_hub(spark):
+    """A star family (hub pairs with every spoke; spokes don't pair
+    with each other) must canonicalize to the hub even when a spoke
+    is longer; ties break on min id."""
+    from dvmax_spark.ext.dedup import canonical_by_degree
+
+    docs = spark.createDataFrame(
+        [(i, "t", 10 * (i + 1)) for i in range(5)] + [(9, "u", 1)],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "id_a long, id_b long"
+    )
+    out = canonical_by_degree(docs, pairs).collect()
+    assert len(out) == 1  # the singleton doc 9 is excluded
+    r = out[0]
+    assert r["canonical_id"] == 0 and r["canonical_degree"] == 4
+    assert r["cluster_size"] == 5
+    # tie case: two-doc cluster, equal degree -> min id wins
+    pairs2 = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+    r2 = canonical_by_degree(docs, pairs2).collect()[0]
+    assert r2["canonical_id"] == 3 and r2["canonical_degree"] == 1
