@@ -1022,10 +1022,11 @@ def canonical_by_degree(
         .join(deg, id_col, "left")
         .withColumn("degree", F.coalesce("degree", F.lit(0)))
     )
-    # argmax(degree, then smallest id): max_by on an exact composite —
-    # degree * 2^32 - id is injective for ids < 2^32 and orders by
-    # (degree asc, id desc), so its max is (max degree, min id)
-    key = F.col("degree") * F.lit(4294967296) - F.col(id_col)
+    # argmax(degree, then smallest id): max_by on a struct key —
+    # lexicographic (degree, -id) ordering needs no assumption about
+    # the id range (an arithmetic composite like degree*2^32 - id
+    # would silently break past 2^32 ids at real corpus scale)
+    key = F.struct(F.col("degree"), (-F.col(id_col)).alias("nid"))
     return (
         x.groupBy("cluster_id")
         .agg(
