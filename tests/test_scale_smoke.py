@@ -14,8 +14,15 @@ def test_all_queries_execute_at_sf01(spark):
 
     failures = []
     for name, spec in all_queries().items():
-        try:
-            spec.fn(spark, SF_01).write.format("noop").mode("overwrite").save()
-        except Exception as e:  # noqa: BLE001
-            failures.append((name, str(e).split("\n")[0][:160]))
+        # one retry: deep into a full-suite session (10k+ stages) a
+        # transient JVM/py4j hiccup can fail a query that is fine in
+        # isolation (observed once on an MLlib fit). A REAL landmine
+        # (ANSI error, degenerate plan) fails deterministically twice.
+        for attempt in (1, 2):
+            try:
+                spec.fn(spark, SF_01).write.format("noop").mode("overwrite").save()
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == 2:
+                    failures.append((name, str(e).split("\n")[0][:160]))
     assert not failures, failures
