@@ -518,3 +518,29 @@ def test_er_golden_record_no_cartesian(spark):
     plan = _simple_plan(_q(spark, "x_er_golden_record"))
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_dsir_select_plan_shape(spark):
+    """DSIR's scale contract: the model (bucket counts -> log ratios)
+    comes BACK to the corpus as broadcasts, the docs-side dim join is
+    a broadcast, and the only SinglePartition exchange is the
+    documented toy-exact global rank; no Python."""
+    plan = _simple_plan(_q(spark, "x_dsir_select"))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "Python" not in plan, plan
+    # exactly one CORPUS-scale single-partition structure: the
+    # documented toy-exact global rank (one Window). The other two
+    # SinglePartition exchanges are single-ROW final aggregates
+    # (model totals, corpus count) — O(1) data by construction.
+    assert plan.count("Window") == 1, plan
+    assert plan.count("SinglePartition") <= 3, plan
+
+
+def test_soft_dedup_mass_plan_shape(spark):
+    """Soft-dedup accounting on top of the clustering pipeline must
+    not add corpus-scale structure of its own: the per-source rollup
+    is one partial-agg exchange over the joined verdicts; no Python
+    outside nothing (the whole pipeline is Catalyst)."""
+    plan = _simple_plan(_q(spark, "x_soft_dedup_mass"))
+    assert "Python" not in plan, plan
+    assert "HashAggregate" in plan, plan
