@@ -8,7 +8,7 @@ property-based tests instead (tests/test_ext.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dvmax_spark.catalog import load_table
@@ -1446,3 +1446,66 @@ def x_canonical_by_degree(spark: SparkSession, sf: str) -> DataFrame:
         threshold=0.1,
     )
     return canonical_by_degree(docs, pairs)
+
+
+# --------------------------------------------------------- bot regularity
+_BOT_REGULARITY_SQL = """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT user_id,
+             (us // 1000000) - lag(us // 1000000) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS gap
+      FROM s
+    ), a AS (
+      SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sum_gap,
+             CAST(sum(gap * gap) AS BIGINT) AS sum_gap2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           (1000 * sum_gap) // n_gaps AS mean_gap_x1e3,
+           n_gaps * sum_gap2 - sum_gap * sum_gap AS var_num,
+           CASE WHEN n_gaps * sum_gap2 - sum_gap * sum_gap
+                     < 900 * n_gaps * n_gaps THEN 1 ELSE 0 END AS is_regular
+    FROM a ORDER BY user_id
+    """
+
+
+@query("x_bot_regularity", ids=("X8", "W1"), sql=_BOT_REGULARITY_SQL)
+def x_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Machine-behavior detection by inter-event timing regularity:
+    per user, the variance of second-granular gaps between consecutive
+    events — near-constant cadence (std below 30 s here) is the
+    scripted-traffic signature human activity doesn't produce, the
+    behavioral cousin of the repetition filters that drop
+    machine-generated TEXT. Exact integer end-to-end: gaps are integer
+    seconds, variance is the n·Σg² − (Σg)² numerator (no division
+    until the final exact `div`), so the query is value-exact. One
+    window + one aggregation, both partitioned by user — no global
+    structure."""
+    from dvmax_spark.functions.scalar import epoch_micros
+
+    ev = load_table(spark, "events", sf).select(
+        "user_id", "event_id", epoch_micros("ts").alias("us")
+    )
+    sec = F.expr("us div 1000000")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    a = g.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("sum_gap"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sum_gap2"),
+    )
+    var_num = F.col("n_gaps") * F.col("sum_gap2") - F.col("sum_gap") * F.col("sum_gap")
+    return a.select(
+        "user_id",
+        "n_gaps",
+        F.expr("(1000 * sum_gap) div n_gaps").alias("mean_gap_x1e3"),
+        var_num.alias("var_num"),
+        (var_num < 900 * F.col("n_gaps") * F.col("n_gaps"))
+        .cast("int")
+        .alias("is_regular"),
+    ).orderBy("user_id")

@@ -869,3 +869,38 @@ def test_cms_never_underestimates_and_merges_exactly(spark):
     full = {(r["row"], r["col"]): r["counter"] for r in cms.collect()}
     got = {(r["row"], r["col"]): r["counter"] for r in merged.collect()}
     assert got == full
+
+
+def test_bot_regularity_flags_constant_cadence(spark):
+    """A scripted user firing every 60 s exactly must flag regular;
+    a human-jittered user must not; variance algebra is exact."""
+    import datetime as dt
+
+    from dvmax_spark.queries_ext import x_bot_regularity  # noqa: F401
+    from dvmax_spark.registry import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):  # bot: exact 60s cadence
+        rows.append((i, base + dt.timedelta(seconds=60 * i), 1))
+    for i in range(20):  # human: growing jitter, gaps 60..1200s
+        rows.append((100 + i, base + dt.timedelta(seconds=30 * i * (i + 1)), 2))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+
+    from dvmax_spark.functions.scalar import epoch_micros
+    from pyspark.sql import Window as W
+
+    sec = F.expr("us div 1000000")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.select("user_id", "event_id", epoch_micros("ts").alias("us")).select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    a = g.groupBy("user_id").agg(
+        F.count("gap").alias("n"), F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    ).collect()
+    stats = {r["user_id"]: (r["n"] * r["s2"] - r["s"] * r["s"], r["n"]) for r in a}
+    assert stats[1][0] == 0                      # perfectly regular -> zero variance
+    assert stats[2][0] >= 900 * stats[2][1] ** 2  # jittered -> std >= 30s
