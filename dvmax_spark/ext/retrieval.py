@@ -46,7 +46,7 @@ __all__ = [
 # statistics here count positions; dedup takes array_distinct on top) —
 # one implementation, so the byte-compatibility the SQL oracles depend
 # on can't drift between the modules.
-from dvmax_spark.ext.dedup import shingle_seq, shingles  # noqa: E402,F401
+from dvmax_spark.ext.dedup import _portable_hash, shingle_seq, shingles  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------- vocabulary
@@ -930,4 +930,109 @@ def vocab_growth_sql(table: str = "documents", deciles: int = 10) -> str:
     FROM doc_stats d LEFT JOIN vocab_stats v USING (dec)
     WINDOW cum AS (ORDER BY d.dec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY decile
+    """
+
+
+# ------------------------------------------------- content-defined chunking
+def cdc_dedup_stats(
+    df: DataFrame,
+    avg_chunk: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Content-defined chunking dedup (Rabin/gear-style, the storage
+    -dedup classic applied at token granularity): a chunk boundary
+    falls AFTER any token whose portable hash ≡ 0 (mod ``avg_chunk``),
+    so boundaries are content-anchored — inserting one word into a
+    document shifts ONE chunk, not every downstream block (the
+    shift-robustness fixed-width ``block_dedup_stats`` lacks; expected
+    chunk length is ``avg_chunk`` tokens). Chunks are then exact-
+    deduped corpus-wide and the duplicated mass reported per source:
+    ``(group, n_chunks, n_dup_chunks, dup_tokens)``.
+
+    Scale shape: one posexplode pass; per-doc running boundary count
+    (window partitioned by doc — never global); chunk reassembly is a
+    (doc, chunk)-keyed aggregation; corpus-wide chunk-hash counts are
+    one more hash-agg joined back. All counts exact integers —
+    value-exact cross-engine."""
+    toks = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # chunk index = number of boundaries strictly BEFORE this token
+    bnd = (_portable_hash(F.col("tok")) % avg_chunk == 0).cast("int")
+    staged = toks.withColumn(
+        "chunk", F.coalesce(F.sum(bnd).over(w), F.lit(0))
+    )
+    chunks = staged.groupBy(id_col, "grp", "chunk").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        chunks.join(freq, "h")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("int")).cast("bigint").alias("n_dup_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def cdc_dedup_stats_sql(
+    avg_chunk: int = 16,
+    table: str = "documents",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`cdc_dedup_stats`."""
+    h = "(('0x' || substr(md5(tok), 1, 15))::BIGINT)"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {group_col} AS grp, t.pos, t.tok
+      FROM (
+        SELECT doc_id, {group_col},
+               unnest(list_transform(str_split(text, ' '),
+                      (x, i) -> struct_pack(pos := i, tok := x))) AS t
+        FROM {table}
+      )
+      WHERE t.tok <> ''
+    ), staged AS (
+      SELECT doc_id, grp, pos, tok,
+             COALESCE(sum(CASE WHEN {h} % {avg_chunk} = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, grp, chunk, count(*) AS n_tok,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+      FROM staged GROUP BY doc_id, grp, chunk
+    ), freq AS (
+      SELECT h, count(*) AS n_occ FROM chunks GROUP BY h
+    )
+    SELECT grp AS {group_col}, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN n_occ > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens
+    FROM chunks JOIN freq USING (h)
+    GROUP BY grp ORDER BY grp
     """

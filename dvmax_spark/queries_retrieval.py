@@ -168,3 +168,17 @@ def x_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     word dictionary (vocab grows sublinearly while tokens grow
     linearly). All counts exact integers, value-exact."""
     return vocab_growth(load_table(spark, "documents", sf), deciles=10)
+
+
+from dvmax_spark.ext.retrieval import cdc_dedup_stats, cdc_dedup_stats_sql
+
+
+@query("x_cdc_dedup", ids=("X1", "X10"), sql=cdc_dedup_stats_sql(avg_chunk=16))
+def x_cdc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking dedup (Rabin-style boundaries on
+    portable token hashes): shift-robust chunking — inserting a word
+    moves ONE chunk boundary, not every downstream block — followed by
+    corpus-wide exact chunk dedup, duplicated mass reported per
+    source. The third tier of the sub-document dedup family (gram
+    spans, fixed blocks, content-defined chunks). Value-exact."""
+    return cdc_dedup_stats(load_table(spark, "documents", sf), avg_chunk=16)

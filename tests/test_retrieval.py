@@ -350,3 +350,24 @@ def test_vocab_growth_sublinear_and_monotone(spark):
         rows[-1]["n_tokens_cum"] - rows[-2]["n_tokens_cum"]
     )
     assert last_rate < first_rate
+
+
+def test_cdc_chunking_is_shift_robust(spark):
+    """Inserting ONE word near the head must leave every chunk after
+    the first content-anchored boundary identical — the property
+    fixed-width blocks (block_dedup_stats) fundamentally lack."""
+    from dvmax_spark.ext.retrieval import cdc_dedup_stats
+
+    base = [f"w{i}" for i in range(60)]
+    shifted = base[:1] + ["INSERTED"] + base[1:]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base), "a"), (2, " ".join(shifted), "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in cdc_dedup_stats(docs, avg_chunk=16).collect()}
+    # both docs must report duplicated chunk mass (the shared tail)...
+    assert out["a"]["n_dup_chunks"] >= 1 and out["b"]["n_dup_chunks"] >= 1
+    # ...but not everything (the head chunk differs by the insertion)
+    assert out["b"]["n_dup_chunks"] < out["b"]["n_chunks"]
+    # and the duplicated token mass is the bulk of the documents
+    assert out["a"]["dup_tokens"] >= 40
