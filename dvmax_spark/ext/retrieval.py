@@ -1036,3 +1036,139 @@ def cdc_dedup_stats_sql(
     FROM chunks JOIN freq USING (h)
     GROUP BY grp ORDER BY grp
     """
+
+
+# ----------------------------------------------------------- winnowing
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Winnowing fingerprint sampling (Schleimer et al. 2003, the
+    MOSS algorithm): every window of ``w`` consecutive k-gram
+    positions selects its minimum-hash gram, so only ~2/(w+1) of gram
+    positions enter the index while any shared run of w+k-1 tokens
+    still shares at least one selected fingerprint — the window fully
+    inside the shared region selects the SAME gram in both documents
+    (hashes depend only on content, not position). That guarantee is
+    what makes a SAMPLED sub-document dup index sound, and the
+    sampling is the scale win over the exhaustive inverted index
+    dup_span_stats builds: the index shrinks w-fold before any
+    shuffle happens.
+
+    Selection is two per-doc window passes (the classic rule, NOT a
+    ±(w−1) local-minimum — that stricter rule loses the guarantee
+    when doc-specific flanking hashes undercut the shared window's
+    min): win_min per window, then p is selected iff SOME window
+    containing p has win_min == h[p]; since every containing window's
+    min is ≤ h[p], that is max(win_min over containing windows) ==
+    h[p]. Trailing short windows are included identically on both
+    engines (they only ever ADD selections).
+
+    Output per ``group_col``: total gram positions, selected
+    fingerprints (index size), and how many of a doc's distinct
+    fingerprint values also occur in ANOTHER document (the dup
+    signal). All counts exact integers — value-exact cross-engine."""
+    grams = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.posexplode(shingle_seq(text_col, k)).alias("pos", "g"),
+    ).select(
+        id_col, "grp", "pos", _portable_hash(F.col("g")).alias("h")
+    )
+    fwd = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    bwd = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    staged = grams.withColumn("win_min", F.min("h").over(fwd)).withColumn(
+        "sel_min", F.max("win_min").over(bwd)
+    )
+    sel = staged.where(F.col("h") == F.col("sel_min"))
+    fp = sel.select(id_col, "grp", "h").distinct()
+    docs_per_fp = fp.groupBy("h").agg(
+        F.countDistinct(id_col).alias("n_docs_fp")
+    )
+    per_doc = (
+        staged.groupBy(id_col, "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("h") == F.col("sel_min")).cast("int")).alias("n_sel"),
+        )
+    )
+    shared = (
+        fp.join(docs_per_fp, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum((F.col("n_docs_fp") > 1).cast("int")).alias("n_fp_shared"),
+        )
+    )
+    return (
+        per_doc.join(shared, id_col, "left")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_sel").cast("bigint").alias("n_selected"),
+            F.sum(F.coalesce("n_fp", F.lit(0))).cast("bigint").alias("n_fp"),
+            F.sum(F.coalesce("n_fp_shared", F.lit(0)))
+            .cast("bigint")
+            .alias("n_fp_shared"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def winnow_fingerprints_sql(
+    k: int = 4,
+    w: int = 4,
+    table: str = "documents",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    h = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {group_col} AS grp, str_split(text, ' ') AS tk FROM {table}
+    ), grams AS (
+      SELECT doc_id, grp, i AS pos, {h} AS h
+      FROM (
+        SELECT doc_id, grp, i, array_to_string(tk[i:i+{k - 1}], ' ') AS g
+        FROM t, unnest(range(1, len(tk) - {k} + 2)) u(i)
+      )
+    ), winmin AS (
+      SELECT *, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                AS win_min
+      FROM grams
+    ), staged AS (
+      SELECT *, max(win_min) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+                AS sel_min
+      FROM winmin
+    ), fp AS (
+      SELECT DISTINCT doc_id, grp, h FROM staged WHERE h = sel_min
+    ), docs_per_fp AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs_fp FROM fp GROUP BY h
+    ), per_doc AS (
+      SELECT doc_id, grp, count(*) AS n_grams,
+             CAST(sum(CASE WHEN h = sel_min THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+      FROM staged GROUP BY doc_id, grp
+    ), shared AS (
+      SELECT fp.doc_id, count(*) AS n_fp,
+             CAST(sum(CASE WHEN n_docs_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fp_shared
+      FROM fp JOIN docs_per_fp USING (h) GROUP BY fp.doc_id
+    )
+    SELECT p.grp AS {group_col},
+           CAST(sum(p.n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(p.n_sel) AS BIGINT) AS n_selected,
+           CAST(sum(COALESCE(s.n_fp, 0)) AS BIGINT) AS n_fp,
+           CAST(sum(COALESCE(s.n_fp_shared, 0)) AS BIGINT) AS n_fp_shared
+    FROM per_doc p LEFT JOIN shared s USING (doc_id)
+    GROUP BY p.grp ORDER BY p.grp
+    """

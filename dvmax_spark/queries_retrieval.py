@@ -182,3 +182,16 @@ def x_cdc_dedup(spark: SparkSession, sf: str) -> DataFrame:
     source. The third tier of the sub-document dedup family (gram
     spans, fixed blocks, content-defined chunks). Value-exact."""
     return cdc_dedup_stats(load_table(spark, "documents", sf), avg_chunk=16)
+
+
+from dvmax_spark.ext.retrieval import winnow_fingerprints, winnow_fingerprints_sql
+
+
+@query("x_winnow_fp", ids=("X10", "X15"), sql=winnow_fingerprints_sql(k=4, w=4))
+def x_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-family fingerprint sampling (local-minima selection
+    over 4-gram hashes, cf. MOSS): only ~1/w of gram positions enter
+    the dup index while any shared w+k-1-token run still collides —
+    the sampled alternative to the exhaustive inverted index, with
+    per-source index-size and shared-fingerprint stats. Value-exact."""
+    return winnow_fingerprints(load_table(spark, "documents", sf), k=4, w=4)

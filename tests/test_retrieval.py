@@ -371,3 +371,25 @@ def test_cdc_chunking_is_shift_robust(spark):
     assert out["b"]["n_dup_chunks"] < out["b"]["n_chunks"]
     # and the duplicated token mass is the bulk of the documents
     assert out["a"]["dup_tokens"] >= 40
+
+
+def test_winnow_guarantee_and_compression(spark):
+    """The winnowing contract: two docs sharing a (w+k-1)-token run
+    must share >= 1 selected fingerprint; selection compresses the
+    index (selected << grams); a unique doc shares nothing."""
+    from dvmax_spark.ext.retrieval import winnow_fingerprints
+
+    shared_run = " ".join(f"s{i}" for i in range(7))  # w+k-1 = 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared_run + " a4 a5 a6", "x"),
+            (2, "b1 b2 b3 b4 " + shared_run + " b5 b6", "y"),
+            (3, " ".join(f"u{i}" for i in range(18)), "z"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in winnow_fingerprints(docs, k=4, w=4).collect()}
+    assert out["x"]["n_fp_shared"] >= 1 and out["y"]["n_fp_shared"] >= 1
+    assert out["z"]["n_fp_shared"] == 0
+    for r in out.values():  # sampling actually compresses
+        assert r["n_selected"] < r["n_grams"]
