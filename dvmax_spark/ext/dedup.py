@@ -1085,3 +1085,220 @@ def canonical_by_degree_sql(
     FROM ranked WHERE rn = 1 AND cluster_size > 1
     ORDER BY cluster_id
     """
+
+
+def pagerank_centrality(
+    pairs: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    top_k: int = 20,
+) -> DataFrame:
+    """Fixed-point PageRank over the undirected near-dup pair graph —
+    the principled upgrade of :func:`canonical_by_degree`'s degree
+    policy (a template hub linked to many *other* hubs outranks an
+    equal-degree leaf fringe; cf. Page et al. 1999). Reference parity:
+    the reference has no graph operators at all — this extends the
+    near-dup family (dvmax has only flat pair lists).
+
+    Value-exactness is the point: all arithmetic is BIGINT fixed-point
+    (rank scaled by ``scale``), every division an integer ``div``, and
+    the per-node mass a SUM of integers — associative and
+    order-independent, so Spark's partial aggregation and DuckDB's
+    serial fold agree bit-for-bit. The recurrence both engines run:
+
+        rank0(v)   = scale div N
+        rank_{i+1}(v) = (15*(scale div N)) div 100
+                      + (85 * sum_{u~v} (rank_i(u) div deg(u))) div 100
+
+    Nodes are edge endpoints only (an undirected graph restricted to
+    endpoints has no dangling nodes, so no teleport-mass correction
+    term is needed).
+
+    Scale shape: each iteration is one join of the rank vector with the
+    edge list (both partitioned by src after the first shuffle) plus
+    one aggregation by dst — the canonical distributed PageRank step.
+    ``localCheckpoint`` per iteration truncates lineage, exactly as
+    :func:`dedup_clusters` does; at cluster scale the edge list would
+    be persisted once and reused across all iterations.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_row = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # 1-row broadcast: N reaches every node without a driver collect
+    nodes = deg.crossJoin(F.broadcast(n_row))
+    ranks = nodes.select(
+        "src", "outdeg", "n_nodes", F.expr(f"{scale} div n_nodes").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.select("src", F.expr("rank div outdeg").alias("share"))
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["src"] == contrib["dst"], "left")
+            .select(
+                nodes["src"],
+                nodes["outdeg"],
+                nodes["n_nodes"],
+                F.expr(
+                    f"(15 * ({scale} div n_nodes)) div 100"
+                    " + (85 * coalesce(mass, 0L)) div 100"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("src"))
+        .limit(top_k)
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("outdeg").cast("long").alias("degree"),
+            F.col("rank").cast("long").alias("pagerank_fp"),
+        )
+    )
+
+
+def pagerank_centrality_sql(
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.1,
+    table: str = "documents",
+    iters: int = 5,
+    scale: int = 10**12,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`pagerank_centrality` over
+    :func:`minhash_lsh_pairs` evidence — the ``iters`` PageRank steps
+    unrolled as chained CTEs running the identical BIGINT fixed-point
+    recurrence (``//`` is floor division; all values are positive, so
+    it matches Spark's truncating ``div``)."""
+    ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
+    step_ctes = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        step_ctes.append(
+            f"""r{i} AS (
+      SELECT n.src, n.outdeg, n.n_nodes,
+             (15 * ({scale} // n.n_nodes)) // 100
+             + (85 * COALESCE(s.mass, 0)) // 100 AS rank
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst, sum(r.rank // r.outdeg) AS mass
+        FROM {prev} r JOIN edges e ON e.src = r.src GROUP BY e.dst
+      ) s ON s.dst = n.src
+    )"""
+        )
+        prev = f"r{i}"
+    steps = ",\n    ".join(step_ctes)
+    return f"""
+    WITH {ctes},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    meta AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (
+      SELECT d.src, d.outdeg, m.n_nodes, {scale} // m.n_nodes AS rank
+      FROM deg d CROSS JOIN meta m
+    ),
+    {steps}
+    SELECT src AS doc_id, CAST(outdeg AS BIGINT) AS degree,
+           CAST(rank AS BIGINT) AS pagerank_fp
+    FROM {prev}
+    ORDER BY rank DESC, src LIMIT {top_k}
+    """
+
+
+def dup_graph_census(pairs: DataFrame) -> DataFrame:
+    """Global census of the near-dup pair graph — nodes, edges, wedges
+    (open 2-paths), triangles, and the global clustering coefficient
+    3·T/wedges as exact ppm: ONE row that tells you whether dup mass
+    is chains/stars (cc→0: template fan-out) or dense cliques (cc→1:
+    mirrored corpora) — which decides canonical-selection policy.
+
+    Triangle counting is the classic a<b<c ordered two-join: each
+    triangle is counted exactly once from its lowest-id corner. The
+    ordering is precisely the degree-bounding orientation trick for
+    hub-capped pair lists (minhash_lsh_pairs' bucket caps already
+    bound the per-node degree, so the wedge join cannot blow up on a
+    mega-hub). All counts are BIGINT and the coefficient is an exact
+    integer div — value-exact cross-engine.
+    """
+    e = pairs.select("id_a", "id_b").distinct()
+    sym = e.unionAll(e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    # wedges rooted at b with a < b < c, closed by (a, c) ∈ E
+    w2 = (
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .join(e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c")), "b")
+        .join(
+            e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+    )
+    tri = w2.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN (3000000 * n_triangles) div n_wedges ELSE 0 END"
+            )
+            .cast("long")
+            .alias("gcc_ppm"),
+        )
+    )
+
+
+def dup_graph_census_sql(
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 2,
+    threshold: float = 0.1,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dup_graph_census` over
+    :func:`minhash_lsh_pairs` evidence."""
+    ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
+    return f"""
+    WITH {ctes},
+    e AS (SELECT DISTINCT id_a, id_b FROM lsh_pairs),
+    sym AS (SELECT id_a, id_b FROM e UNION ALL SELECT id_b, id_a FROM e),
+    deg AS (SELECT id_a, count(*) AS deg FROM sym GROUP BY id_a),
+    w AS (SELECT count(*) AS n_nodes,
+                 CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg),
+    ne AS (SELECT count(*) AS n_edges FROM e),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+      WHERE EXISTS (SELECT 1 FROM e e3
+                    WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN n_wedges > 0
+                THEN (3000000 * n_triangles) // n_wedges ELSE 0 END AS BIGINT)
+             AS gcc_ppm
+    FROM w CROSS JOIN ne CROSS JOIN tri
+    """

@@ -33,6 +33,7 @@ __all__ = [
     "vocabulary_sql",
     "bm25_rank",
     "bm25_rank_sql",
+    "bm25_from_index",
     "dup_span_stats",
     "dup_span_stats_sql",
     "block_dedup_stats",
@@ -127,6 +128,64 @@ def bm25_rank(
     scored = (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * norm), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def bm25_from_index(
+    spark,
+    path: str,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """BM25 top-``k`` scored from a persisted inverted index
+    (streaming/ingest.py:stream_into_bm25) instead of the raw corpus:
+    postings supply (token, doc_id, dl, tf); the stats table supplies
+    n_docs / len_sum, from which avgdl is the same double division
+    Spark's ``avg`` performs (integral avg accumulates exactly for any
+    realistic corpus length sum < 2^53). Identical scoring expressions
+    to :func:`bm25_rank`, so index-scored ranks are value-exact against
+    the one-shot corpus scan — proven by the t_stream_bm25 query, whose
+    oracle IS the batch SQL.
+
+    Scale shape: the token filter prunes the postings scan (parquet
+    row-group stats on the token column; a production deployment would
+    additionally bucketBy(token) so each query term touches one
+    bucket); df is an aggregate of the filtered postings only; the
+    corpus never participates."""
+    import os
+
+    from pyspark.sql import SparkSession  # noqa: F401
+
+    if not terms:
+        raise ValueError("bm25_from_index needs at least one query term")
+    post = spark.read.parquet(os.path.join(path, "postings")).where(
+        F.col("token").isin(*terms)
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    corpus = stats.select(
+        F.col("n_docs").cast("double").alias("n_docs"),
+        (F.col("len_sum").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    dfreq = (
+        post.select("token", id_col).distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(corpus))
         .groupBy(id_col)
         .agg(F.round(F.sum(idf * norm), 4).alias("bm25"))
     )

@@ -652,3 +652,76 @@ def gopher_rules_sql(
                 ELSE 'ok' END) = 'ok' AS keep
     FROM ratios ORDER BY doc_id
     """
+
+
+def token_entropy(
+    df: DataFrame,
+    min_tokens: int = 20,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy, surfacing the
+    ``k`` LOWEST-entropy documents of ``min_tokens``+ length — the
+    information-theoretic repetition filter: a doc that keeps reusing
+    the same few tokens has low entropy regardless of WHICH pattern
+    repeats, catching what the duplicate-fraction and top-bigram
+    heuristics (:func:`repetition_stats`) each see only partially.
+
+    Exactness: H = ln(n) − (1/n)·Σ n_c·ln(n_c) is computed as exact
+    BIGINT ppm — each per-token-type term rounds ONCE
+    (round(ln(n_c)·n_c·1e6)), the per-doc sum is an integer sum
+    (order-independent, so Spark's partial aggregation agrees with
+    DuckDB's serial fold), and the final combination is an integer
+    div. Scale shape: one explode → (doc, token) hash-agg → per-doc
+    agg; no joins, no corpus-global state.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    c = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n_c"))
+    d = c.groupBy(id_col).agg(
+        F.sum("n_c").alias("n_tokens"),
+        F.sum(
+            F.expr("CAST(round(ln(n_c) * n_c * 1000000.0) AS BIGINT)")
+        ).alias("s_ppm"),
+    )
+    ent = (
+        F.expr("CAST(round(ln(n_tokens) * 1000000.0) AS BIGINT)")
+        - F.expr("s_ppm div n_tokens")
+    ).alias("entropy_x1e6")
+    return (
+        d.where(F.col("n_tokens") >= min_tokens)
+        .select(id_col, "n_tokens", ent)
+        .orderBy(F.asc("entropy_x1e6"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def token_entropy_sql(
+    min_tokens: int = 20,
+    k: int = 20,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`token_entropy` — identical ppm rounding
+    points and integer division."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM {table}
+      ) WHERE tok <> ''
+    ), c AS (
+      SELECT doc_id, tok, count(*) AS n_c FROM toks GROUP BY doc_id, tok
+    ), d AS (
+      SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(round(ln(n_c) * n_c * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS s_ppm
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CAST(round(ln(n_tokens) * 1000000.0) AS BIGINT)
+                - (s_ppm // n_tokens) AS BIGINT) AS entropy_x1e6
+    FROM d WHERE n_tokens >= {min_tokens}
+    ORDER BY entropy_x1e6 ASC, doc_id ASC LIMIT {k}
+    """

@@ -1509,3 +1509,59 @@ def x_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("is_regular"),
     ).orderBy("user_id")
+
+
+# ------------------------------------------------------ dup-graph pagerank
+from dvmax_spark.ext.dedup import pagerank_centrality, pagerank_centrality_sql
+
+
+@query("x_dup_pagerank", ids=("X17", "X3"), bench=True, sql=pagerank_centrality_sql())
+def x_dup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph — ranks
+    template hubs by the centrality of their neighbours, not just
+    degree (the :func:`canonical_by_degree` upgrade). All-BIGINT
+    fixed-point iteration, so the 5-step distributed computation is
+    value-exact against the unrolled-CTE oracle."""
+    docs = load_table(spark, "documents", sf)
+    pairs = minhash_lsh_pairs(
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
+        num_hashes=32,
+        bands=16,
+        shingle_n=2,
+        threshold=0.1,
+    )
+    return pagerank_centrality(pairs)
+
+
+from dvmax_spark.ext.dedup import dup_graph_census, dup_graph_census_sql
+
+
+@query("x_dup_graph_census", ids=("X17", "X3"), sql=dup_graph_census_sql())
+def x_dup_graph_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup graph census: nodes / edges / wedges / triangles and
+    the global clustering coefficient as exact ppm — one row that
+    says whether dup mass is template fan-out (stars, cc→0) or
+    mirrored corpora (cliques, cc→1). Ordered a<b<c two-join triangle
+    count; value-exact."""
+    docs = load_table(spark, "documents", sf)
+    pairs = minhash_lsh_pairs(
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
+        num_hashes=32,
+        bands=16,
+        shingle_n=2,
+        threshold=0.1,
+    )
+    return dup_graph_census(pairs)
+
+
+from dvmax_spark.ext.textstats import token_entropy, token_entropy_sql
+
+
+@query("x_token_entropy", ids=("X8", "X15"), sql=token_entropy_sql())
+def x_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Information-theoretic repetition filter: the 20 lowest
+    token-entropy documents (≥20 tokens) — catches ANY low-diversity
+    pattern the duplicate-fraction / top-bigram heuristics see only
+    partially. Exact-BIGINT ppm entropy (single-rounded per-type
+    terms, integer sums), value-exact."""
+    return token_entropy(load_table(spark, "documents", sf))

@@ -195,3 +195,72 @@ def x_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
     the sampled alternative to the exhaustive inverted index, with
     per-source index-size and shared-fingerprint stats. Value-exact."""
     return winnow_fingerprints(load_table(spark, "documents", sf), k=4, w=4)
+
+
+from dvmax_spark.ext.retrieval import bm25_from_index
+
+
+@query(
+    "t_stream_bm25",
+    ids=("X7", "T3", "S11"),
+    sql=bm25_rank_sql(_BM25_TERMS, k=20),
+)
+def t_stream_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING BM25 index maintenance, run for real: the corpus
+    arrives as 3 micro-batches; each batch's postings land in a
+    batch-keyed partition and the corpus scalars merge into a
+    marker-committed stats table (streaming/ingest.py:stream_into_bm25
+    — replay-idempotent / exactly-once). The top-20 is then scored
+    FROM THE INDEX with no document rescan, and the oracle is the
+    one-shot batch BM25 SQL: a hash match proves index-maintained
+    scoring is value-exact regardless of micro-batch slicing."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.streaming.ingest import stream_into_bm25
+
+    docs = load_table(spark, "documents", sf)
+    run_id = _uuid.uuid4().hex[:10]
+    base = _os.path.join(_tf.gettempdir(), f"dvmax_bm25_{_os.getpid()}_{run_id}")
+    in_dir = _os.path.join(base, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    staged = docs.withColumn("_b", F.ntile(3).over(_W.orderBy("doc_id")))
+    now = None
+    for i in (1, 2, 3):
+        p = _os.path.join(base, f"s{i}")
+        staged.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        part = next(
+            f
+            for f in _os.listdir(p)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = _os.path.join(in_dir, f"{i:03d}.parquet")
+        _os.replace(_os.path.join(p, part), dst)
+        if now is None:
+            now = _os.stat(dst).st_mtime
+        _os.utime(dst, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_into_bm25(
+            stream,
+            _os.path.join(base, "index"),
+            checkpoint_dir=_os.path.join(base, "ckpt"),
+            query_name=f"bm25_{run_id}",
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return bm25_from_index(spark, _os.path.join(base, "index"), _BM25_TERMS, k=20)

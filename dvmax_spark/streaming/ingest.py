@@ -413,3 +413,99 @@ def stream_into_dsir_model(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_bm25(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "bm25_ingest",
+    available_now: bool = True,
+):
+    """Maintain a persisted BM25 inverted index from a document
+    stream: per micro-batch the batch docs' postings
+    ``(token, doc_id, dl, tf)`` land in a batch-keyed partition of
+    ``path/postings`` (replay-idempotent dynamic partition overwrite —
+    the dedup_ingest contract), and the corpus scalars
+    ``(n_docs, len_sum)`` integer-merge into a marker-committed
+    ``path/stats`` table (exactly-once, the stream_into_sketches
+    contract). Any later query then BM25-scores against everything
+    ingested so far via ext.retrieval.bm25_from_index — no document is
+    ever rescanned, because tf/dl are per-doc (computable from the
+    batch alone) and (n_docs, len_sum, df) are count monoids.
+
+    Crash windows: postings commit BEFORE the stats marker, and the
+    postings write is idempotent, so a replay after any crash point
+    rewrites the identical partition and then applies (or skips) the
+    stats merge — the pair can never double-count or diverge.
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.fsops import recover_swap, swap_dir
+
+    postings_dir = os.path.join(path, "postings")
+    stats_dir = os.path.join(path, "stats")
+
+    def _applied(batch_id: int) -> bool:
+        try:
+            with open(os.path.join(stats_dir, "_meta.json")) as fh:
+                return json.load(fh)["batch_id"] >= batch_id
+        except (OSError, ValueError, KeyError):
+            return False
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swap(stats_dir)
+        if _applied(batch_id) or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        toks = batch_df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).alias("dl"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        post = (
+            toks.groupBy("token", id_col, "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("ingest_batch", F.lit(str(batch_id)))
+        )
+        (
+            post.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .option("compression", "zstd")
+            .parquet(postings_dir)
+        )
+        new = batch_df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("len_sum"),
+        )
+        if os.path.isdir(stats_dir):
+            cur = spark.read.parquet(stats_dir)
+            merged = cur.unionByName(new).agg(
+                F.sum("n_docs").alias("n_docs"), F.sum("len_sum").alias("len_sum")
+            )
+        else:
+            merged = new
+        staging = stats_dir + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        with open(os.path.join(staging, "_meta.json"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        retired = swap_dir(stats_dir, staging)
+        if retired:
+            shutil.rmtree(retired, ignore_errors=True)
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -904,3 +904,87 @@ def test_bot_regularity_flags_constant_cadence(spark):
     stats = {r["user_id"]: (r["n"] * r["s2"] - r["s"] * r["s"], r["n"]) for r in a}
     assert stats[1][0] == 0                      # perfectly regular -> zero variance
     assert stats[2][0] >= 900 * stats[2][1] ** 2  # jittered -> std >= 30s
+
+
+def test_pagerank_matches_pure_python_recurrence(spark):
+    """pagerank_centrality against an independent pure-Python
+    implementation of the same BIGINT fixed-point recurrence on a
+    handcrafted graph: a 5-star (hub 0) bridged to a triangle (5,6,7)
+    via edge 0-5. The hub must outrank every leaf, and every scaled
+    rank must match the serial reference bit-for-bit."""
+    from dvmax_spark.ext.dedup import pagerank_centrality
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (5, 6), (5, 7), (6, 7)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: (r.degree, r.pagerank_fp)
+        for r in pagerank_centrality(pairs, iters=5).collect()
+    }
+
+    edges = {}
+    for a, b in [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (5, 6), (5, 7), (6, 7)]:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    scale, n = 10**12, len(edges)
+    rank = {v: scale // n for v in edges}
+    for _ in range(5):
+        mass = {v: 0 for v in edges}
+        for u, nbrs in edges.items():
+            share = rank[u] // len(nbrs)
+            for v in nbrs:
+                mass[v] += share
+        rank = {
+            v: (15 * (scale // n)) // 100 + (85 * mass[v]) // 100 for v in edges
+        }
+    want = {v: (len(edges[v]), rank[v]) for v in edges}
+    assert got == want
+    assert got[0][1] == max(r for _, r in got.values())  # hub on top
+    # conservation: fixed-point floor-div only loses mass, never creates
+    assert sum(r for _, r in got.values()) <= scale
+
+
+def test_dup_graph_census_known_graph(spark):
+    """Census on a handcrafted graph (triangle 0-1-2 plus pendant
+    2-3): 4 nodes, 4 edges, 5 wedges, 1 triangle, gcc = 3/5."""
+    from dvmax_spark.ext.dedup import dup_graph_census
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    row = dup_graph_census(pairs).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 4, 5, 1)
+    assert row.gcc_ppm == 3_000_000 // 5
+
+
+def test_token_entropy_exact_and_ordered(spark):
+    """Entropy on handcrafted docs matches the serial ppm recurrence
+    bit-for-bit, and the all-same-token doc ranks below the diverse
+    one (entropy 0 vs ln(25))."""
+    import math
+
+    from dvmax_spark.ext.textstats import token_entropy
+
+    rep = " ".join(["spam"] * 25)
+    div = " ".join(f"w{i}" for i in range(25))
+    half = " ".join(["a"] * 13 + ["b"] * 12)
+    df = spark.createDataFrame(
+        [(1, rep), (2, div), (3, half)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.entropy_x1e6)
+           for r in token_entropy(df, min_tokens=20, k=10).collect()}
+
+    def ppm(counts):
+        n = sum(counts)
+        s = sum(round(math.log(c) * c * 1e6) for c in counts)
+        return round(math.log(n) * 1e6) - s // n
+
+    assert got == {
+        1: (25, ppm([25])),
+        2: (25, ppm([1] * 25)),
+        3: (25, ppm([13, 12])),
+    }
+    # all-same-token => zero entropy up to the 1-ppm floor-div residue
+    assert got[1][1] <= 1
+    assert got[1][1] < got[3][1] < got[2][1]

@@ -544,3 +544,40 @@ def test_soft_dedup_mass_plan_shape(spark):
     plan = _simple_plan(_q(spark, "x_soft_dedup_mass"))
     assert "Python" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_pagerank_iteration_stays_jvm_side(spark):
+    """Lineage truncation + JVM-side iteration: the RETURNED frame's
+    plan must be a top-k over the checkpointed rank RDD (no stacked
+    3-iteration join tree, no Python), and a single un-checkpointed
+    step must be exactly one rank⋈edges join plus one dst hash
+    aggregation with map-side partial aggregation."""
+    import pyspark.sql.functions as F
+
+    from dvmax_spark.ext.dedup import pagerank_centrality
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    df = pagerank_centrality(pairs, iters=3)
+    plan = _simple_plan(df)
+    assert "Python" not in plan, plan
+    # checkpoint truncation: final plan scans the checkpointed rank
+    # RDD; the 3-iteration join tree must NOT reappear
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0, plan
+
+    # one live (un-checkpointed) step: rank⋈edges + dst aggregation
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    ranks = pagerank_centrality(pairs, iters=1)
+    step = (
+        ranks.select(F.col("doc_id").alias("src"), F.col("pagerank_fp").alias("rank"))
+        .join(edges, "src")
+        .groupBy("dst")
+        .agg(F.sum("rank").alias("mass"))
+    )
+    splan = _simple_plan(step)
+    assert "Python" not in splan, splan
+    assert "HashAggregate" in splan, splan

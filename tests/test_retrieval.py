@@ -393,3 +393,71 @@ def test_winnow_guarantee_and_compression(spark):
     assert out["z"]["n_fp_shared"] == 0
     for r in out.values():  # sampling actually compresses
         assert r["n_selected"] < r["n_grams"]
+
+
+def test_stream_into_bm25_equals_batch_and_survives_crash(spark, tmp_path):
+    """The streamed BM25 index must score EXACTLY like the one-shot
+    corpus scan (tf/dl are per-doc, n_docs/len_sum/df are count
+    monoids), survive a crashed stats promote mid-swap, and replay a
+    micro-batch idempotently (postings partition overwrite + stats
+    marker)."""
+    import os
+    import shutil
+
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.retrieval import bm25_from_index
+    from dvmax_spark.streaming.ingest import stream_into_bm25
+
+    terms = ("table", "spark", "join", "customer")
+    docs = load_table(spark, "documents", SF_DIR_CORRECT).select("doc_id", "text")
+    pdf = docs.toPandas()
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    path = str(tmp_path / "index")
+
+    def _feed(sl, name):
+        spark.createDataFrame(sl).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(str(tmp_path / name), f),
+                    os.path.join(in_dir, name + ".parquet"),
+                )
+
+    def _drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+        q = stream_into_bm25(
+            stream, path, checkpoint_dir=str(tmp_path / "ck"), query_name="bm25_t"
+        )
+        q.awaitTermination(120)
+
+    _feed(pdf.iloc[:200], "b1")
+    _drain()
+    stats_dir = os.path.join(path, "stats")
+    os.rename(stats_dir, stats_dir + ".old")  # crash window mid-promote
+    _feed(pdf.iloc[200:], "b2")
+    _drain()
+
+    from dvmax_spark.ext.retrieval import bm25_rank
+
+    got = {r["doc_id"]: r["bm25"] for r in
+           bm25_from_index(spark, path, terms, k=20).collect()}
+    want = {r["doc_id"]: r["bm25"] for r in bm25_rank(docs, terms, k=20).collect()}
+    assert got == want
+
+    # replay idempotence: clear the checkpoint so the whole input
+    # replays as batch 0 — the stats marker (batch_id 1 already
+    # applied) must gate the non-idempotent count merge, leaving both
+    # stores byte-identical
+    n_before = spark.read.parquet(stats_dir).collect()[0]
+    shutil.rmtree(str(tmp_path / "ck"))
+    _drain()
+    n_after = spark.read.parquet(stats_dir).collect()[0]
+    assert (n_before["n_docs"], n_before["len_sum"]) == (
+        n_after["n_docs"], n_after["len_sum"],
+    )
+    got2 = {r["doc_id"]: r["bm25"] for r in
+            bm25_from_index(spark, path, terms, k=20).collect()}
+    assert got2 == want
