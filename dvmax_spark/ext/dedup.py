@@ -1302,3 +1302,144 @@ def dup_graph_census_sql(
              AS gcc_ppm
     FROM w CROSS JOIN ne CROSS JOIN tri
     """
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold_ppm: int = 300_000,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (the AllPairs/PPJoin family — Bayardo et al. WWW'07,
+    Vernica et al. SIGMOD'10): every document pair whose n-gram
+    shingle-set Jaccard is ≥ t, WITHOUT the all-pairs product and
+    WITHOUT the hot-token recall loss of
+    :func:`ngram_jaccard_pairs`'s ``max_doc_freq`` cap. Reference
+    parity: the reference has no set-similarity join at all; this is
+    the exact complement of the approximate MinHash path (X2/X3).
+
+    Losslessness argument (the invariant the oracle checks): order
+    every doc's shingles by ascending global document frequency
+    (ties by shingle). If J(a,b) ≥ t then the intersection size I
+    satisfies I ≥ ⌈t·|a|⌉ and I ≥ ⌈t·|b|⌉, so a shared shingle MUST
+    appear within the first |x| − ⌈t·|x|⌉ + 1 shingles of BOTH docs —
+    join only those prefixes. Candidates additionally pass the length
+    filter min·10⁶ ≥ t_ppm·max and PPJoin's positional filter
+    1 + min(|a|−rk_a, |b|−rk_b) ≥ minoverlap(a,b); the final exact
+    intersection count then keeps precisely J ≥ t. All comparisons
+    are integer ppm arithmetic — no float anywhere — so the pruned
+    distributed result is bit-equal to DuckDB's brute-force all-pairs
+    scan (the strongest correctness statement available: algorithmic
+    equivalence, not same-code-twice).
+
+    Scale shape: one shingle-frequency aggregation, one per-doc
+    row_number window (docs are small), a self-join restricted to the
+    globally RAREST ~(1−t)·|d| shingles of each doc (candidate space
+    is Σ_prefix-shingles df², collapsing as t grows), and one
+    intersection-count join over candidates only. Degenerate corpora
+    where the TRUE output is quadratic (all docs near-identical) cost
+    what the output costs — that is inherent to exactness, and the
+    approximate MinHash path is the escape hatch at that point.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("tok"),
+    )
+    sz = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "tok")),
+    )
+    # prefix length |d| - ceil(t*|d|) + 1, all-integer ceil division
+    pre = ranked.join(sz, "id").where(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(f"({threshold_ppm} * n + 999999) div 1000000")
+        + 1
+    )
+    a = pre.select(
+        F.col("id").alias("id_a"), "tok", F.col("n").alias("na"), F.col("rk").alias("rka")
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"), "tok", F.col("n").alias("nb"), F.col("rk").alias("rkb")
+    )
+    minov = F.expr(
+        f"({threshold_ppm} * (na + nb) + {1_000_000 + threshold_ppm} - 1)"
+        f" div {1_000_000 + threshold_ppm}"
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: min size must reach t * max size
+        .where(
+            F.least("na", "nb") * F.lit(1_000_000)
+            >= F.lit(threshold_ppm) * F.greatest("na", "nb")
+        )
+        # PPJoin positional filter: tokens at/after this prefix slot
+        # cannot supply minoverlap shared tokens
+        .where(
+            F.lit(1) + F.least(F.col("na") - F.col("rka"), F.col("nb") - F.col("rkb"))
+            >= minov
+        )
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("id").alias("id_a"), "tok"), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), "tok"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    return (
+        inter.withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter_sz"))
+        .where(
+            F.col("inter_sz") * F.lit(1_000_000)
+            >= F.lit(threshold_ppm) * F.col("union_sz")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter_sz").cast("long").alias("inter_sz"),
+            F.col("union_sz").cast("long").alias("union_sz"),
+            F.expr("(inter_sz * 1000000) div union_sz").cast("long").alias("jaccard_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def jaccard_prefix_join_sql(
+    threshold_ppm: int = 300_000, shingle_n: int = 3, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`jaccard_prefix_join` — deliberately
+    the BRUTE-FORCE all-pairs scan (inverted-index intersection with
+    no prefix/length/positional pruning): a hash match proves the
+    distributed pruned algorithm is lossless, not merely that the
+    same code ran twice."""
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(shingle_n))
+    return f"""
+    WITH toksl AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM {table}
+    ), toks AS (
+      SELECT DISTINCT doc_id, {gram} AS tok
+      FROM toksl, UNNEST(range(1, len(t) - {shingle_n} + 2)) AS u(i)
+      WHERE len(t) >= {shingle_n}
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS BIGINT) AS inter_sz,
+           CAST(sa.n + sb.n - i AS BIGINT) AS union_sz,
+           CAST((i * 1000000) // (sa.n + sb.n - i) AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1000000 >= {threshold_ppm} * (sa.n + sb.n - i)
+    ORDER BY id_a, id_b
+    """

@@ -1565,3 +1565,19 @@ def x_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     partially. Exact-BIGINT ppm entropy (single-rounded per-type
     terms, integer sums), value-exact."""
     return token_entropy(load_table(spark, "documents", sf))
+
+
+# --------------------------------------------- exact set-similarity join
+from dvmax_spark.ext.dedup import jaccard_prefix_join, jaccard_prefix_join_sql
+
+
+@query("x_jaccard_prefix_join", ids=("X2", "X17"), sql=jaccard_prefix_join_sql())
+def x_jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT Jaccard≥t set-similarity self-join via prefix filtering
+    (AllPairs/PPJoin) over trigram shingle sets — candidates come only
+    from each doc's globally rarest shingles, with length and PPJoin
+    positional filters, then an exact intersection count. The oracle
+    is the BRUTE-FORCE all-pairs scan, so a hash match proves the
+    pruning is lossless (algorithmic equivalence, not same-code-twice).
+    All-integer ppm arithmetic; value-exact."""
+    return jaccard_prefix_join(load_table(spark, "documents", sf))

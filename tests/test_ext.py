@@ -988,3 +988,84 @@ def test_token_entropy_exact_and_ordered(spark):
     # all-same-token => zero entropy up to the 1-ppm floor-div residue
     assert got[1][1] <= 1
     assert got[1][1] < got[3][1] < got[2][1]
+
+
+def test_jaccard_prefix_join_lossless_vs_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS even in the stress case where
+    the shared shingles are the globally most frequent (they sort LAST
+    in rarity order, so only the prefix bound — not luck — keeps the
+    pair): compare against a pure-Python brute force over every pair."""
+    from itertools import combinations
+
+    from dvmax_spark.ext.dedup import jaccard_prefix_join
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, common + " one two"),            # near-dup of 2 via common grams
+        (2, common + " three four"),
+        (3, common),                         # subset doc
+        (4, "iota kappa lambda mu nu xi omicron pi rho sigma"),  # disjoint
+        (5, "alpha beta gamma tau upsilon phi chi psi omega iota"),
+        (6, "one two three four five six seven eight nine ten"),
+    ]
+    t_ppm, n = 300_000, 3
+    got = {
+        (r.id_a, r.id_b): (r.inter_sz, r.union_sz, r.jaccard_ppm)
+        for r in jaccard_prefix_join(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            threshold_ppm=t_ppm,
+            shingle_n=n,
+        ).collect()
+    }
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    sets = {i: sh(tx) for i, tx in rows}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if u and i * 1_000_000 >= t_ppm * u:
+            want[(a, b)] = (i, u, i * 1_000_000 // u)
+    assert got == want
+    assert want, "fixture must actually produce pairs"
+
+
+def test_jaccard_prefix_join_prunes_candidates(spark):
+    """The candidate space the prefix join verifies must be strictly
+    smaller than all-pairs on a corpus with distinctive tails — the
+    point of the algorithm (pruning), checked end-to-end by counting
+    docs that share any PREFIX shingle vs all length-eligible pairs."""
+    import pyspark.sql.functions as F
+
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dedup import shingles
+
+    docs = load_table(spark, "documents", SF)
+    t_ppm, n = 300_000, 3
+    toks = docs.select(
+        F.col("doc_id").alias("id"), F.explode(shingles(F.col("text"), n)).alias("tok")
+    )
+    from pyspark.sql import Window
+
+    sz = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
+    )
+    pre = ranked.join(sz, "id").where(
+        F.col("rk") <= F.col("n") - F.expr(f"({t_ppm} * n + 999999) div 1000000") + 1
+    )
+    cands = (
+        pre.select(F.col("id").alias("id_a"), "tok")
+        .join(pre.select(F.col("id").alias("id_b"), "tok"), "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    n_docs = sz.count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert cands < all_pairs // 2, (cands, all_pairs)

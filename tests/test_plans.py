@@ -581,3 +581,14 @@ def test_pagerank_iteration_stays_jvm_side(spark):
     splan = _simple_plan(step)
     assert "Python" not in splan, splan
     assert "HashAggregate" in splan, splan
+
+
+def test_jaccard_prefix_join_plan_all_jvm(spark):
+    """The exact set-similarity join must be all-Catalyst: no Python,
+    hash aggregation for frequencies/intersections, and the per-doc
+    rarity ranking as a single window — the whole prune-then-verify
+    pipeline stays JVM-side."""
+    plan = _simple_plan(_q(spark, "x_jaccard_prefix_join"))
+    assert "Python" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "Window" in plan, plan
