@@ -204,8 +204,32 @@ def minhash_lsh_pairs(
         trade once docs x num_hashes x bands outgrows cluster shuffle
         capacity (mega-corpus dedup).
     """
-    rows = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_n, id_col=id_col)
+    return lsh_pairs_from_signatures(
+        sig,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        rejoin_signatures=rejoin_signatures,
+        id_col=id_col,
+    )
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+    rejoin_signatures: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banding + candidate generation + position-match scoring over an
+    ``(id_col, signature array<bigint>)`` table — the signature-agnostic
+    back half of :func:`minhash_lsh_pairs`, shared with the
+    one-permutation (:func:`minhash_signature_oph`) variant so both
+    signature schemes feed the identical physical pair pipeline."""
     if rejoin_signatures:
         sig = sig.localCheckpoint(eager=False)
     band_structs = band_structs_expr(num_hashes, bands)
@@ -1441,5 +1465,170 @@ def jaccard_prefix_join_sql(
     JOIN sz sa ON sa.doc_id = id_a
     JOIN sz sb ON sb.doc_id = id_b
     WHERE i * 1000000 >= {threshold_ppm} * (sa.n + sb.n - i)
+    ORDER BY id_a, id_b
+    """
+
+
+def minhash_signature_oph(
+    df: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 64,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-permutation MinHash signature (Li et al. NIPS'12) with
+    cyclic rotation densification (Shrivastava & Li ICML'14): ONE hash
+    per shingle, binned by ``h mod k``; the signature is the per-bin
+    minimum, and empty bins borrow the nearest filled bin to the
+    cyclic right. Same ``(id, signature array<bigint>)`` shape as
+    :func:`minhash_signature`, so banding/pair generation is shared
+    (:func:`lsh_pairs_from_signatures`).
+
+    Why it matters at 100 TB: the classic k-permutation signature
+    evaluates k affine hashes per shingle occurrence — O(tokens × k)
+    aggregate work. OPH evaluates ONE hash and ONE min per shingle —
+    O(tokens) — then pays O(docs × k) for densification, which is
+    signature-sized, not corpus-sized. Same downstream LSH machinery,
+    ~k× less map-side compute on the corpus-sized stream.
+
+    Input docs must have at least ``shingle_n`` tokens (shorter docs
+    have no shingles; callers filter, mirroring the SQL twin's
+    ``len(t) >= n`` gram gate).
+
+    Determinism: bucket assignment and the cyclic-right borrow rule
+    are both exact integer rules on the portable md5 hash, so DuckDB
+    reproduces the signature bit-for-bit (:func:`minhash_oph_sql`).
+    """
+    sh = shingles(text_col, shingle_n)
+    hashed = F.transform(sh, lambda s: _portable_hash(s) % _HASH_MOD)
+    exploded = df.select(F.col(id_col), F.explode(hashed).alias("_h"))
+    sparse = (
+        exploded.withColumn("_b", F.pmod(F.col("_h"), F.lit(num_buckets)))
+        .groupBy(id_col, "_b")
+        .agg(F.min("_h").alias("_m"))
+    )
+    grid = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).alias("_b"),
+    )
+    full = grid.join(sparse, [id_col, "_b"], "left")
+    w_next = (
+        Window.partitionBy(id_col)
+        .orderBy("_b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = (
+        Window.partitionBy(id_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    dens = full.select(
+        F.col(id_col),
+        F.col("_b"),
+        F.coalesce(
+            F.first("_m", ignorenulls=True).over(w_next),
+            F.first("_m", ignorenulls=True).over(w_all),
+        ).alias("_s"),
+    )
+    return (
+        dens.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_b", "_s"))).alias("_ps"))
+        .select(
+            F.col(id_col),
+            F.transform("_ps", lambda p: p["_s"]).alias("signature"),
+        )
+    )
+
+
+def minhash_oph_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs from one-permutation MinHash — the
+    O(tokens) signature front half plus the SAME banded-LSH back half
+    as :func:`minhash_lsh_pairs`."""
+    sig = minhash_signature_oph(df, text_col, num_buckets, shingle_n, id_col=id_col)
+    return lsh_pairs_from_signatures(
+        sig,
+        num_hashes=num_buckets,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        id_col=id_col,
+    )
+
+
+def minhash_oph_sql(
+    num_buckets: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`minhash_oph_pairs` — identical portable
+    hash, bucket rule, cyclic-right densification (window
+    ``first_value IGNORE NULLS`` with a wrap-around fallback), band
+    keys, and position-match scoring."""
+    rows = num_buckets // bands
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(shingle_n))
+    band_keys = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band,"
+        f" string_agg(s::VARCHAR, ',' ORDER BY b) AS band_key"
+        f" FROM dens WHERE b BETWEEN {b * rows} AND {b * rows + rows - 1}"
+        f" GROUP BY doc_id"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toksl AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM {table}
+    ), grams AS (
+      SELECT DISTINCT doc_id, {gram} AS g
+      FROM toksl, UNNEST(range(1, len(t) - {shingle_n} + 2)) AS u(i)
+      WHERE len(t) >= {shingle_n}
+    ), hashed AS (
+      SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000007) AS h
+      FROM grams
+    ), sparse AS (
+      SELECT doc_id, h % {num_buckets} AS b, min(h) AS m FROM hashed GROUP BY 1, 2
+    ), grid AS (
+      SELECT d.doc_id, i AS b
+      FROM (SELECT DISTINCT doc_id FROM grams) d, UNNEST(range(0, {num_buckets})) AS u(i)
+    ), filled AS (
+      SELECT g.doc_id, g.b, s.m FROM grid g
+      LEFT JOIN sparse s ON s.doc_id = g.doc_id AND s.b = g.b
+    ), dens AS (
+      SELECT doc_id, b,
+             coalesce(
+               first_value(m IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+               first_value(m IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             ) AS s
+      FROM filled
+    ), banded AS (
+{band_keys}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN da.s = db.s THEN 1 ELSE 0 END) AS m
+      FROM cand c
+      JOIN dens da ON da.doc_id = c.id_a
+      JOIN dens db ON db.doc_id = c.id_b AND db.b = da.b
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, m / {num_buckets}.0 AS est_jaccard
+    FROM est
+    WHERE m / {num_buckets}.0 >= {threshold}
     ORDER BY id_a, id_b
     """

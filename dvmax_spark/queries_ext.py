@@ -1581,3 +1581,29 @@ def x_jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     pruning is lossless (algorithmic equivalence, not same-code-twice).
     All-integer ppm arithmetic; value-exact."""
     return jaccard_prefix_join(load_table(spark, "documents", sf))
+
+
+# ---------------------------------------------- one-permutation minhash
+from dvmax_spark.ext.dedup import minhash_oph_pairs, minhash_oph_sql
+
+
+@query("x_minhash_oph", ids=("X3", "X17"), bench=True, sql=minhash_oph_sql(threshold=0.25))
+def x_minhash_oph(spark: SparkSession, sf: str) -> DataFrame:
+    """One-permutation MinHash LSH (Li NIPS'12; Shrivastava & Li
+    ICML'14 rotation densification): ONE portable hash per shingle
+    binned mod k with per-bin minima, empty bins borrowing cyclically
+    right — O(tokens) signature work vs the classic O(tokens × k),
+    feeding the SAME banded-LSH pair pipeline. Bucket rule,
+    densification, band keys, and position-match scoring are exact
+    integer constructions, so the pairs are value-exact vs DuckDB."""
+    docs = load_table(spark, "documents", sf)
+    return (
+        minhash_oph_pairs(
+            docs.where(F.size(F.split(F.col("text"), " ")) >= 3),
+            num_buckets=64,
+            bands=16,
+            shingle_n=3,
+            threshold=0.25,
+        )
+        .orderBy("id_a", "id_b")
+    )

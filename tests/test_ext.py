@@ -1069,3 +1069,66 @@ def test_jaccard_prefix_join_prunes_candidates(spark):
     n_docs = sz.count()
     all_pairs = n_docs * (n_docs - 1) // 2
     assert cands < all_pairs // 2, (cands, all_pairs)
+
+
+def test_oph_signature_matches_python_recurrence(spark):
+    """OPH signature vs a pure-Python replay of the same rules (md5
+    portable hash, bucket = h mod k, per-bucket min, cyclic-right
+    densification) on a tiny doc that leaves most buckets empty —
+    the densification path is exercised, not just the filled bins."""
+    import hashlib
+
+    from dvmax_spark.ext.dedup import minhash_signature_oph
+
+    text = "a b c d e f"
+    k = 16
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = minhash_signature_oph(df, num_buckets=k, shingle_n=3).collect()[0]
+
+    toks = text.split(" ")
+    grams = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    MOD = 1_000_000_007
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MOD for g in grams]
+    bins = {}
+    for h in hs:
+        b = h % k
+        bins[b] = min(bins.get(b, h), h)
+    sig = []
+    for i in range(k):
+        if i in bins:
+            sig.append(bins[i])
+        else:
+            nxt = [j for j in range(i + 1, k) if j in bins]
+            wrap = [j for j in range(k) if j in bins]
+            sig.append(bins[nxt[0]] if nxt else bins[wrap[0]])
+    assert got.signature == sig
+    assert len(grams) < k, "fixture must leave empty buckets"
+
+
+def test_oph_recall_vs_exact_jaccard(spark):
+    """Cross-operator audit: every TRUE near-dup pair (exact trigram
+    Jaccard >= 0.3 from the lossless prefix join) must be recovered by
+    the one-permutation LSH at the matched banding — approximation in
+    the signature, not in the recall, on this corpus."""
+    import pyspark.sql.functions as F
+
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dedup import jaccard_prefix_join, minhash_oph_pairs
+
+    docs = load_table(spark, "documents", SF)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_join(docs, threshold_ppm=300_000).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_oph_pairs(
+            docs.where(F.size(F.split(F.col("text"), " ")) >= 3),
+            num_buckets=64,
+            bands=16,
+            shingle_n=3,
+            threshold=0.25,
+        ).collect()
+    }
+    assert truth, "fixture corpus must contain true pairs"
+    assert truth <= got, f"missed true pairs: {sorted(truth - got)[:5]}"

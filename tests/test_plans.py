@@ -592,3 +592,24 @@ def test_jaccard_prefix_join_plan_all_jvm(spark):
     assert "Python" not in plan, plan
     assert "HashAggregate" in plan, plan
     assert "Window" in plan, plan
+
+
+def test_oph_signature_one_min_aggregate(spark):
+    """OPH's corpus-sized aggregation must carry ONE min per (doc,
+    bucket) — not the classic k=64 per-doc aggregate expressions — and
+    stay fully JVM-side; densification is the only window, over the
+    signature-sized grid."""
+    import pyspark.sql.functions as F
+
+    from dvmax_spark.ext.dedup import minhash_signature_oph
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    plan = _simple_plan(minhash_signature_oph(docs, num_buckets=16, shingle_n=3))
+    assert "Python" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "partial_min" in plan or "min(" in plan, plan
+    # the classic path evaluates 64 affine permutations in the agg —
+    # OPH must not: no more than a handful of min expressions
+    assert plan.count("min(") <= 4, plan
