@@ -501,6 +501,15 @@ def dedup_clusters(
             break
 
     comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return _cluster_output(df, comp, id_col, rank_col)
+
+
+def _cluster_output(
+    df: DataFrame, comp: DataFrame, id_col: str, rank_col: str | None
+) -> DataFrame:
+    """Shared (doc, cluster_id, cluster_size, keep) assembly: rejoin
+    singletons as their own cluster, canonical = max ``rank_col``
+    (tie-break min id) per cluster."""
     rank = F.col(rank_col) if rank_col else F.lit(0)
     w = Window.partitionBy("cluster_id")
     wr = Window.partitionBy("cluster_id").orderBy(rank.desc(), F.col(id_col).asc())
@@ -514,6 +523,104 @@ def dedup_clusters(
             (F.row_number().over(wr) == 1).alias("keep"),
         )
     )
+
+
+def connected_components_twophase(
+    pairs: DataFrame,
+    max_rounds: int = 30,
+) -> tuple[DataFrame, int]:
+    """Connected components by the ALTERNATING large-star/small-star
+    algorithm (Kiveris et al., MAPREDUCE'14 "Connected Components in
+    Map-Reduce and Beyond") — the O(log n)-round upgrade of
+    :func:`dedup_clusters`' min-label propagation, whose round count
+    is the component DIAMETER. Star-like dup families converge in 2-4
+    rounds either way; adversarial CHAIN corpora (CDC/shift families,
+    paraphrase chains) have diameter O(n), where label propagation
+    stalls and this converges in O(log n) rounds regardless.
+
+    Each phase is edge-parallel with NO per-node neighbor lists
+    (no collect_list — a mega-hub costs an aggregate, not a row):
+      * large-star: m(u) = min(u, min Γ(u)); rewrite every edge
+        (u, v > u) to (m(u), v).
+      * small-star: hang each edge on its larger endpoint; with
+        m(u) = min of u's smaller neighbors, rewrite them to (m, v)
+        and add (m, u).
+    Both phases preserve connectivity and never give the component
+    minimum a parent, so the fixpoint is a star forest rooted at each
+    component's min id — the SAME labeling min-label propagation
+    yields, which is why the two implementations share one oracle.
+
+    Returns ``(labels, rounds)``: labels is (id, label) for every
+    endpoint of ``pairs``; rounds is the number of LS+SS rounds run
+    (including the final no-change confirmation round).
+    """
+    E = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("mn"),
+            F.greatest("id_a", "id_b").alias("mx"),
+        )
+        .where(F.col("mn") != F.col("mx"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        E.select(F.col("mn").alias("id"))
+        .unionAll(E.select(F.col("mx").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: for each node u, attach every LARGER neighbor to
+        # m(u) = min(u, min neighbor)
+        sym = E.select(F.col("mn").alias("u"), F.col("mx").alias("v")).unionAll(
+            E.select(F.col("mx").alias("u"), F.col("mn").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
+        ls = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("m").alias("mn"), F.col("v").alias("mx"))
+            .where(F.col("mn") != F.col("mx"))
+            .distinct()
+        )
+        # small-star: hang edges on the larger endpoint; connect all of
+        # its smaller neighbors (and itself) to their minimum
+        d = ls.select(F.col("mx").alias("u"), F.col("mn").alias("v"))
+        ms = d.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            d.join(ms, "u")
+            .select(F.col("m").alias("mn"), F.col("v").alias("mx"))
+            .unionAll(ms.select(F.col("m").alias("mn"), F.col("u").alias("mx")))
+            .where(F.col("mn") != F.col("mx"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        changed = ss.exceptAll(E).limit(1).count() + E.exceptAll(ss).limit(1).count()
+        E = ss
+        if changed == 0:
+            break
+    leaves = E.select(F.col("mx").alias("id"), F.col("mn").alias("label"))
+    roots = nodes.join(leaves, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    return leaves.unionAll(roots), rounds
+
+
+def dedup_clusters_twophase(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """:func:`dedup_clusters` with the components computed by
+    :func:`connected_components_twophase` — identical output contract
+    (and identical oracle SQL), O(log n) rounds on any graph shape."""
+    labels, _ = connected_components_twophase(pairs, max_rounds=max_rounds)
+    comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return _cluster_output(df, comp, id_col, rank_col)
 
 
 def simhash(

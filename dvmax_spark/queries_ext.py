@@ -15,6 +15,7 @@ from dvmax_spark.catalog import load_table
 from dvmax_spark.ext.dedup import (
     dedup_clusters,
     dedup_clusters_sql,
+    dedup_clusters_twophase,
     exact_dedup,
     incremental_dedup_sql,
     minhash_lsh_pairs,
@@ -172,6 +173,27 @@ def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         threshold=0.1,
     )
     return dedup_clusters(docs, pairs, rank_col="n_chars").orderBy("doc_id")
+
+
+@query("x_dedup_clusters_twophase", ids=("X17",), sql=dedup_clusters_sql())
+def x_dedup_clusters_twophase(spark: SparkSession, sf: str) -> DataFrame:
+    """x_dedup_clusters with components computed by the ALTERNATING
+    large-star/small-star algorithm (Kiveris et al., MAPREDUCE'14)
+    instead of min-label propagation: O(log n) rounds on ANY graph
+    shape (propagation needs diameter rounds — O(n) on paraphrase/CDC
+    chains). Both converge to min-id component labels, so this shares
+    x_dedup_clusters' exact recursive-CTE DuckDB oracle — two
+    independent distributed algorithms checked against one sequential
+    ground truth."""
+    docs = load_table(spark, "documents", sf)
+    pairs = minhash_lsh_pairs(
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
+        num_hashes=32,
+        bands=16,
+        shingle_n=2,
+        threshold=0.1,
+    )
+    return dedup_clusters_twophase(docs, pairs, rank_col="n_chars").orderBy("doc_id")
 
 
 @query("x_simhash_pairs", ids=("X4",), sql=simhash_sql(max_hamming=10))

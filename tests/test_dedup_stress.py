@@ -165,3 +165,88 @@ def test_canonical_by_degree_picks_the_hub(spark):
     pairs2 = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
     r2 = canonical_by_degree(docs, pairs2).collect()[0]
     assert r2["canonical_id"] == 3 and r2["canonical_degree"] == 1
+
+
+def _union_find_labels(n_nodes, edges):
+    """Sequential ground truth: min-id component label per node."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_twophase_matches_union_find_on_random_graphs(spark):
+    """Alternating large-star/small-star CC must produce exactly the
+    min-id labeling of a sequential union-find on seeded random graphs
+    of several densities (sparse forest -> near-clique)."""
+    import random
+
+    from dvmax_spark.ext.dedup import connected_components_twophase
+
+    for seed, n, m in [(1, 40, 15), (2, 60, 60), (3, 30, 200), (4, 80, 40)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        truth = _union_find_labels(n, edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        labels, rounds = connected_components_twophase(pairs)
+        got = {r["id"]: r["label"] for r in labels.collect()}
+        touched = {a for a, _ in edges} | {b for _, b in edges}
+        assert got == {i: truth[i] for i in touched}, f"seed={seed}"
+        assert rounds <= 12
+
+
+def test_twophase_chain_converges_logarithmically(spark):
+    """A 256-node path has diameter 255 — min-label propagation needs
+    ~255 rounds; the alternating algorithm must label it to node 0 in
+    O(log n) rounds."""
+    from dvmax_spark.ext.dedup import connected_components_twophase
+
+    n = 256
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels, rounds = connected_components_twophase(pairs, max_rounds=16)
+    assert rounds <= 14  # ~2*log2(256) with confirmation round
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["label"] == 0 for r in rows)
+
+
+def test_twophase_cluster_output_matches_propagation(spark):
+    """dedup_clusters_twophase and dedup_clusters agree row-for-row
+    (cluster_id, cluster_size, keep) on the hand-built chain + star +
+    singleton graph and on a random graph with a rank column."""
+    import random
+
+    from dvmax_spark.ext.dedup import dedup_clusters, dedup_clusters_twophase
+
+    docs = spark.createDataFrame(
+        [(i, 10 * ((i * 7) % 9)) for i in range(1, 30)], "doc_id long, w long"
+    )
+    rng = random.Random(11)
+    hand = [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7)]
+    rnd = [(rng.randrange(1, 30), rng.randrange(1, 30)) for _ in range(25)]
+    for edges in (hand, [(a, b) for a, b in rnd if a != b]):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = sorted(
+            map(tuple, dedup_clusters(docs, pairs, rank_col="w").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup_clusters_twophase(docs, pairs, rank_col="w").collect(),
+            )
+        )
+        assert a == b
