@@ -1231,3 +1231,127 @@ def winnow_fingerprints_sql(
     FROM per_doc p LEFT JOIN shared s USING (doc_id)
     GROUP BY p.grp ORDER BY p.grp
     """
+
+
+# ------------------------------------------------- tf-idf cosine pairs
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Sparse lexical near-dup pairs: every document pair whose
+    tf-idf-weighted unigram COSINE similarity is >= ``threshold`` —
+    the weighted complement of the set-based joins (exact Jaccard
+    ext/dedup.py:jaccard_prefix_join, approximate MinHash): tf-idf
+    downweights boilerplate so template-heavy corpora don't collapse
+    into one giant near-dup family the way raw token overlap does.
+
+    Determinism/parity contract: tf and document frequency are exact
+    counts; idf is quantized ONCE through the proven exact-int-ratio
+    pattern ``round(log10((N*1e6) div df) * 1000) - 6000`` (millis,
+    0 for corpus-wide tokens — which are therefore dropped from every
+    vector, by construction removing the single hottest join key);
+    per-token weights ``tf * idf_milli`` and the dot products / norms
+    are BIGINT sums, and the final cosine is dot/(sqrt(n2a)*sqrt(n2b))
+    using only IEEE-identical ops (int64->double, *, /, sqrt), so the
+    distributed result hash-matches DuckDB's brute-force all-pairs
+    oracle bit for bit.
+
+    Scale shape: two token-key aggregations (tf, df) feeding an
+    inverted-index self-join whose fan-out is sum_t df(t)^2 over
+    PRUNED tokens — corpus-wide tokens are gone by construction, and
+    ``max_doc_freq`` is the same documented 100 TB hot-token knob as
+    ngram_jaccard_pairs (loses only pairs whose entire similarity
+    mass sits in boilerplate). N and the idf table are tiny aggregates
+    (<=|vocab| rows) broadcast back; no other shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    nd = tf.select(F.countDistinct("id").alias("n"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.where(F.col("df") <= int(max_doc_freq))
+    idf = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .withColumn(
+            "idf_m",
+            (F.round(F.log10(F.expr("(n * 1000000) div df")) * 1000, 0)).cast("long")
+            - F.lit(6000),
+        )
+        .where(F.col("idf_m") > 0)
+        .select("tok", "idf_m")
+    )
+    w = tf.join(idf, "tok").select(
+        "id", "tok", (F.col("tf") * F.col("idf_m")).alias("w")
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("n2b"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(cos >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    threshold: float = 0.30, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`tfidf_cosine_pairs` — brute-force
+    all-pairs over the same quantized weights (no hot-token cap), so a
+    hash match proves the Spark plan including its by-construction
+    pruning of corpus-wide tokens is lossless."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, u.tok AS tok
+      FROM {table}, UNNEST(str_split(text, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n FROM tf
+    ), idf AS (
+      SELECT tok,
+             CAST(round(log10(((SELECT n FROM nd) * 1000000) // count(*)) * 1000)
+                  AS BIGINT) - 6000 AS idf_m
+      FROM tf GROUP BY tok
+    ), w AS (
+      SELECT doc_id, tf.tok, tf.tf * idf.idf_m AS w
+      FROM tf JOIN idf USING (tok) WHERE idf.idf_m > 0
+    ), norms AS (
+      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                 * sqrt(CAST(nb.n2 AS DOUBLE))), 4) AS cos
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+          * sqrt(CAST(nb.n2 AS DOUBLE))) >= {float(threshold)!r}
+    ORDER BY id_a, id_b
+    """

@@ -188,3 +188,83 @@ def sma_delta_50_200(
         .otherwise((F.col("_sma50") - F.col("_sma200")) / F.col("_sma200"))
     )
     return agg.select(by, delta.alias(out))
+
+
+def ewma_fixed_horizon(
+    df: DataFrame,
+    value_cents,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    horizon: int = 16,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    out: str = "ewma_cents",
+) -> DataFrame:
+    """Per-row exponentially weighted moving average with the weight
+    series truncated at ``horizon`` lags — the distributable form of
+    EWMA (the infinite-history recurrence is inherently sequential;
+    truncating at h lags bounds the frame so it becomes a plain
+    window function, and with alpha=1/4 the lag-16 weight is already
+    (3/4)^16 ≈ 1%, i.e. the truncation error is below cents).
+
+    EXACT integer arithmetic end to end: weight of lag j is the
+    integer a_num*(den-num)^j*den^(h-1-j) (the rational
+    alpha*(1-alpha)^j scaled by den^h), the numerator is a bigint
+    dot-product of lagged cent values, and rows with fewer than
+    ``horizon`` predecessors renormalize by the partial weight sum —
+    so the result ``(num div den)`` is bit-equal across engines (the
+    same `div` convention as ext/traindata.py). Scale shape: ONE
+    window node (all 2h lag terms share the frame), zero extra
+    shuffles beyond the partitionBy.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    weights = [
+        alpha_num * (alpha_den - alpha_num) ** j * alpha_den ** (horizon - 1 - j)
+        for j in range(horizon)
+    ]
+    num = None
+    den = None
+    for j, wt in enumerate(weights):
+        x = F.lag(value_cents, j).over(w) if j else value_cents
+        # weight literals must be BIGINT: the full weight sum is
+        # den^horizon - (den-num)^horizon (4^16 here), past int32
+        wl = F.lit(wt).cast("long")
+        term = x * wl
+        avail = F.when(x.isNotNull(), wl).otherwise(F.lit(0).cast("long"))
+        num = term if num is None else num + F.coalesce(term, F.lit(0))
+        den = avail if den is None else den + avail
+    return (
+        df.withColumn("_ewma_num", num)
+        .withColumn("_ewma_den", den)
+        .withColumn(out, F.expr("_ewma_num div _ewma_den"))
+        .drop("_ewma_num", "_ewma_den")
+    )
+
+
+def ewma_fixed_horizon_sql_terms(
+    value_cents_sql: str,
+    partition_sql: str,
+    order_sql: str,
+    horizon: int = 16,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`ewma_fixed_horizon`: returns (num_sql,
+    den_sql) window expressions built from the SAME integer weight
+    constants, for embedding in an oracle query. ``num // den`` in
+    DuckDB matches Spark's `div` on non-negative ints."""
+    weights = [
+        alpha_num * (alpha_den - alpha_num) ** j * alpha_den ** (horizon - 1 - j)
+        for j in range(horizon)
+    ]
+    over = f"OVER (PARTITION BY {partition_sql} ORDER BY {order_sql})"
+    num_terms, den_terms = [], []
+    for j, wt in enumerate(weights):
+        x = value_cents_sql if j == 0 else f"lag({value_cents_sql}, {j}) {over}"
+        # weight literals CAST to BIGINT: DuckDB types bare int literals
+        # INT32 and the weight sum (den^horizon) overflows int32
+        num_terms.append(f"coalesce({x} * CAST({wt} AS BIGINT), 0)")
+        den_terms.append(
+            f"CASE WHEN {x} IS NOT NULL THEN CAST({wt} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(num_terms), " + ".join(den_terms)

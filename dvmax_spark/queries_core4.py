@@ -2048,3 +2048,63 @@ def x_er_golden_record(spark: SparkSession, sf: str) -> DataFrame:
         .select("cluster_id", "n_members", "golden_id", "golden_name", "total_acctbal")
         .orderBy("cluster_id")
     )
+
+
+def _ewma_oracle_sql() -> str:
+    from dvmax_spark.features.price import ewma_fixed_horizon_sql_terms
+
+    num, den = ewma_fixed_horizon_sql_terms(
+        "cents", "o_custkey", "o_orderdate, o_orderkey"
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), e AS (
+      SELECT o_custkey,
+             ({num}) // ({den}) AS ewma_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM base
+    )
+    SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders, ewma_cents
+    FROM e WHERE rn = 1 ORDER BY o_custkey
+    """
+
+
+@query("w_ewma", ids=("W3", "W1", "F4"), sql=_ewma_oracle_sql())
+def w_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest 16-lag EWMA (alpha=1/4) of each customer's order value:
+    the distributable fixed-horizon form of the classic exponentially
+    weighted average, in EXACT integer weight arithmetic (weights
+    3^j*4^(15-j), bigint dot product, `div`) so the distributed result
+    is bit-equal to the sequential oracle — no float recurrence, no
+    cross-engine rounding surface (features/price.py:
+    ewma_fixed_horizon). Plan: ONE shuffle on the partition key; the
+    16 lag terms and the latest-row selection share the same window
+    partitioning."""
+    from dvmax_spark.features.price import ewma_fixed_horizon
+
+    orders = load_table(spark, "orders", sf)
+    base = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    e = ewma_fixed_horizon(
+        base, F.col("cents"), "o_custkey", ("o_orderdate", "o_orderkey")
+    )
+    w_last = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    w_all = Window.partitionBy("o_custkey")
+    return (
+        e.withColumn("rn", F.row_number().over(w_last))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w_all))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "n_orders", "ewma_cents")
+        .orderBy("o_custkey")
+    )

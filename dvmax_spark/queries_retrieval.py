@@ -23,6 +23,8 @@ from dvmax_spark.ext.retrieval import (
     dup_span_stats_sql,
     span_dedup_clean,
     span_dedup_clean_sql,
+    tfidf_cosine_pairs,
+    tfidf_cosine_pairs_sql,
     vocabulary,
     vocabulary_sql,
 )
@@ -38,6 +40,19 @@ def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     training prerequisite). Explode → partial hash-agg → final sort of
     ≤|vocab| aggregated rows — never a sort of the token stream."""
     return vocabulary(load_table(spark, "documents", sf), k=100)
+
+
+@query("x_tfidf_cosine_pairs", ids=("X2", "X5"), sql=tfidf_cosine_pairs_sql(0.85))
+def x_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse tf-idf unigram cosine near-dup pairs (>= 0.85) — the
+    WEIGHTED complement of the exact-Jaccard and MinHash joins:
+    boilerplate tokens are idf-downweighted (corpus-wide ones dropped
+    entirely), so template-heavy corpora don't collapse into one
+    near-dup family. Exact integer weights (quantized idf millis, tf
+    counts), bigint dots/norms, IEEE-identical sqrt/divide — hash-
+    matches the brute-force all-pairs DuckDB oracle
+    (ext/retrieval.py:tfidf_cosine_pairs)."""
+    return tfidf_cosine_pairs(load_table(spark, "documents", sf), threshold=0.85)
 
 
 @query("x_bm25_rank", ids=("X7", "X8"), bench=True, sql=bm25_rank_sql(_BM25_TERMS, k=20))

@@ -271,3 +271,61 @@ def test_static_one_hot(spark):
     assert out["V"]["country_japan"] == 1
     assert out["U"]["sector_other"] == 1
     assert out["U"]["country_other"] == 1
+
+
+def test_ewma_fixed_horizon_matches_sequential_reference(spark):
+    """ewma_fixed_horizon == a sequential Python reference (truncated
+    exponential weights, partial-window renormalization, floor div)
+    on a series longer than the horizon, incl. the short head."""
+    from dvmax_spark.features.price import ewma_fixed_horizon
+
+    vals = [(i * 7919) % 1000 + 1 for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, t long, cents long"
+    )
+    out = {
+        r["t"]: r["ewma_cents"]
+        for r in ewma_fixed_horizon(df, F.col("cents"), "k", ("t",)).collect()
+    }
+    W = [1 * 3**j * 4 ** (15 - j) for j in range(16)]
+    for t in range(len(vals)):
+        avail = min(t + 1, 16)
+        num = sum(W[j] * vals[t - j] for j in range(avail))
+        den = sum(W[:avail])
+        assert out[t] == num // den, f"t={t}"
+
+
+def test_ewma_fixed_horizon_no_overflow_at_max_money(spark):
+    """Max representable order value (tens of millions of cents) times
+    the full weight sum must not overflow BIGINT — regression for the
+    int32 weight-literal bug found in review."""
+    from dvmax_spark.features.price import ewma_fixed_horizon
+
+    df = spark.createDataFrame(
+        [(1, i, 50_000_000) for i in range(20)], "k long, t long, cents long"
+    )
+    rows = ewma_fixed_horizon(df, F.col("cents"), "k", ("t",)).collect()
+    assert all(r["ewma_cents"] == 50_000_000 for r in rows)
+
+
+def test_tfidf_cosine_ignores_corpus_wide_boilerplate(spark):
+    """Docs overlapping ONLY in a token present in every document get
+    no pair (idf 0 drops it from every vector); docs sharing their
+    rare content tokens pair with cos ~ 1."""
+    from dvmax_spark.ext.retrieval import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the alpha beta"),
+            (2, "the alpha beta"),
+            (3, "the gamma delta"),
+            (4, "the epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 1.0
