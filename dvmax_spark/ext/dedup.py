@@ -472,33 +472,38 @@ def dedup_clusters(
     )
 
     def _step(cur: DataFrame) -> DataFrame:
-        nbr_min = (
-            edges.join(cur.withColumnRenamed("id", "s").select("s", "label"), "s")
-            .groupBy(F.col("d").alias("id"))
-            .agg(F.min("label").alias("nbr"))
+        # message-union form: neighbor labels and own label meet in ONE
+        # aggregation — min(own, min(neighbors)) — so a step is one
+        # shuffle join (edges × labels on the sending vertex) plus one
+        # hash-aggregate on the receiving vertex, with NO second join
+        # to merge the own label back (the old formulation's third
+        # O(V) exchange per step).
+        msgs = edges.join(cur.withColumnRenamed("id", "s"), "s").select(
+            F.col("d").alias("id"), "label"
         )
-        # least() skips nulls (vertices whose neighbors all hold larger
-        # labels keep their own); _changed rides along so ONE action
-        # both materializes the checkpoint (truncating the iterative
-        # lineage) and yields the convergence count.
-        return cur.join(nbr_min, "id", "left").select(
-            "id",
-            F.least("label", "nbr").alias("label"),
-            (F.col("nbr") < F.col("label")).cast("int").alias("_changed"),
-        )
+        return msgs.unionAll(cur).groupBy("id").agg(F.min("label").alias("label"))
 
+    # Convergence metric: labels only ever DECREASE, so the label sum
+    # is strictly monotone until the fixpoint — an unchanged sum IS
+    # convergence, with no old-vs-new join. decimal(38,0) keeps the
+    # sum exact at any vertex-id magnitude/count (bigint ids at corpus
+    # scale would overflow a bigint sum).
+    def _label_sum(cur: DataFrame):
+        return cur.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # TWO propagation steps per convergence-check action: the
-        # fixpoint test only needs the LAST step's change count (if the
-        # outer step moved nothing, its input was already the fixpoint),
-        # so pairing steps halves the job-submission + checkpoint
-        # overhead that dominates each round's wall at the typical 2-4
-        # round convergence of star-like dup families.
+        # fixpoint test only needs the LAST step's outcome, so pairing
+        # steps halves the job-submission + checkpoint overhead that
+        # dominates each round's wall at the typical 2-4 round
+        # convergence of star-like dup families.
         stepped = _step(_step(labels)).localCheckpoint(eager=False)
-        n_changed = stepped.agg(F.sum("_changed")).first()[0] or 0
-        labels = stepped.drop("_changed")
-        if n_changed == 0:
+        cur_sum = _label_sum(stepped)
+        labels = stepped
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     return _cluster_output(df, comp, id_col, rank_col)
