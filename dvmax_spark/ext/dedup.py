@@ -1269,21 +1269,42 @@ def pagerank_centrality(
         "src", "outdeg", "n_nodes", F.expr(f"{scale} div n_nodes").alias("rank")
     )
     for _ in range(iters):
+        # message-union step (same shape as dedup_clusters): edge
+        # contributions and a zero-mass row per node (carrying that
+        # node's outdeg/n_nodes) meet in ONE aggregation, so an
+        # iteration is one shuffle join + one hash-aggregate — no
+        # second O(V) left join to re-attach node metadata.
         contrib = (
             ranks.select("src", F.expr("rank div outdeg").alias("share"))
             .join(edges, "src")
-            .groupBy("dst")
-            .agg(F.sum("share").alias("mass"))
+            .select(
+                "dst",
+                "share",
+                F.lit(None).cast("long").alias("outdeg"),
+                F.lit(None).cast("long").alias("n_nodes"),
+            )
+        )
+        base = nodes.select(
+            F.col("src").alias("dst"),
+            F.lit(0).cast("long").alias("share"),
+            F.col("outdeg").cast("long").alias("outdeg"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
         )
         ranks = (
-            nodes.join(contrib, nodes["src"] == contrib["dst"], "left")
+            contrib.unionAll(base)
+            .groupBy(F.col("dst").alias("src"))
+            .agg(
+                F.sum("share").alias("mass"),
+                F.max("outdeg").alias("outdeg"),
+                F.max("n_nodes").alias("n_nodes"),
+            )
             .select(
-                nodes["src"],
-                nodes["outdeg"],
-                nodes["n_nodes"],
+                "src",
+                "outdeg",
+                "n_nodes",
                 F.expr(
                     f"(15 * ({scale} div n_nodes)) div 100"
-                    " + (85 * coalesce(mass, 0L)) div 100"
+                    " + (85 * mass) div 100"
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)

@@ -42,7 +42,12 @@ def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     return vocabulary(load_table(spark, "documents", sf), k=100)
 
 
-@query("x_tfidf_cosine_pairs", ids=("X2", "X5"), sql=tfidf_cosine_pairs_sql(0.85))
+@query(
+    "x_tfidf_cosine_pairs",
+    ids=("X2", "X5"),
+    bench=True,
+    sql=tfidf_cosine_pairs_sql(0.85),
+)
 def x_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Sparse tf-idf unigram cosine near-dup pairs (>= 0.85) — the
     WEIGHTED complement of the exact-Jaccard and MinHash joins:
