@@ -582,7 +582,7 @@ def connected_components_twophase(
         sym = E.select(F.col("mn").alias("u"), F.col("mx").alias("v")).unionAll(
             E.select(F.col("mx").alias("u"), F.col("mn").alias("v"))
         )
-        m = sym.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
+        m = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
         ls = (
             sym.where(F.col("v") > F.col("u"))
             .join(m, "u")

@@ -213,9 +213,12 @@ def ewma_fixed_horizon(
     dot-product of lagged cent values, and rows with fewer than
     ``horizon`` predecessors renormalize by the partial weight sum —
     so the result ``(num div den)`` is bit-equal across engines (the
-    same `div` convention as ext/traindata.py). Scale shape: ONE
-    window node (all 2h lag terms share the frame), zero extra
-    shuffles beyond the partitionBy.
+    same `div` convention as ext/traindata.py). Null values contribute
+    no weight (same as a missing lag); an all-null window yields null.
+    Requires NON-NEGATIVE values: Spark `div` truncates toward zero
+    while DuckDB `//` floors, so negative numerators would diverge.
+    Scale shape: ONE window node (all 2h lag terms share the frame),
+    zero extra shuffles beyond the partitionBy.
     """
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     weights = [
@@ -229,14 +232,23 @@ def ewma_fixed_horizon(
         # weight literals must be BIGINT: the full weight sum is
         # den^horizon - (den-num)^horizon (4^16 here), past int32
         wl = F.lit(wt).cast("long")
-        term = x * wl
+        # EVERY term coalesces (including j=0): a null current value
+        # contributes no weight, same as a missing lag — matching the
+        # SQL twin exactly (an uncoalesced j=0 would null the whole
+        # row's EWMA on one engine only)
+        term = F.coalesce(x * wl, F.lit(0).cast("long"))
         avail = F.when(x.isNotNull(), wl).otherwise(F.lit(0).cast("long"))
-        num = term if num is None else num + F.coalesce(term, F.lit(0))
+        num = term if num is None else num + term
         den = avail if den is None else den + avail
     return (
         df.withColumn("_ewma_num", num)
         .withColumn("_ewma_den", den)
-        .withColumn(out, F.expr("_ewma_num div _ewma_den"))
+        # all-null window (every value in reach is null) => no weight:
+        # emit null, don't divide by zero (ANSI would raise)
+        .withColumn(
+            out,
+            F.when(F.col("_ewma_den") > 0, F.expr("_ewma_num div _ewma_den")),
+        )
         .drop("_ewma_num", "_ewma_den")
     )
 
@@ -252,7 +264,10 @@ def ewma_fixed_horizon_sql_terms(
     """DuckDB twin of :func:`ewma_fixed_horizon`: returns (num_sql,
     den_sql) window expressions built from the SAME integer weight
     constants, for embedding in an oracle query. ``num // den`` in
-    DuckDB matches Spark's `div` on non-negative ints."""
+    DuckDB matches Spark's `div` on non-negative ints. If the value
+    column can be null, guard the division with
+    ``CASE WHEN ({den}) > 0 THEN ... END`` exactly as the Spark side
+    does — an all-null window has zero weight."""
     weights = [
         alpha_num * (alpha_den - alpha_num) ** j * alpha_den ** (horizon - 1 - j)
         for j in range(horizon)

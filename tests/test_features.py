@@ -329,3 +329,26 @@ def test_tfidf_cosine_ignores_corpus_wide_boilerplate(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == 1.0
+
+
+def test_ewma_fixed_horizon_null_values_contribute_no_weight(spark):
+    """A null value drops its weight from BOTH num and den (the EWMA of
+    the remaining reachable values, renormalized); a row whose whole
+    window is null yields null rather than dividing by zero. Pins the
+    engine-parity semantics of the SQL twin's coalesce on every term
+    including lag 0."""
+    from dvmax_spark.features.price import ewma_fixed_horizon
+
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, 100), (1, 2, None), (1, 3, 300)],
+        "k long, t long, cents long",
+    )
+    out = {
+        r["t"]: r["ewma_cents"]
+        for r in ewma_fixed_horizon(df, F.col("cents"), "k", ("t",)).collect()
+    }
+    W = [1 * 3**j * 4 ** (15 - j) for j in range(16)]
+    assert out[0] is None  # only the null row in reach
+    assert out[1] == 100  # single value
+    assert out[2] == 100  # lag-1 value only (own row null)
+    assert out[3] == (W[0] * 300 + W[2] * 100) // (W[0] + W[2])
