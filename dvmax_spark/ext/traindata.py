@@ -916,3 +916,212 @@ def mixture_schedule_sql(
            CAST(max(global_pos) AS BIGINT) AS last_pos
     FROM pos GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ------------------------------------------------- weighted sampling
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 200,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by priority sampling
+    (Duffield/Lund/Thorup JACM'07; the deterministic analogue of
+    Efraimidis-Spirtakis A-ES): each row draws a pseudo-uniform key
+    from the portable md5 hash of its id and gets priority key/weight;
+    the k SMALLEST priorities win, so heavier rows win proportionally
+    more often — the quality-weighted corpus subsample every curation
+    pipeline needs (sample by doc quality/length, not uniformly).
+
+    Engine-exactness: the hash is the repo's portable md5 bucket
+    convention truncated to 32 bits, and the priority is the exact
+    BIGINT ``(h32 * 1_000_000) div weight`` — no float anywhere, ties
+    broken on id, so the global top-k is bit-identical across engines
+    AND across reruns (re-running the sampler on the same corpus
+    returns the same sample — reproducible pipelines).
+
+    Scale shape: map-side priority computation + a single global
+    top-k (TakeOrderedAndProject — partial per-partition top-k, only
+    k rows to the driver stage); no shuffle of the corpus. Weights
+    must be >= 1 (zero-weight rows are excluded, matching `div`'s
+    domain).
+    """
+    h32 = _portable_hash(F.col(id_col).cast("string")) % F.lit(2**32).cast("long")
+    return (
+        df.where(F.col(weight_col) >= 1)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            (h32 * F.lit(1_000_000)).alias("_hs"),
+        )
+        .select(
+            id_col,
+            "weight",
+            F.expr(f"_hs div weight").alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    k: int = 200,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    # _DUCK_HASH is an open-paren template (closed by the % suffix,
+    # exactly as _duck_bucket does)
+    h32 = _DUCK_HASH.format(expr=f"{id_col}::VARCHAR") + " % 4294967296)"
+    return f"""
+    SELECT {id_col}, CAST({weight_col} AS BIGINT) AS weight,
+           ({h32} * 1000000) // {weight_col} AS priority
+    FROM {table}
+    WHERE {weight_col} >= 1
+    ORDER BY priority ASC, {id_col} ASC
+    LIMIT {k}
+    """
+
+
+# ------------------------------------------------ bloom decontamination
+
+def bloom_decontam_stats(
+    docs: DataFrame,
+    n: int = 5,
+    m_bits: int = 65536,
+    n_hashes: int = 3,
+    eval_source: str = "src0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM-FILTER prefilter, with
+    the false-positive accounting that justifies it: eval n-grams set
+    ``n_hashes`` bit positions in an ``m_bits`` filter; a train doc is
+    bloom-flagged iff some gram of it finds ALL its positions set.
+    Compared per source against the EXACT gram semi-join
+    (:func:`contaminated_ids`' predicate): bloom recall is 1 by
+    construction (no false negatives — every true overlap sets its own
+    bits), so the one row per source reports n_docs, exact hits, bloom
+    hits and the false positives you'd re-check downstream.
+
+    WHY at 100 TB: the exact path broadcasts the full distinct eval
+    gram set — unbounded as benchmarks grow; the bloom set is AT MOST
+    ``m_bits`` distinct positions no matter how large the eval corpus
+    is, so the prefilter's broadcast is CONSTANT-size and the exact
+    join only runs on the (tiny) bloom-flagged remainder. This query
+    measures exactly that trade on real data.
+
+    Determinism: positions are portable md5 hashes of ``gram || '#i'``
+    mod ``m_bits`` — identical in DuckDB, so even the false-positive
+    COUNTS are value-exact across engines.
+    """
+    ev = docs.where(F.col("source") == eval_source)
+    tr = docs.where(F.col("source") != eval_source)
+
+    def positions(gram_col, i: int):
+        return _portable_hash(F.concat(gram_col, F.lit(f"#{i}"))) % m_bits
+
+    ev_g = ev.select(F.explode(shingles(text_col, n)).alias("g"))
+    bits = (
+        ev_g.select(
+            F.explode(
+                F.array(*[positions(F.col("g"), i) for i in range(n_hashes)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    # the bloom set: <= m_bits rows regardless of eval size -> always
+    # broadcastable. Exact eval grams: broadcast here (small corpus),
+    # the documented unbounded cost the bloom path avoids.
+    ev_exact = F.broadcast(ev_g.distinct())
+
+    tr_g = tr.select(
+        F.col(id_col), F.col("source"), F.explode(shingles(text_col, n)).alias("g")
+    )
+    # gram hit iff ALL n_hashes positions are set: each position is a
+    # COLUMN and each membership test a broadcast semi-join against the
+    # (<= m_bits row) bit set — n_hashes map-side filters, no shuffle,
+    # no per-gram row id (deterministic under task retries)
+    flagged = tr_g.select(
+        id_col, *[positions(F.col("g"), i).alias(f"p{i}") for i in range(n_hashes)]
+    )
+    for i in range(n_hashes):
+        flagged = flagged.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"p{i}")), f"p{i}", "left_semi"
+        )
+    gram_hits = flagged.select(id_col).distinct().withColumn("bloom_hit", F.lit(1))
+    exact_hits = (
+        tr_g.join(ev_exact, "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    per_doc = (
+        tr.select(id_col, "source")
+        .join(gram_hits, id_col, "left")
+        .join(exact_hits, id_col, "left")
+        .select(
+            "source",
+            F.coalesce("bloom_hit", F.lit(0)).alias("bloom_hit"),
+            F.coalesce("exact_hit", F.lit(0)).alias("exact_hit"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("exact_hit").alias("n_exact"),
+            F.sum("bloom_hit").alias("n_bloom"),
+            F.sum(
+                (F.col("bloom_hit") == 1).cast("long")
+                * (F.col("exact_hit") == 0).cast("long")
+            ).alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )
+
+
+def bloom_decontam_stats_sql(
+    n: int = 5,
+    m_bits: int = 65536,
+    n_hashes: int = 3,
+    eval_source: str = "src0",
+    table: str = "documents",
+) -> str:
+    grams = _duck_grams(n)
+    pos_list = [
+        _DUCK_HASH.format(expr=f"g || '#{i}'") + f" % {m_bits})"
+        for i in range(n_hashes)
+    ]
+    pos_exprs = ", ".join(pos_list)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, str_split(text, ' ') AS t FROM {table}
+    ), ev_g AS (
+      SELECT DISTINCT unnest({grams}) AS g FROM toks WHERE source = '{eval_source}'
+    ), bits AS (
+      SELECT DISTINCT unnest([{pos_exprs}]) AS pos FROM ev_g
+    ), tr_g AS (
+      SELECT doc_id, source, unnest({grams}) AS g
+      FROM toks WHERE source <> '{eval_source}'
+    ), bloom_docs AS (
+      SELECT DISTINCT doc_id FROM tr_g
+      WHERE {" AND ".join(f"({p}) IN (SELECT pos FROM bits)" for p in pos_list)}
+    ), exact_docs AS (
+      SELECT DISTINCT doc_id FROM tr_g WHERE g IN (SELECT g FROM ev_g)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom,
+           CAST(sum(CASE WHEN b.doc_id IS NOT NULL AND e.doc_id IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM {table} d
+    LEFT JOIN bloom_docs b ON b.doc_id = d.doc_id
+    LEFT JOIN exact_docs e ON e.doc_id = d.doc_id
+    WHERE d.source <> '{eval_source}'
+    GROUP BY d.source ORDER BY d.source
+    """

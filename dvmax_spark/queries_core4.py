@@ -2108,3 +2108,57 @@ def w_ewma(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_custkey", "n_orders", "ewma_cents")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "x_event_transitions",
+    ids=("W1", "A1", "F4"),
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_ppm
+    FROM c ORDER BY from_type, to_type
+    """,
+)
+def x_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and exact-ppm transition probabilities for every
+    (from_type -> to_type) edge — the user-journey / funnel-discovery
+    primitive (which state feeds which). One window pass for lead(),
+    one |types|^2-bounded aggregate, probabilities by integer `div`
+    over a window sum of the TINY aggregated matrix — no second
+    shuffle of event data, no floats."""
+    ev = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return (
+        c.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000").alias("_num"),
+            F.sum("n").over(tot).alias("_tot"),
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("_num div _tot").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

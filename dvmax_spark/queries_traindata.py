@@ -552,3 +552,35 @@ def x_mixture_schedule(spark: SparkSession, sf: str) -> DataFrame:
     order a reproducible hash shuffle. Output is the per-(source,
     band) uniformity rollup; all-integer, value-exact."""
     return mixture_schedule(load_table(spark, "documents", sf), n_bands=5)
+
+
+from dvmax_spark.ext.traindata import weighted_sample, weighted_sample_sql
+
+
+@query("x_weighted_sample", ids=("X21",), sql=weighted_sample_sql(k=200))
+def x_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement via deterministic priority
+    sampling (hash-key div weight, k smallest win): longer/higher-
+    quality docs are proportionally likelier — the quality-weighted
+    subsample primitive, reproducible across engines and reruns because
+    the priorities are exact integers of a portable hash
+    (ext/traindata.py:weighted_sample). Plan: map-side priorities +
+    global top-k (TakeOrderedAndProject), zero corpus shuffles."""
+    return weighted_sample(load_table(spark, "documents", sf), k=200)
+
+
+from dvmax_spark.ext.traindata import bloom_decontam_stats, bloom_decontam_stats_sql
+
+
+@query("x_bloom_decontam", ids=("X18",), sql=bloom_decontam_stats_sql())
+def x_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination through a Bloom-filter prefilter with measured
+    false-positive accounting per source: eval 5-grams set 3 bit
+    positions in a 65536-bit filter (constant-size broadcast NO MATTER
+    how big the benchmark suite grows — the 100 TB story the exact
+    gram broadcast can't tell), train docs flagged iff some gram finds
+    all its bits set, compared against the exact semi-join. Recall is
+    1 by construction; the row reports the false positives a
+    downstream exact re-check would pay for
+    (ext/traindata.py:bloom_decontam_stats)."""
+    return bloom_decontam_stats(load_table(spark, "documents", sf))

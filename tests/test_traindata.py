@@ -288,3 +288,59 @@ def test_mixture_schedule_interleaves_uniformly(spark):
     for src, counts in per_src.items():
         assert len(counts) == 5, (src, counts)  # present in EVERY band
         assert max(counts) - min(counts) <= 2, (src, counts)
+
+
+def test_weighted_sample_properties(spark):
+    """Priority sampling: exactly k rows, reproducible across calls,
+    and weight-proportionality holds directionally — the heavy stratum
+    (100x weight) wins far more slots than uniform would give it."""
+    from dvmax_spark.ext.traindata import weighted_sample
+
+    rows = [(i, "t", 1000 if i < 100 else 10) for i in range(1100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    s1 = weighted_sample(docs, k=100).collect()
+    s2 = weighted_sample(docs, k=100).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]  # deterministic
+    assert len(s1) == 100
+    heavy = sum(1 for r in s1 if r["doc_id"] < 100)
+    # 100 heavy docs at 100x weight vs 1000 light: expected heavy share
+    # ~ 100*1000/(100*1000+1000*10) = 90%; uniform would give ~9%.
+    assert heavy > 50
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    from dvmax_spark.ext.traindata import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 5)], "doc_id long, text string, n_chars long"
+    )
+    got = [r["doc_id"] for r in weighted_sample(docs, k=10).collect()]
+    assert got == [2]
+
+
+def test_bloom_decontam_recall_one_and_fp_detection(spark):
+    """No false negatives at any filter size (n_bloom >= n_exact and
+    every exact hit is bloom-flagged); a comically small filter (8
+    bits) must produce false positives on disjoint grams, a large one
+    (2^20) none on this corpus."""
+    from dvmax_spark.ext.traindata import bloom_decontam_stats
+
+    rows = [(0, "alpha beta gamma delta epsilon zeta", "src0")]
+    rows += [
+        (i, f"alpha beta gamma delta epsilon zeta tail{i}", "src1")
+        for i in range(1, 11)
+    ]  # truly contaminated (share the 5-gram prefix)
+    rows += [
+        (i, " ".join(f"w{i}_{j}" for j in range(8)), "src1")
+        for i in range(11, 61)
+    ]  # disjoint grams
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    big = bloom_decontam_stats(docs, m_bits=2**20).collect()[0]
+    assert big["n_exact"] == 10 and big["n_bloom"] == 10 and big["n_false_pos"] == 0
+
+    tiny = bloom_decontam_stats(docs, m_bits=8).collect()[0]
+    assert tiny["n_exact"] == 10
+    assert tiny["n_bloom"] >= tiny["n_exact"]  # recall 1
+    assert tiny["n_false_pos"] == tiny["n_bloom"] - tiny["n_exact"]
+    assert tiny["n_false_pos"] > 0  # 8 bits vs ~200 grams must collide
