@@ -1241,6 +1241,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    max_df_ppm: int | None = None,
 ) -> DataFrame:
     """Sparse lexical near-dup pairs: every document pair whose
     tf-idf-weighted unigram COSINE similarity is >= ``threshold`` —
@@ -1260,13 +1261,37 @@ def tfidf_cosine_pairs(
     distributed result hash-matches DuckDB's brute-force all-pairs
     oracle bit for bit.
 
-    Scale shape: two token-key aggregations (tf, df) feeding an
-    inverted-index self-join whose fan-out is sum_t df(t)^2 over
-    PRUNED tokens — corpus-wide tokens are gone by construction, and
-    ``max_doc_freq`` is the same documented 100 TB hot-token knob as
-    ngram_jaccard_pairs (loses only pairs whose entire similarity
-    mass sits in boilerplate). N and the idf table are tiny aggregates
-    (<=|vocab| rows) broadcast back; no other shuffle.
+    Scale shape — the SYMMETRIC WEIGHTED PREFIX FILTER (Bayardo et
+    al. WWW'07 AllPairs, Vernica et al. SIGMOD'10): candidates are
+    generated only from each document's PREFIX tokens — in the global
+    (df asc, tok) order, the maximal tail T of a doc with
+    sum_{t in T} u(t,d)*maxu(t) < threshold/2 can be dropped from the
+    index: if a pair's shared tokens all hide inside the two tails,
+    cos(a,b) <= sum_{T_a} u(t,a)*maxu(t) + sum_{T_b} u(t,b)*maxu(t)
+    < threshold (the HALF-threshold per tail is what makes the
+    SYMMETRIC argument sound — a full-threshold tail on each side
+    would only bound the split-mass pair by 2*threshold, losing
+    pairs). Any qualifying pair therefore shares a token in BOTH
+    prefixes, so the self-join runs
+    on prefixes alone (fan-out sum_t prefix_df(t)^2 — at high
+    thresholds most of every doc's mass is tail) and the exact
+    integer dot is computed only for surviving candidate pairs. The
+    float cum-mass is used for PRUNING only, with a 1e-9 conservative
+    margin (>= 1e3x the worst accumulated ulp error at 1e6-token
+    docs), so the pruned result is still bit-equal to brute force —
+    the sf0.01 oracle hash-checks exactly that losslessness.
+    ``max_df_ppm`` is sklearn TfidfVectorizer's ``max_df`` as exact
+    ppm of N (computed identically in the oracle, so parity holds
+    WITH the cap): tokens present in more than that FRACTION of docs
+    are dropped from every vector. This changes the semantics — the
+    similarity is then "cosine over non-boilerplate vocabulary" — and
+    it is the knob that matters on degenerate template corpora, where
+    the raw tf-idf answer is inherently quadratic (the mass-carrying
+    tokens sit in most docs, so no lossless filter can prune: the
+    TRUE pair set is ~all-pairs; measured here: 0.6k pairs at sf0.01
+    -> 61k at sf0.1 uncapped). ``max_doc_freq`` is the same cap as an
+    absolute count. N, idf and maxu are tiny per-token aggregates
+    broadcast back.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -1277,25 +1302,69 @@ def tfidf_cosine_pairs(
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
         dfreq = dfreq.where(F.col("df") <= int(max_doc_freq))
+    dfn = dfreq.crossJoin(F.broadcast(nd))
+    if max_df_ppm is not None:
+        dfn = dfn.where(
+            F.col("df") <= F.expr(f"(n * {int(max_df_ppm)}) div 1000000")
+        )
     idf = (
-        dfreq.crossJoin(F.broadcast(nd))
+        dfn
         .withColumn(
             "idf_m",
             (F.round(F.log10(F.expr("(n * 1000000) div df")) * 1000, 0)).cast("long")
             - F.lit(6000),
         )
         .where(F.col("idf_m") > 0)
-        .select("tok", "idf_m")
+        .select("tok", "idf_m", "df")
     )
     w = tf.join(idf, "tok").select(
-        "id", "tok", (F.col("tf") * F.col("idf_m")).alias("w")
+        "id", "tok", "df", (F.col("tf") * F.col("idf_m")).alias("w")
     )
     norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    a = w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
-    b = w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
-    dots = (
-        a.join(b, "tok")
+    # normalized weights + per-token corpus max (pruning only: floats)
+    maxu_t = (
+        w.join(norms, "id")
+        .select("tok", (F.col("w") / F.sqrt(F.col("n2").cast("double"))).alias("u"))
+        .groupBy("tok")
+        .agg(F.max("u").alias("maxu"))
+    )
+    contrib = (
+        w.join(norms, "id")
+        .join(maxu_t, "tok")
+        .select(
+            "id",
+            "tok",
+            "df",
+            "w",
+            (
+                (F.col("w") / F.sqrt(F.col("n2").cast("double"))) * F.col("maxu")
+            ).alias("c"),
+        )
+    )
+    # suffix mass from the common end of the global (df asc, tok)
+    # order; a token stays in the prefix (index) iff the tail FROM it
+    # onward still carries >= threshold/2 - margin potential mass
+    w_ord = Window.partitionBy("id").orderBy(
+        F.col("df").desc(), F.col("tok").desc()
+    )
+    pre = contrib.withColumn(
+        "tail_mass",
+        F.sum("c").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    ).where(F.col("tail_mass") >= F.lit(float(threshold) / 2.0 - 1e-9))
+    a_p = pre.select(F.col("id").alias("id_a"), "tok")
+    b_p = pre.select(F.col("id").alias("id_b"), "tok")
+    cand = (
+        a_p.join(b_p, "tok")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact integer dot over the FULL vectors of candidate pairs only
+    wa = w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    wb = w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "tok"])
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
@@ -1314,12 +1383,20 @@ def tfidf_cosine_pairs(
 
 
 def tfidf_cosine_pairs_sql(
-    threshold: float = 0.30, table: str = "documents"
+    threshold: float = 0.30,
+    table: str = "documents",
+    max_df_ppm: int | None = None,
 ) -> str:
     """DuckDB oracle for :func:`tfidf_cosine_pairs` — brute-force
-    all-pairs over the same quantized weights (no hot-token cap), so a
-    hash match proves the Spark plan including its by-construction
-    pruning of corpus-wide tokens is lossless."""
+    all-pairs over the same quantized weights, so a hash match proves
+    the Spark plan's prefix filtering is lossless. ``max_df_ppm``
+    mirrors the Spark-side sklearn-max_df cap EXACTLY (same exact-int
+    fraction of N), so the capped semantics are oracled too."""
+    cap = (
+        f"AND count(*) <= ((SELECT n FROM nd) * {int(max_df_ppm)}) // 1000000"
+        if max_df_ppm is not None
+        else ""
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, u.tok AS tok
@@ -1333,7 +1410,7 @@ def tfidf_cosine_pairs_sql(
       SELECT tok,
              CAST(round(log10(((SELECT n FROM nd) * 1000000) // count(*)) * 1000)
                   AS BIGINT) - 6000 AS idf_m
-      FROM tf GROUP BY tok
+      FROM tf GROUP BY tok HAVING 1=1 {cap}
     ), w AS (
       SELECT doc_id, tf.tok, tf.tf * idf.idf_m AS w
       FROM tf JOIN idf USING (tok) WHERE idf.idf_m > 0

@@ -46,18 +46,22 @@ def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     "x_tfidf_cosine_pairs",
     ids=("X2", "X5"),
     bench=True,
-    sql=tfidf_cosine_pairs_sql(0.85),
+    sql=tfidf_cosine_pairs_sql(0.85, max_df_ppm=100_000),
 )
 def x_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Sparse tf-idf unigram cosine near-dup pairs (>= 0.85) — the
-    WEIGHTED complement of the exact-Jaccard and MinHash joins:
-    boilerplate tokens are idf-downweighted (corpus-wide ones dropped
-    entirely), so template-heavy corpora don't collapse into one
-    near-dup family. Exact integer weights (quantized idf millis, tf
-    counts), bigint dots/norms, IEEE-identical sqrt/divide — hash-
-    matches the brute-force all-pairs DuckDB oracle
-    (ext/retrieval.py:tfidf_cosine_pairs)."""
-    return tfidf_cosine_pairs(load_table(spark, "documents", sf), threshold=0.85)
+    """Sparse tf-idf unigram cosine near-dup pairs (>= 0.85) over the
+    non-boilerplate vocabulary (sklearn-style max_df = 10% of docs,
+    mirrored exactly in the oracle) — the WEIGHTED complement of the
+    exact-Jaccard and MinHash joins. On THIS template corpus the
+    uncapped answer is degenerate (~all-pairs: 61k true pairs at
+    sf0.1), so the capped config is the one a pipeline would run; the
+    symmetric half-threshold prefix filter then prunes losslessly.
+    Exact integer weights (quantized idf millis, tf counts), bigint
+    dots/norms, IEEE-identical sqrt/divide — hash-matches the
+    brute-force DuckDB oracle (ext/retrieval.py:tfidf_cosine_pairs)."""
+    return tfidf_cosine_pairs(
+        load_table(spark, "documents", sf), threshold=0.85, max_df_ppm=100_000
+    )
 
 
 @query("x_bm25_rank", ids=("X7", "X8"), bench=True, sql=bm25_rank_sql(_BM25_TERMS, k=20))

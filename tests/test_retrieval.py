@@ -461,3 +461,52 @@ def test_stream_into_bm25_equals_batch_and_survives_crash(spark, tmp_path):
     got2 = {r["doc_id"]: r["bm25"] for r in
             bm25_from_index(spark, path, terms, k=20).collect()}
     assert got2 == want
+
+
+def test_tfidf_cosine_prefix_filter_is_lossless(spark):
+    """The symmetric half-threshold prefix filter must return EXACTLY
+    the brute-force pair set (ids and cosines) on seeded random corpora
+    whose similarity mass is spread across common AND rare tokens —
+    the shape that breaks a (wrong) full-threshold symmetric filter."""
+    import itertools
+    import random
+
+    from dvmax_spark.ext.retrieval import tfidf_cosine_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(3, 8))
+        docs.append((i, " ".join(base + rng.choices(vocab[:5], k=rng.randint(0, 6)))))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    for threshold in (0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in tfidf_cosine_pairs(sdf, threshold=threshold).collect()
+        }
+        # brute force in python over the same quantized weights
+        import math
+        from collections import Counter
+
+        tfs = {i: Counter(t.split(" ")) for i, t in docs}
+        n = len(docs)
+        dfc = Counter(tok for c in tfs.values() for tok in c)
+        idf = {
+            t: int(round(math.log10((n * 1_000_000) // d) * 1000)) - 6000
+            for t, d in dfc.items()
+        }
+        w = {
+            i: {t: c * idf[t] for t, c in cnt.items() if idf[t] > 0}
+            for i, cnt in tfs.items()
+        }
+        exp = {}
+        for a, b in itertools.combinations(range(60), 2):
+            dot = sum(wa * w[b].get(t, 0) for t, wa in w[a].items())
+            na, nb = (
+                math.sqrt(sum(x * x for x in w[a].values())),
+                math.sqrt(sum(x * x for x in w[b].values())),
+            )
+            if na and nb and dot / (na * nb) >= threshold:
+                exp[(a, b)] = round(dot / (na * nb), 4)
+        assert got == exp, f"threshold={threshold}"
