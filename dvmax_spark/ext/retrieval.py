@@ -1432,3 +1432,181 @@ def tfidf_cosine_pairs_sql(
           * sqrt(CAST(nb.n2 AS DOUBLE))) >= {float(threshold)!r}
     ORDER BY id_a, id_b
     """
+
+
+# --------------------------------------------------------- rank fusion
+
+def rrf_fusion(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    pool: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of
+    two retrieval signals: BM25 relevance for a fixed query and the
+    heuristic quality score — the standard way to combine rankers
+    without score calibration (industry default in hybrid search).
+    Contributions are EXACT integer ppm ``1e6 div (rrf_k + rank)``
+    (never the float 1/(k+r) — distributed float sums are the classic
+    cross-engine divergence), ranks are row_numbers over PRE-ROUNDED
+    scores with id tie-breaks, so fused scores and the final top-k are
+    value-exact.
+
+    Scale shape: each ranker reduces to its own top-``pool`` FIRST
+    (partial top-k, no global sort of the corpus); the fusion then
+    windows/joins two <= pool-row frames — driver-scale data, one
+    tiny full-outer join."""
+    from dvmax_spark.ext.textstats import quality_score
+
+    bm = bm25_rank(df, terms, k=pool)
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    a = bm.withColumn("r", F.row_number().over(w_bm)).select(
+        id_col, F.expr(f"1000000 div ({int(rrf_k)} + r)").alias("c_bm25")
+    )
+    q = (
+        quality_score(df)
+        .select(id_col, F.round("quality", 6).alias("q"))
+        .orderBy(F.desc("q"), F.asc(id_col))
+        .limit(pool)
+    )
+    w_q = Window.orderBy(F.desc("q"), F.asc(id_col))
+    b = q.withColumn("r", F.row_number().over(w_q)).select(
+        id_col, F.expr(f"1000000 div ({int(rrf_k)} + r)").alias("c_quality")
+    )
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            (
+                F.coalesce("c_bm25", F.lit(0)) + F.coalesce("c_quality", F.lit(0))
+            ).alias("rrf_ppm"),
+        )
+        .orderBy(F.desc("rrf_ppm"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fusion_sql(
+    terms: tuple[str, ...],
+    k: int = 20,
+    pool: int = 50,
+    rrf_k: int = 60,
+    table: str = "documents",
+) -> str:
+    bm = bm25_rank_sql(terms, table=table, k=pool)
+    return f"""
+    WITH bm AS ({bm}),
+    bmr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+      FROM bm
+    ), t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM {table}
+    ), s AS (
+      SELECT doc_id,
+             len(toks)::DOUBLE AS n,
+             len(list_distinct(toks))::DOUBLE AS nd,
+             len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','in','to','is')))::DOUBLE AS ns
+      FROM t
+    ), q AS (
+      SELECT doc_id,
+             round(0.4 * least(n / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN n > 0 THEN nd / n ELSE 0 END)
+                 + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0 END) * 4.0,
+                               1.0), 6) AS q
+      FROM s
+    ), qt AS (
+      SELECT doc_id, q FROM q ORDER BY q DESC, doc_id ASC LIMIT {pool}
+    ), qr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY q DESC, doc_id ASC) AS r
+      FROM qt
+    )
+    SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+           CAST(coalesce(1000000 // ({int(rrf_k)} + b.r), 0)
+                + coalesce(1000000 // ({int(rrf_k)} + u.r), 0) AS BIGINT)
+             AS rrf_ppm
+    FROM bmr b FULL OUTER JOIN qr u ON b.doc_id = u.doc_id
+    ORDER BY rrf_ppm DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+# --------------------------------------------------------- zipf slope
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top: int = 1000
+) -> DataFrame:
+    """Zipf rank-frequency slope over the top-``top`` vocabulary: the
+    least-squares slope of log10(count) against log10(rank) — natural
+    corpora sit near -1; a slope far off flags template/boilerplate
+    domination or synthetic token soup (tokenizer-health diagnostic
+    next to the Heaps curve x_vocab_growth).
+
+    Exactness: counts and ranks are exact integers; each log10 is
+    quantized ONCE to millis (the proven single-round pattern), and
+    all four regression moments are BIGINT sums over <= ``top`` rows,
+    so the only float op is the final num/den divide of two identical
+    bigints. Moment magnitudes stay far under 2^63 for any ``top`` <=
+    1e5 and counts <= 1e12 (x,y <= ~1.2e4 millis).
+
+    Scale shape: token counts are a map-side partial agg; the top-k
+    is a TakeOrderedAndProject; the regression is one aggregate over
+    <= ``top`` rows."""
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    pts = counts.withColumn("r", F.row_number().over(w)).select(
+        F.round(F.log10(F.col("r").cast("double")) * 1000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log10(F.col("n").cast("double")) * 1000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "n_points",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+    )
+
+
+def zipf_slope_sql(top: int = 1000, table: str = "documents") -> str:
+    return f"""
+    WITH counts AS (
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM {table})
+      WHERE tok <> '' GROUP BY tok
+      ORDER BY n DESC, tok ASC LIMIT {top}
+    ), pts AS (
+      SELECT CAST(round(log10(row_number() OVER (ORDER BY n DESC, tok ASC)
+                              ::DOUBLE) * 1000) AS BIGINT) AS x,
+             CAST(round(log10(n::DOUBLE) * 1000) AS BIGINT) AS y
+      FROM counts
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n_points,
+           round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS slope
+    FROM m
+    """

@@ -288,3 +288,32 @@ def t_stream_bm25(spark: SparkSession, sf: str) -> DataFrame:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return bm25_from_index(spark, _os.path.join(base, "index"), _BM25_TERMS, k=20)
+
+
+from dvmax_spark.ext.retrieval import (
+    rrf_fusion,
+    rrf_fusion_sql,
+    zipf_slope,
+    zipf_slope_sql,
+)
+
+
+@query("x_rrf_fusion", ids=("X8", "X5"), sql=rrf_fusion_sql(_BM25_TERMS))
+def x_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 relevance (fixed query) with the
+    heuristic quality ranking — hybrid-retrieval's standard
+    calibration-free combiner. Exact integer ppm contributions
+    (1e6 div (60+rank)), ranks over pre-rounded scores with id
+    tie-breaks; each ranker reduces to its top-50 pool BEFORE fusion
+    (ext/retrieval.py:rrf_fusion)."""
+    return rrf_fusion(load_table(spark, "documents", sf), _BM25_TERMS, k=20)
+
+
+@query("x_zipf_slope", ids=("X7",), sql=zipf_slope_sql(top=1000))
+def x_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency slope of the top-1000 vocabulary (natural
+    text sits near -1; boilerplate/synthetic corpora drift off) — the
+    corpus-health diagnostic next to the Heaps curve. Exact bigint
+    regression moments over milli-quantized logs; one final divide
+    (ext/retrieval.py:zipf_slope)."""
+    return zipf_slope(load_table(spark, "documents", sf), top=1000)
