@@ -1125,3 +1125,125 @@ def bloom_decontam_stats_sql(
     WHERE d.source <> '{eval_source}'
     GROUP BY d.source ORDER BY d.source
     """
+
+
+# ------------------------------------------------- SPFHP packing
+
+def _spfhp_strategy(
+    hist: list[tuple[int, int]], ctx_len: int
+) -> tuple[list[tuple[int, int, int, int]], int]:
+    """Shortest-pack-first histogram-packing (Krell & Kersting,
+    Graphcore 'Packing: Towards 2x NLP BERT Acceleration', 2021) on a
+    length histogram — the packing STRATEGY is computed here, exactly,
+    on <= ctx_len histogram rows (driver-scale by construction: the
+    histogram is bounded by the context length, NOT the corpus).
+
+    Processes lengths longest-first; each document goes into the open
+    pack with the SMALLEST remaining space that still fits (packs with
+    equal remaining space are interchangeable, so they are tracked as
+    groups). Returns (slots, n_packs) where each slot row is
+    (length, rank_base, count, pack_base): the docs of ``length`` with
+    within-class ranks [rank_base, rank_base+count) go to packs
+    [pack_base, pack_base+count), one per pack — an exact, replayable
+    assignment rule for the distributed side.
+    """
+    slots: list[tuple[int, int, int, int]] = []
+    # open pack groups: remaining -> list of [pack_base, count] ranges
+    # with CONSECUTIVE pack ids (kept consecutive by construction)
+    open_groups: dict[int, list[list[int]]] = {}
+    next_pack = 0
+    next_rank: dict[int, int] = {}
+    for length, cnt in sorted(hist, key=lambda t: (-t[0], t[1])):
+        remaining = cnt
+        while remaining > 0:
+            fits = sorted(r for r in open_groups if r >= length)
+            if fits:
+                r = fits[0]  # shortest-pack-first: tightest fit
+                grp = open_groups[r][0]
+                take = min(remaining, grp[1])
+                base = grp[0]
+                grp[0] += take
+                grp[1] -= take
+                if grp[1] == 0:
+                    open_groups[r].pop(0)
+                    if not open_groups[r]:
+                        del open_groups[r]
+            else:
+                take = remaining
+                base = next_pack
+                next_pack += take
+                r = ctx_len
+            rb = next_rank.get(length, 0)
+            slots.append((length, rb, take, base))
+            next_rank[length] = rb + take
+            nr = r - length
+            if nr > 0:
+                open_groups.setdefault(nr, []).append([base, take])
+            remaining -= take
+    return slots, next_pack
+
+
+def pack_spfhp(
+    df: DataFrame,
+    ctx_len: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """No-split sequence packing by SPFHP: every document lands WHOLE
+    in exactly one pack of capacity ``ctx_len`` (docs longer than the
+    context are clipped to it), packs chosen to minimize padding —
+    the packed-BERT/packed-pretraining recipe, vs
+    :func:`pack_sequences`' GPT-style concatenate-and-chunk which
+    splits documents across window boundaries.
+
+    Scale split: the length HISTOGRAM (<= ctx_len rows no matter the
+    corpus size — the whole point of histogram packing) is collected
+    and the strategy solved exactly on the driver
+    (:func:`_spfhp_strategy`); application is distributed — each doc
+    computes its within-length-class rank (one window over the length
+    key) and joins the broadcast slot table to find its pack. Output
+    is one row per pack: (pack_id, n_docs, pack_tokens, padding),
+    deterministic across engines/reruns (rank tie-break on id).
+    """
+    n_tok = F.least(
+        F.size(F.split(F.col(text_col), " ")), F.lit(int(ctx_len))
+    ).cast("long")
+    staged = df.select(F.col(id_col), n_tok.alias("n_tok"))
+    hist = [
+        (r["n_tok"], r["cnt"])
+        for r in staged.groupBy("n_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    slots, n_packs = _spfhp_strategy([(int(a), int(b)) for a, b in hist], ctx_len)
+    spark = df.sparkSession
+    slot_df = spark.createDataFrame(
+        slots, "n_tok long, rank_base long, cnt long, pack_base long"
+    )
+    w = Window.partitionBy("n_tok").orderBy(id_col)
+    ranked = staged.withColumn("rk", F.row_number().over(w) - 1)
+    assigned = (
+        ranked.join(F.broadcast(slot_df), "n_tok")
+        .where(
+            (F.col("rk") >= F.col("rank_base"))
+            & (F.col("rk") < F.col("rank_base") + F.col("cnt"))
+        )
+        .select(
+            "n_tok",
+            (F.col("pack_base") + F.col("rk") - F.col("rank_base")).alias("pack_id"),
+        )
+    )
+    return (
+        assigned.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+        .select(
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            (F.lit(int(ctx_len)) - F.col("pack_tokens")).alias("padding"),
+        )
+        .orderBy("pack_id")
+    )

@@ -584,3 +584,20 @@ def x_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
     downstream exact re-check would pay for
     (ext/traindata.py:bloom_decontam_stats)."""
     return bloom_decontam_stats(load_table(spark, "documents", sf))
+
+
+from dvmax_spark.ext.traindata import pack_spfhp
+
+
+@query("x_pack_spfhp", ids=("X20",), sql=None)
+def x_pack_spfhp(spark: SparkSession, sf: str) -> DataFrame:
+    """No-split SPFHP sequence packing (Graphcore packed-BERT
+    histogram packing): docs land whole in minimal-padding packs. The
+    strategy is solved EXACTLY on the <= ctx_len-row length histogram
+    (bounded driver data no matter the corpus size); application is
+    one length-class window + a broadcast slot-table join. No SQL
+    oracle — the packing algorithm isn't SQL-expressible — so the
+    contract is property-tested instead: exact slot coverage, capacity,
+    beats-next-fit, and rerun determinism
+    (tests/test_traindata.py:test_spfhp_strategy_invariants...)."""
+    return pack_spfhp(load_table(spark, "documents", sf), ctx_len=128)

@@ -344,3 +344,62 @@ def test_bloom_decontam_recall_one_and_fp_detection(spark):
     assert tiny["n_bloom"] >= tiny["n_exact"]  # recall 1
     assert tiny["n_false_pos"] == tiny["n_bloom"] - tiny["n_exact"]
     assert tiny["n_false_pos"] > 0  # 8 bits vs ~200 grams must collide
+
+
+def test_spfhp_strategy_invariants_on_random_histograms():
+    """Driver-side SPFHP: every doc of every length class is slotted
+    exactly once, no pack exceeds ctx_len, every pack id in
+    [0, n_packs) is used, and total padding beats (or ties) the naive
+    next-fit-by-arrival baseline."""
+    import random
+
+    from dvmax_spark.ext.traindata import _spfhp_strategy
+
+    for seed in (1, 2, 3, 4, 5):
+        rng = random.Random(seed)
+        ctx = 128
+        hist = {}
+        for _ in range(rng.randint(3, 40)):
+            hist[rng.randint(1, ctx)] = rng.randint(1, 50)
+        slots, n_packs = _spfhp_strategy(list(hist.items()), ctx)
+        per_len = {}
+        load = [0] * n_packs
+        ndocs = [0] * n_packs
+        for length, rank_base, cnt, pack_base in slots:
+            assert per_len.get(length, 0) == rank_base  # ranks contiguous
+            per_len[length] = rank_base + cnt
+            for p in range(pack_base, pack_base + cnt):
+                load[p] += length
+                ndocs[p] += 1
+        assert per_len == hist, f"seed={seed}"
+        assert all(l <= ctx for l in load)
+        assert all(n >= 1 for n in ndocs)
+        # naive next-fit baseline over an arbitrary arrival order
+        arrivals = [ln for ln, c in sorted(hist.items()) for _ in range(c)]
+        packs, cur = 1, 0
+        for ln in arrivals:
+            if cur + ln > ctx:
+                packs += 1
+                cur = 0
+            cur += ln
+        assert n_packs <= packs, f"seed={seed}: {n_packs} vs naive {packs}"
+
+
+def test_pack_spfhp_end_to_end(spark):
+    """Distributed application: every doc in exactly one pack, packs
+    within capacity, rerun-identical output."""
+    import random
+
+    from dvmax_spark.ext.traindata import pack_spfhp
+
+    rng = random.Random(9)
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(rng.randint(1, 200)))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out1 = pack_spfhp(docs, ctx_len=128).collect()
+    out2 = pack_spfhp(docs, ctx_len=128).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert sum(r["n_docs"] for r in out1) == 300
+    assert all(r["pack_tokens"] <= 128 and r["padding"] >= 0 for r in out1)
+    assert sorted(r["pack_id"] for r in out1) == list(range(len(out1)))
