@@ -1269,42 +1269,28 @@ def pagerank_centrality(
         "src", "outdeg", "n_nodes", F.expr(f"{scale} div n_nodes").alias("rank")
     )
     for _ in range(iters):
-        # message-union step (same shape as dedup_clusters): edge
-        # contributions and a zero-mass row per node (carrying that
-        # node's outdeg/n_nodes) meet in ONE aggregation, so an
-        # iteration is one shuffle join + one hash-aggregate — no
-        # second O(V) left join to re-attach node metadata.
+        # NOTE (measured, min-of-3 at sf0.1): a message-union variant
+        # (zero-mass node rows riding the aggregate, as dedup_clusters
+        # does) hard-codes a shuffle of the node table per iteration
+        # and ran ~10% SLOWER here — the left join below lets AQE
+        # broadcast the (small) node-metadata side at test scale and
+        # degrades to the same shuffle join at cluster scale, so the
+        # declarative form wins both ways.
         contrib = (
             ranks.select("src", F.expr("rank div outdeg").alias("share"))
             .join(edges, "src")
-            .select(
-                "dst",
-                "share",
-                F.lit(None).cast("long").alias("outdeg"),
-                F.lit(None).cast("long").alias("n_nodes"),
-            )
-        )
-        base = nodes.select(
-            F.col("src").alias("dst"),
-            F.lit(0).cast("long").alias("share"),
-            F.col("outdeg").cast("long").alias("outdeg"),
-            F.col("n_nodes").cast("long").alias("n_nodes"),
+            .groupBy("dst")
+            .agg(F.sum("share").alias("mass"))
         )
         ranks = (
-            contrib.unionAll(base)
-            .groupBy(F.col("dst").alias("src"))
-            .agg(
-                F.sum("share").alias("mass"),
-                F.max("outdeg").alias("outdeg"),
-                F.max("n_nodes").alias("n_nodes"),
-            )
+            nodes.join(contrib, nodes["src"] == contrib["dst"], "left")
             .select(
-                "src",
-                "outdeg",
-                "n_nodes",
+                nodes["src"],
+                nodes["outdeg"],
+                nodes["n_nodes"],
                 F.expr(
                     f"(15 * ({scale} div n_nodes)) div 100"
-                    " + (85 * mass) div 100"
+                    " + (85 * coalesce(mass, 0L)) div 100"
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)
