@@ -1580,9 +1580,13 @@ def zipf_slope(
     )
     num = F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # degenerate regression (0 or 1 distinct rank): no slope, not
+    # an IEEE Infinity that engines would render differently
     return m.select(
         "n_points",
-        F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+        F.when(
+            den != 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("slope"),
     )
 
 
@@ -1606,7 +1610,9 @@ def zipf_slope_sql(top: int = 1000, table: str = "documents") -> str:
       FROM pts
     )
     SELECT n_points,
-           round(CAST(n_points * sxy - sx * sy AS DOUBLE)
-                 / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS slope
+           CASE WHEN n_points * sxx - sx * sx <> 0
+                THEN round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                           / CAST(n_points * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope
     FROM m
     """

@@ -1205,8 +1205,11 @@ def pack_spfhp(
     is one row per pack: (pack_id, n_docs, pack_tokens, padding),
     deterministic across engines/reruns (rank tie-break on id).
     """
+    # null text counts like the empty string (split('') == [''], one
+    # token) — a null must not become a null histogram key
     n_tok = F.least(
-        F.size(F.split(F.col(text_col), " ")), F.lit(int(ctx_len))
+        F.coalesce(F.size(F.split(F.col(text_col), " ")), F.lit(1)),
+        F.lit(int(ctx_len)),
     ).cast("long")
     staged = df.select(F.col(id_col), n_tok.alias("n_tok"))
     hist = [

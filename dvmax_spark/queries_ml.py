@@ -549,8 +549,16 @@ def x_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     whole corpus; per-source gate-vs-model keep counts + held-out
     agreement. Rows-only by design (LBFGS float aggregation);
     held-out agreement floors are property-tested in
-    tests/test_ml_quality.py."""
-    return quality_classifier_report(load_table(spark, "documents", sf))
+    tests/test_ml_quality.py.
+
+    The per-source report (<= |sources| rows) is eagerly
+    localCheckpoint-ed: the returned frame reads materialized rows
+    instead of carrying a live MLlib-model transform in its plan —
+    deep into a long JVM session that deferred transform was the one
+    query-surface save() observed failing (scale-smoke, 2x retried)."""
+    return quality_classifier_report(
+        load_table(spark, "documents", sf)
+    ).localCheckpoint(eager=True)
 
 
 from dvmax_spark.ext.similarity import training_triplets, training_triplets_sql

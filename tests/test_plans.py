@@ -613,3 +613,51 @@ def test_oph_signature_one_min_aggregate(spark):
     # the classic path evaluates 64 affine permutations in the agg —
     # OPH must not: no more than a handful of min expressions
     assert plan.count("min(") <= 4, plan
+
+
+# ------------------------------------------------- fifth-wave operators
+
+
+def test_ewma_single_exchange(spark):
+    """w_ewma: all 16 lag terms + the latest-row selection share ONE
+    hash exchange on the partition key — no per-lag shuffles."""
+    plan = _simple_plan(_q(spark, "w_ewma"))
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex == 1, plan
+
+
+def test_weighted_sample_is_top_k_no_shuffle(spark):
+    """x_weighted_sample: map-side priorities + partial global top-k
+    (TakeOrderedAndProject); zero hash exchanges of the corpus."""
+    plan = _simple_plan(_q(spark, "x_weighted_sample"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bloom_decontam_membership_is_broadcast(spark):
+    """x_bloom_decontam: every bit-set membership test and the exact
+    eval-gram test are BROADCAST joins — the corpus side never
+    shuffles on a gram or position key. (The only hash exchanges are
+    the per-doc/per-source aggregations.)"""
+    plan = _simple_plan(_q(spark, "x_bloom_decontam"))
+    assert plan.count("BroadcastExchange") >= 4, plan  # 3 bits + eval grams
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_prefix_filter_in_plan(spark):
+    """x_tfidf_cosine_pairs: the candidate join consumes the
+    window-filtered prefix (a Window node feeding the self-join), and
+    the tiny N/idf aggregates reach it as broadcasts."""
+    plan = _simple_plan(_q(spark, "x_tfidf_cosine_pairs"))
+    assert "Window" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_event_transitions_single_window_pass(spark):
+    """x_event_transitions: one window pass over events; the ppm
+    probabilities come from a window over the tiny aggregated matrix,
+    never a second shuffle of event rows."""
+    plan = _simple_plan(_q(spark, "x_event_transitions"))
+    # exchanges: events->user window, matrix aggregate, from_type
+    # window (tiny), final sort
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

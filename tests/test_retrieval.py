@@ -510,3 +510,13 @@ def test_tfidf_cosine_prefix_filter_is_lossless(spark):
             if na and nb and dot / (na * nb) >= threshold:
                 exp[(a, b)] = round(dot / (na * nb), 4)
         assert got == exp, f"threshold={threshold}"
+
+
+def test_zipf_slope_degenerate_vocab_yields_null(spark):
+    """One-token vocab: zero x-variance regression must yield a null
+    slope, not an engine-dependent Infinity."""
+    from dvmax_spark.ext.retrieval import zipf_slope
+
+    docs = spark.createDataFrame([(1, "w w w"), (2, "w")], "doc_id long, text string")
+    row = zipf_slope(docs, top=10).collect()[0]
+    assert row["n_points"] == 1 and row["slope"] is None

@@ -24,5 +24,17 @@ def test_all_queries_execute_at_sf01(spark):
                 break
             except Exception as e:  # noqa: BLE001
                 if attempt == 2:
-                    failures.append((name, str(e).split("\n")[0][:160]))
+                    # py4j buries the real cause lines deep — keep the
+                    # first java exception line too, not just the
+                    # opaque "An error occurred calling oNNN.save."
+                    lines = str(e).splitlines()
+                    detail = next(
+                        (
+                            ln.strip()
+                            for ln in lines[1:]
+                            if ("Exception" in ln or "Error" in ln)
+                        ),
+                        "",
+                    )
+                    failures.append((name, (lines[0] + " | " + detail)[:300]))
     assert not failures, failures

@@ -403,3 +403,14 @@ def test_pack_spfhp_end_to_end(spark):
     assert sum(r["n_docs"] for r in out1) == 300
     assert all(r["pack_tokens"] <= 128 and r["padding"] >= 0 for r in out1)
     assert sorted(r["pack_id"] for r in out1) == list(range(len(out1)))
+
+
+def test_pack_spfhp_null_text_counts_as_one_token(spark):
+    from dvmax_spark.ext.traindata import pack_spfhp
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    out = pack_spfhp(docs, ctx_len=8).collect()
+    assert sum(r["n_docs"] for r in out) == 2
+    assert sum(r["pack_tokens"] for r in out) == 4  # 1 (null) + 3
