@@ -1616,3 +1616,112 @@ def zipf_slope_sql(top: int = 1000, table: str = "documents") -> str:
            END AS slope
     FROM m
     """
+
+
+# ------------------------------------------------- association rules
+
+def assoc_rules(
+    df: DataFrame,
+    min_support: int = 50,
+    min_conf_ppm: int = 400_000,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise association rules a -> b over per-document token sets
+    (the market-basket classic, Agrawal/Srikant VLDB'94): support,
+    confidence and lift for every ordered token pair co-occurring in
+    >= ``min_support`` documents with confidence >= ``min_conf_ppm``,
+    top-``k`` by lift — which co-occurrences are RULES, not just
+    frequent (PMI's thresholded, ratio-based sibling).
+
+    Apriori prune before any pairing: support(a,b) <= min(df(a),
+    df(b)), so tokens below ``min_support`` are dropped BEFORE the
+    within-doc self-join — the candidate space is (frequent tokens
+    per doc)^2, not (doc length)^2. Confidence and lift are EXACT
+    integer ppm: conf = (n_ab * 1e6) div n_a, lift = (n_ab * N * 1e6)
+    div (n_a * n_b). The lift numerator n_ab*N*1e6 needs headroom —
+    fine under ~2e63 up to n_ab,N ~ 1e8 docs; at larger corpus
+    cardinalities rearrange to ((n_ab*1e6) div n_a * ... ) or widen
+    to decimal, trading the last ppm of exactness for range.
+
+    Scale shape: one distinct-token aggregation, a frequent-token
+    semi-join (tiny broadcast), one within-doc self-join bounded by
+    frequent tokens per doc, one pair aggregation. Ranking on exact
+    integers with (a, b) tie-break.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    frequent = dfreq.where(F.col("n") >= int(min_support))
+    ft = toks.join(F.broadcast(frequent.select("tok")), "tok", "left_semi")
+    nd = toks.select(F.countDistinct("id").alias("n_docs"))
+    a = ft.select("id", F.col("tok").alias("a"))
+    b = ft.select("id", F.col("tok").alias("b"))
+    pairs = (
+        a.join(b, "id")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_support))
+    )
+    na = frequent.select(F.col("tok").alias("a"), F.col("n").alias("n_a"))
+    nb = frequent.select(F.col("tok").alias("b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr("(n_ab * 1000000) div n_a").alias("conf_ppm"),
+            F.expr("(n_ab * n_docs * 1000000) div (n_a * n_b)").alias("lift_ppm"),
+        )
+        .where(F.col("conf_ppm") >= int(min_conf_ppm))
+    )
+    return out.orderBy(
+        F.desc("lift_ppm"), F.asc("a"), F.asc("b")
+    ).limit(k)
+
+
+def assoc_rules_sql(
+    min_support: int = 50,
+    min_conf_ppm: int = 400_000,
+    k: int = 50,
+    table: str = "documents",
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, u.tok AS tok
+      FROM {table}, UNNEST(str_split(text, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ), dfreq AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), freq AS (
+      SELECT tok, n FROM dfreq WHERE n >= {int(min_support)}
+    ), ft AS (
+      SELECT t.doc_id, t.tok FROM toks t SEMI JOIN freq USING (tok)
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+    ), pairs AS (
+      SELECT x.tok AS a, y.tok AS b, count(*) AS n_ab
+      FROM ft x JOIN ft y ON x.doc_id = y.doc_id AND x.tok <> y.tok
+      GROUP BY 1, 2 HAVING count(*) >= {int(min_support)}
+    )
+    SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+           (n_ab * 1000000) // fa.n AS conf_ppm,
+           (n_ab * (SELECT n_docs FROM nd) * 1000000) // (fa.n * fb.n)
+             AS lift_ppm
+    FROM pairs
+    JOIN freq fa ON fa.tok = a
+    JOIN freq fb ON fb.tok = b
+    WHERE (n_ab * 1000000) // fa.n >= {int(min_conf_ppm)}
+    ORDER BY lift_ppm DESC, a ASC, b ASC
+    LIMIT {k}
+    """

@@ -317,3 +317,17 @@ def x_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     regression moments over milli-quantized logs; one final divide
     (ext/retrieval.py:zipf_slope)."""
     return zipf_slope(load_table(spark, "documents", sf), top=1000)
+
+
+from dvmax_spark.ext.retrieval import assoc_rules, assoc_rules_sql
+
+
+@query("x_assoc_rules", ids=("X7", "A1"), sql=assoc_rules_sql(min_support=50))
+def x_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise association rules over per-doc token sets (Apriori,
+    support >= 50 docs, confidence >= 0.4, top-50 by lift) — which
+    token co-occurrences are RULES, not just frequent; PMI's
+    thresholded market-basket sibling. Apriori-pruned BEFORE pairing
+    (infrequent tokens can't form frequent pairs), all measures exact
+    integer ppm (ext/retrieval.py:assoc_rules)."""
+    return assoc_rules(load_table(spark, "documents", sf), min_support=50)

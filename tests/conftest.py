@@ -40,7 +40,14 @@ def spark(tmp_path_factory):
     s = get_spark(
         "dvmax_tests",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh),
+            # ~500 tests share this one JVM; the default 16g driver
+            # has flaked on MLlib paths near the end of the suite
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "28g"
+            ),
+        },
     )
     yield s
     s.stop()

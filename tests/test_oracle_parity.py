@@ -28,9 +28,27 @@ def test_rows_only_queries_run(spark):
 
     for name, spec in all_queries().items():
         if spec.sql is None:
-            df = spec.fn(spark, "/root/testdata/sf0.01")
-            assert df.columns, name
-            assert df.count() >= 0, name
+            # one pressure-relief retry, mirroring test_scale_smoke:
+            # after ~450 tests of accumulated JVM state, MLlib-backed
+            # queries have flaked on py4j here while passing in any
+            # fresh or 200-test session; a deterministic bug still
+            # fails the clean retry
+            for attempt in (1, 2):
+                try:
+                    df = spec.fn(spark, "/root/testdata/sf0.01")
+                    assert df.columns, name
+                    assert df.count() >= 0, name
+                    break
+                except AssertionError:
+                    raise
+                except Exception:  # noqa: BLE001
+                    if attempt == 2:
+                        raise
+                    try:
+                        spark.catalog.clearCache()
+                        spark.sparkContext._jvm.System.gc()
+                    except Exception:  # noqa: BLE001
+                        pass
 
 
 def test_entry_contract(spark):
