@@ -76,15 +76,36 @@ def quality_classifier_scores(
             maxIter=30, regParam=reg_param, featuresCol="features", labelCol="label"
         )
         model = lr.fit(staged.where("is_train"))
-        scored = model.transform(staged)
-        p_keep = F.element_at(vector_to_array(F.col("probability")), 2)
-        return scored.select(
-            "doc_id",
-            "source",
-            F.col("label").cast("boolean").alias("gate_keep"),
-            F.col("prediction").cast("boolean").alias("pred_keep"),
-            p_keep.alias("p_keep"),
-            "is_train",
+        # Score with the COEFFICIENTS as Catalyst literals, NOT
+        # model.transform: the fitted model retains its
+        # trainingSummary, which references the SparkSession, whose
+        # ObservationManager is not java-serializable — so once any
+        # Observation has been used in the session, every task
+        # serialization of a model-transform plan fails with
+        # "Task not serializable" (seen in the full test suite after
+        # the A12 metrics tests ran). Expression scoring keeps the
+        # plan model-free: margin = b + coef . x, prediction at the
+        # default 0.5 threshold == margin > 0.
+        coef = [float(c) for c in model.coefficients.toArray().tolist()]
+        b = float(model.intercept)
+        arr = vector_to_array(F.col("features"))
+        coef_lit = F.array(*[F.lit(c) for c in coef])
+        margin = F.lit(b) + F.aggregate(
+            F.zip_with(arr, coef_lit, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        p_keep = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_margin")))
+        return (
+            staged.withColumn("_margin", margin)
+            .select(
+                "doc_id",
+                "source",
+                F.col("label").cast("boolean").alias("gate_keep"),
+                (F.col("_margin") > 0).alias("pred_keep"),
+                p_keep.alias("p_keep"),
+                "is_train",
+            )
         )
     finally:
         staged.unpersist()

@@ -187,3 +187,29 @@ def test_quantization_recall_empty_guard(spark):
         quantization_recall(emb, [])
     with pytest.raises(ValueError):
         quantization_recall_sql([])
+
+
+def test_quality_classifier_survives_observation_poisoned_session(spark):
+    """REGRESSION (root cause of the 'deep-session flake'): after ANY
+    query runs with an Observation (the A12 metrics op), the
+    SparkSession's ObservationManager makes the session
+    non-serializable — and LogisticRegressionModel retains a
+    trainingSummary that references the session, so any
+    model.transform PLAN then fails task serialization
+    ('Task not serializable ... ObservationManager'). The classifier
+    therefore scores with coefficient LITERALS (model-free plan);
+    this test poisons the session explicitly and must still score."""
+    from pyspark.sql import Observation
+
+    from dvmax_spark.ml.quality import quality_classifier_report
+
+    obs = Observation("poison_serialization")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == 10
+
+    docs = spark.createDataFrame(
+        [(i, "the a of and in to is words here " * 4, "s0") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    rows = quality_classifier_report(docs).collect()
+    assert rows and rows[0]["n_docs"] == 60

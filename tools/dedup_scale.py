@@ -100,6 +100,21 @@ def main() -> None:
     t_clusters = time.perf_counter() - t0
     print(f"dedup_clusters: {n_clustered:,} non-root members in {t_clusters:.1f} s")
 
+    # --- two-phase CC vs min-label propagation on the same pair set
+    # (the 50-doc chain is the diameter shape twophase exists for)
+    from dvmax_spark.ext.dedup import connected_components_twophase
+
+    t0 = time.perf_counter()
+    labels, rounds = connected_components_twophase(
+        pairs.select("id_a", "id_b")
+    )
+    n_lab = labels.count()
+    t_two = time.perf_counter() - t0
+    print(
+        f"connected_components_twophase: {n_lab:,} labeled in {rounds} "
+        f"LS+SS rounds, {t_two:.1f} s (propagation above: diameter-bound)"
+    )
+
     # --- ExactSubstr-style span removal over the same corpus (the
     # newest heavy operator): uncapped, then with the hot-gram cap
     from dvmax_spark.ext.retrieval import span_dedup_clean
