@@ -551,11 +551,12 @@ def x_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     held-out agreement floors are property-tested in
     tests/test_ml_quality.py.
 
-    The per-source report (<= |sources| rows) is eagerly
-    localCheckpoint-ed: the returned frame reads materialized rows
-    instead of carrying a live MLlib-model transform in its plan —
-    deep into a long JVM session that deferred transform was the one
-    query-surface save() observed failing (scale-smoke, 2x retried)."""
+    Scoring is MODEL-FREE in the plan (coefficient literals, not
+    model.transform — see ml/quality.py: the retained trainingSummary
+    references the session, which stops serializing once any
+    Observation ran); the tiny per-source report is additionally
+    eager-localCheckpoint-ed so the returned frame is materialized
+    rows."""
     return quality_classifier_report(
         load_table(spark, "documents", sf)
     ).localCheckpoint(eager=True)
