@@ -1,0 +1,232 @@
+"""Seeded differential fuzzing: randomly composed filter -> groupBy ->
+aggregate -> sort queries generated from ONE tiny AST, rendered both
+as a Spark DataFrame chain and as DuckDB SQL, compared value-exactly.
+
+The hand-written oracle queries pin the operators we thought of;
+the fuzzer covers the compositions we didn't. Everything generated is
+EXACT by construction (integer counts, cents-exact money sums via the
+round(x*100) convention, min/max of orderable types, no floats), so
+any mismatch is a real engine-semantics bug, not rounding noise.
+
+Seeds are fixed: failures reproduce exactly; bump N_QUERIES or add
+seeds to widen the net.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_CORRECT, canonicalize
+
+N_QUERIES = 40
+
+# (name, spark value expr factory, sql value expr, kind)
+_ORDERS_COLS = [
+    ("o_orderstatus", "cat"),
+    ("o_orderpriority", "cat"),
+]
+_PREDICATES = [
+    # (spark col fn, sql text) pairs, exact-semantics only
+    (
+        lambda: F.col("o_totalprice") > 150000.0,
+        "o_totalprice > 150000.0",
+    ),
+    (
+        lambda: F.col("o_totalprice") <= 60000.0,
+        "o_totalprice <= 60000.0",
+    ),
+    (
+        lambda: F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"),
+        "o_orderdate >= TIMESTAMP '1996-01-01'",
+    ),
+    (
+        lambda: F.col("o_orderdate") < F.lit("1994-07-01").cast("timestamp"),
+        "o_orderdate < TIMESTAMP '1994-07-01'",
+    ),
+    (
+        lambda: F.col("o_orderstatus") == "F",
+        "o_orderstatus = 'F'",
+    ),
+    (
+        lambda: F.col("o_orderpriority") != "3-MEDIUM",
+        "o_orderpriority <> '3-MEDIUM'",
+    ),
+    (
+        lambda: F.col("o_custkey") % 7 == 3,
+        "o_custkey % 7 = 3",
+    ),
+    (
+        lambda: F.col("o_orderkey") % 5 < 2,
+        "o_orderkey % 5 < 2",
+    ),
+]
+_AGGS = [
+    (
+        "n_rows",
+        lambda: F.count(F.lit(1)).alias("n_rows"),
+        "CAST(count(*) AS BIGINT) AS n_rows",
+    ),
+    (
+        "total_cents",
+        lambda: F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS total_cents",
+    ),
+    (
+        "min_key",
+        lambda: F.min("o_orderkey").alias("min_key"),
+        "min(o_orderkey) AS min_key",
+    ),
+    (
+        "max_date",
+        lambda: F.max("o_orderdate").alias("max_date"),
+        "max(o_orderdate) AS max_date",
+    ),
+    (
+        "n_cust",
+        lambda: F.countDistinct("o_custkey").alias("n_cust"),
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust",
+    ),
+]
+
+
+def _gen(rng: random.Random):
+    """One random query: subset of predicates (AND), optional group
+    keys, 1-3 aggregates. Returns (build_spark_fn, sql_text)."""
+    preds = rng.sample(_PREDICATES, rng.randint(0, 3))
+    keys = [c for c, _ in _ORDERS_COLS if rng.random() < 0.5]
+    aggs = rng.sample(_AGGS, rng.randint(1, 3))
+
+    def build(spark):
+        df = spark.read.parquet(f"{SF_DIR_CORRECT}/orders.parquet")
+        for p, _ in preds:
+            df = df.where(p())
+        if keys:
+            out = df.groupBy(*keys).agg(*[a() for _, a, _ in aggs])
+            return out.orderBy(*keys)
+        return df.agg(*[a() for _, a, _ in aggs])
+
+    where = " AND ".join(s for _, s in preds) or "1=1"
+    select_keys = (", ".join(keys) + ", ") if keys else ""
+    group = f"GROUP BY {', '.join(keys)} ORDER BY {', '.join(keys)}" if keys else ""
+    sql = (
+        f"SELECT {select_keys}{', '.join(s for _, _, s in aggs)} "
+        f"FROM orders WHERE {where} {group}"
+    )
+    return build, sql
+
+
+def test_fuzzed_filter_group_agg_parity(spark, oracle):
+    rng = random.Random(20260815)
+    mismatches = []
+    for i in range(N_QUERIES):
+        build, sql = _gen(rng)
+        got = canonicalize(build(spark).toPandas())
+        exp = canonicalize(oracle.execute(sql).fetchdf())
+        try:
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, check_exact=True
+            )
+        except AssertionError as e:
+            mismatches.append((i, sql, str(e).splitlines()[0]))
+    assert not mismatches, mismatches
+
+
+_LI_PREDICATES = [
+    (
+        lambda: F.col("l_quantity") < 25.0,
+        "l_quantity < 25.0",
+    ),
+    (
+        lambda: F.col("l_discount") >= 0.05,
+        "l_discount >= 0.05",
+    ),
+    (
+        lambda: F.col("l_returnflag") == "R",
+        "l_returnflag = 'R'",
+    ),
+    (
+        lambda: F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"),
+        "l_shipdate >= TIMESTAMP '1995-01-01'",
+    ),
+    (
+        lambda: F.col("l_linenumber") <= 3,
+        "l_linenumber <= 3",
+    ),
+]
+_JOIN_AGGS = [
+    (
+        lambda: F.count(F.lit(1)).alias("n_rows"),
+        "CAST(count(*) AS BIGINT) AS n_rows",
+    ),
+    (
+        lambda: F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS price_cents",
+    ),
+    (
+        lambda: F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+            "qty_cents"
+        ),
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents",
+    ),
+    (
+        lambda: F.countDistinct("o_orderkey").alias("n_orders"),
+        "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders",
+    ),
+]
+
+
+def test_fuzzed_join_parity(spark, oracle):
+    """Random orders JOIN lineitem compositions: predicates on either
+    side of the join, grouped or global exact aggregates — the
+    cross-table compositions the hand-written TPC-H subset samples
+    only at a few points."""
+    rng = random.Random(815)
+    mismatches = []
+    for i in range(25):
+        o_preds = rng.sample(_PREDICATES, rng.randint(0, 2))
+        l_preds = rng.sample(_LI_PREDICATES, rng.randint(0, 2))
+        keys = [k for k in ("o_orderstatus", "l_returnflag") if rng.random() < 0.5]
+        aggs = rng.sample(_JOIN_AGGS, rng.randint(1, 2))
+
+        orders = spark.read.parquet(f"{SF_DIR_CORRECT}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR_CORRECT}/lineitem.parquet")
+        for p, _ in o_preds:
+            orders = orders.where(p())
+        for p, _ in l_preds:
+            li = li.where(p())
+        j = orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        if keys:
+            out = j.groupBy(*keys).agg(*[a() for a, _ in aggs]).orderBy(*keys)
+        else:
+            out = j.agg(*[a() for a, _ in aggs])
+
+        where = " AND ".join(
+            [s for _, s in o_preds] + [s for _, s in l_preds]
+        ) or "1=1"
+        select_keys = (", ".join(keys) + ", ") if keys else ""
+        group = (
+            f"GROUP BY {', '.join(keys)} ORDER BY {', '.join(keys)}" if keys else ""
+        )
+        sql = (
+            f"SELECT {select_keys}{', '.join(s for _, s in aggs)} "
+            f"FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            f"WHERE {where} {group}"
+        )
+        got = canonicalize(out.toPandas())
+        exp = canonicalize(oracle.execute(sql).fetchdf())
+        try:
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, check_exact=True
+            )
+        except AssertionError as e:
+            mismatches.append((i, sql, str(e).splitlines()[0]))
+    assert not mismatches, mismatches
