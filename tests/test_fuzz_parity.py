@@ -230,3 +230,87 @@ def test_fuzzed_join_parity(spark, oracle):
         except AssertionError as e:
             mismatches.append((i, sql, str(e).splitlines()[0]))
     assert not mismatches, mismatches
+
+
+def test_fuzzed_window_parity(spark, oracle):
+    """Random window-function compositions over per-customer order
+    sequences: lag/lead offsets, running exact-cents sums, row_number /
+    rank / dense_rank with fully-specified deterministic orderings,
+    trailing-rows frames — the frame/tie semantics corner where
+    engines classically diverge. All values exact integers."""
+    from pyspark.sql import Window
+
+    rng = random.Random(4040)
+    cents_spark = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents_sql = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    over = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+
+    def w():
+        return Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+    choices = [
+        (
+            lambda k: F.lag(cents_spark, k).over(w()),
+            lambda k: f"lag({cents_sql}, {k}) {over}",
+        ),
+        (
+            lambda k: F.lead(cents_spark, k).over(w()),
+            lambda k: f"lead({cents_sql}, {k}) {over}",
+        ),
+        (
+            lambda k: F.sum(cents_spark).over(
+                w().rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            lambda k: f"sum({cents_sql}) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        ),
+        (
+            lambda k: F.sum(cents_spark).over(w().rowsBetween(-k, 0)),
+            lambda k: f"sum({cents_sql}) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey "
+            f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)",
+        ),
+        (
+            lambda k: F.row_number().over(w()),
+            lambda k: f"row_number() {over}",
+        ),
+        (
+            lambda k: F.min(cents_spark).over(
+                w().rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            lambda k: f"min({cents_sql}) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        ),
+    ]
+    mismatches = []
+    for i in range(15):
+        picks = rng.sample(choices, rng.randint(1, 3))
+        ks = [rng.randint(1, 4) for _ in picks]
+        cap = rng.choice([100, 500])  # bound output via custkey subset
+
+        df = spark.read.parquet(f"{SF_DIR_CORRECT}/orders.parquet").where(
+            F.col("o_custkey") < cap
+        )
+        cols = [
+            f(k).alias(f"w{j}") for j, ((f, _), k) in enumerate(zip(picks, ks))
+        ]
+        out = df.select("o_orderkey", *cols).orderBy("o_orderkey")
+
+        sel = ", ".join(
+            s(k) + f" AS w{j}" for j, ((_, s), k) in enumerate(zip(picks, ks))
+        )
+        sql = (
+            f"SELECT o_orderkey, {sel} FROM orders "
+            f"WHERE o_custkey < {cap} ORDER BY o_orderkey"
+        )
+        got = canonicalize(out.toPandas())
+        exp = canonicalize(oracle.execute(sql).fetchdf())
+        try:
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, check_exact=True
+            )
+        except AssertionError as e:
+            mismatches.append((i, sql, str(e).splitlines()[0]))
+    assert not mismatches, mismatches
