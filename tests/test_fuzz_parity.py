@@ -314,3 +314,62 @@ def test_fuzzed_window_parity(spark, oracle):
         except AssertionError as e:
             mismatches.append((i, sql, str(e).splitlines()[0]))
     assert not mismatches, mismatches
+
+
+def test_fuzzed_string_ops_parity(spark, oracle):
+    """Random compositions of exact-semantics string functions over
+    document text (F9 family): substring/upper/lower/length/trim/
+    replace/concat — 1-based positions only (0/negative substring
+    semantics legitimately differ across engines and are avoided, as
+    the engine code does)."""
+    rng = random.Random(99)
+    ops = [
+        (
+            lambda p, l: F.substring(F.col("text"), p, l),
+            lambda p, l: f"substr(text, {p}, {l})",
+        ),
+        (
+            lambda p, l: F.upper(F.substring(F.col("text"), p, l)),
+            lambda p, l: f"upper(substr(text, {p}, {l}))",
+        ),
+        (
+            lambda p, l: F.length(F.col("text")).cast("long"),
+            lambda p, l: "CAST(length(text) AS BIGINT)",
+        ),
+        (
+            lambda p, l: F.regexp_replace(F.col("text"), " ", "_"),
+            lambda p, l: "replace(text, ' ', '_')",
+        ),
+        (
+            lambda p, l: F.concat(F.lower(F.substring(F.col("text"), p, l)), F.lit("#x")),
+            lambda p, l: f"lower(substr(text, {p}, {l})) || '#x'",
+        ),
+        (
+            lambda p, l: F.trim(F.substring(F.col("text"), p, l)),
+            lambda p, l: f"trim(substr(text, {p}, {l}))",
+        ),
+    ]
+    mismatches = []
+    for i in range(20):
+        picks = rng.sample(ops, rng.randint(1, 3))
+        args = [(rng.randint(1, 20), rng.randint(1, 30)) for _ in picks]
+        df = spark.read.parquet(f"{SF_DIR_CORRECT}/documents.parquet")
+        cols = [
+            f(p, l).alias(f"s{j}")
+            for j, ((f, _), (p, l)) in enumerate(zip(picks, args))
+        ]
+        out = df.select("doc_id", *cols).orderBy("doc_id")
+        sel = ", ".join(
+            s(p, l) + f" AS s{j}"
+            for j, ((_, s), (p, l)) in enumerate(zip(picks, args))
+        )
+        sql = f"SELECT doc_id, {sel} FROM documents ORDER BY doc_id"
+        got = canonicalize(out.toPandas())
+        exp = canonicalize(oracle.execute(sql).fetchdf())
+        try:
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, check_exact=True
+            )
+        except AssertionError as e:
+            mismatches.append((i, sql, str(e).splitlines()[0]))
+    assert not mismatches, mismatches
