@@ -1751,3 +1751,100 @@ def minhash_oph_sql(
     WHERE m / {num_buckets}.0 >= {threshold}
     ORDER BY id_a, id_b
     """
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold_ppm: int = 700_000,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment-similarity join: ordered pairs where
+    |grams(a) ∩ grams(b)| / |grams(a)| >= threshold — i.e. document a
+    is (nearly) CONTAINED in document b. The subset-duplication
+    detector Jaccard structurally misses: a paragraph quoted inside a
+    10x longer page has tiny Jaccard but containment ~1, and dropping
+    the contained side is the right dedup verdict (Lee et al. 2022's
+    partial-dup motivation).
+
+    Exact integer ppm (`div`), denominators from the UNPRUNED per-doc
+    gram sets; with ``max_doc_freq`` set, reported containment is a
+    conservative lower bound (pruning only shrinks intersections) —
+    the identical contract and escape hatch as ngram_jaccard_pairs.
+    Scale shape: one inverted-index shuffle of gram occurrences,
+    pair aggregation, sizes joined back; both directions emitted from
+    ONE symmetric intersection count.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    joinable = toks
+    if max_doc_freq is not None:
+        hot = (
+            toks.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > int(max_doc_freq))
+            .select("g")
+        )
+        joinable = toks.join(F.broadcast(hot), "g", "left_anti")
+    a = joinable.select(F.col("id").alias("id_a"), "g")
+    b = joinable.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    # one symmetric count serves both ordered directions
+    both = inter.unionAll(
+        inter.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "inter_sz",
+        )
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    return (
+        both.join(na, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter_sz").cast("long").alias("inter_sz"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.expr("(inter_sz * 1000000) div n_a").alias("containment_ppm"),
+        )
+        .where(F.col("containment_ppm") >= int(threshold_ppm))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def containment_pairs_sql(
+    threshold_ppm: int = 700_000, shingle_n: int = 3, table: str = "documents"
+) -> str:
+    """Brute-force DuckDB twin of :func:`containment_pairs` (no cap)."""
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(shingle_n))
+    return f"""
+    WITH toksl AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM {table}
+    ), toks AS (
+      SELECT DISTINCT doc_id, {gram} AS g
+      FROM toksl, UNNEST(range(1, len(t) - {shingle_n} + 2)) AS u(i)
+      WHERE len(t) >= {shingle_n}
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS inter_sz,
+           CAST(sz.n AS BIGINT) AS n_a,
+           (i * 1000000) // sz.n AS containment_ppm
+    FROM inter JOIN sz ON sz.doc_id = id_a
+    WHERE (i * 1000000) // sz.n >= {int(threshold_ppm)}
+    ORDER BY id_a, id_b
+    """

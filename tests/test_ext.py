@@ -1132,3 +1132,26 @@ def test_oph_recall_vs_exact_jaccard(spark):
     }
     assert truth, "fixture corpus must contain true pairs"
     assert truth <= got, f"missed true pairs: {sorted(truth - got)[:5]}"
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    from the short side is 1.0 while Jaccard is far below any usable
+    threshold — the operator's reason to exist. The reverse direction
+    (long contained in short) must NOT fire."""
+    from dvmax_spark.ext.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.replace("w", "v"))],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment_ppm"]
+        for r in containment_pairs(docs, threshold_ppm=700_000).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == 1_000_000
+    assert (2, 1) not in out
+    jac = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=None).collect()
+    assert not jac  # jaccard blind to the same pair at any sane threshold
