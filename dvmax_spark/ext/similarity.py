@@ -643,8 +643,30 @@ class IVFIndex:
         # bounded driver collect: distinct probed buckets <= n_clusters
         buckets = sorted({r["bucket"] for r in probed.select("bucket").distinct().collect()})
         if not buckets:  # empty query set: empty result, correct schema
+            # derive id types from the actual inputs (queries for q_id,
+            # the persisted lists for c_id) — a hardcoded bigint DDL
+            # diverges from the non-empty path under non-bigint id_col
+            from pyspark.sql.types import (
+                DoubleType,
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            q_id_t = queries.schema[self.id_col].dataType
+            c_id_t = self.spark.read.parquet(self.path + "/lists").schema[
+                self.id_col
+            ].dataType
             return self.spark.createDataFrame(
-                [], "q_id bigint, rnk int, c_id bigint, cosine double"
+                [],
+                StructType(
+                    [
+                        StructField("q_id", q_id_t),
+                        StructField("rnk", IntegerType(), False),
+                        StructField("c_id", c_id_t),
+                        StructField("cosine", DoubleType()),
+                    ]
+                ),
             )
         lists = (
             self.spark.read.parquet(self.path + "/lists")

@@ -33,6 +33,36 @@ from dvmax_spark.operators.upsert import dedup_keep_last
 from dvmax_spark.store import FeatureStore
 
 
+def _marker_skips(meta_path: str, batch_id: int, sink: str) -> bool:
+    """Shared replay guard for the marker-committed merge sinks
+    (sketches/cms/dsir/bm25 stats). Reads the committed batch id from
+    ``meta_path`` and returns True iff ``batch_id`` is EXACTLY the
+    committed one — the legal foreachBatch replay-of-the-newest-batch
+    case. ``batch_id`` BELOW the marker raises instead of silently
+    skipping: micro-batch counters restart at 0 with a FRESH
+    checkpoint, and a ``>=`` test would then drop genuinely-new early
+    batches with no error (the r4 ADVICE finding; mirrors
+    stream_into_ivf's monotone guard). No marker yet -> apply."""
+    import json
+
+    try:
+        with open(meta_path) as fh:
+            marker = int(json.load(fh)["batch_id"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return False
+    if batch_id == marker:
+        return True
+    if batch_id < marker:
+        raise ValueError(
+            f"{sink}: micro-batch {batch_id} is older than the committed "
+            f"marker {marker} — micro-batch counters restarted (a fresh "
+            "checkpoint against an already-written store). Applying it "
+            "would silently skip or double-merge batches. Use ONE "
+            "checkpoint per store lifetime, or rebuild the store."
+        )
+    return False
+
+
 def stream_upsert_into_store(
     stream_df: DataFrame,
     store: FeatureStore,
@@ -138,7 +168,12 @@ def stream_into_sketches(
     A crash BETWEEN the promote's two renames is healed on the next
     batch by fsops.recover_swap (the table — marker included — rolls
     back from '.old'), so no crash point can lose accumulated
-    sketches."""
+    sketches.
+
+    Contract: ONE checkpoint per store lifetime. Replaying the newest
+    committed batch is a no-op; an OLDER batch id (fresh checkpoint
+    against an existing store) raises instead of silently skipping or
+    double-merging (see _marker_skips)."""
     import json
     import os
     import shutil
@@ -148,16 +183,10 @@ def stream_into_sketches(
     from dvmax_spark.ext.sketches import daily_distinct_sketches
     from dvmax_spark.fsops import recover_swap, swap_dir
 
-    def _applied(batch_id: int) -> bool:
-        try:
-            with open(os.path.join(path, "_meta.json")) as fh:
-                return json.load(fh)["batch_id"] >= batch_id
-        except (OSError, ValueError, KeyError):
-            return False
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         recover_swap(path)  # heal a crashed promote BEFORE the marker check
-        if _applied(batch_id) or batch_df.isEmpty():
+        meta = os.path.join(path, "_meta.json")
+        if _marker_skips(meta, batch_id, "stream_into_sketches") or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         new = daily_distinct_sketches(batch_df, group_col, ts_col, id_col)
@@ -261,9 +290,9 @@ def stream_into_cms(
     stream_df: DataFrame,
     path: str,
     key_col: str,
+    checkpoint_dir: str,
     width: int = 64,
     depth: int = 4,
-    checkpoint_dir: str | None = None,
     query_name: str = "cms_ingest",
     available_now: bool = True,
 ):
@@ -282,10 +311,11 @@ def stream_into_cms(
     via fsops.recover_swap before the marker check.
 
     Contract shared with the other marker sinks: ONE checkpoint per
-    store lifetime. A fresh checkpoint restarts micro-batch ids at 0,
-    and the ``>= batch_id`` marker test would then silently SKIP
-    genuinely-new early batches (the mirror image of the overwrite
-    trap the batch-keyed sinks guard against).
+    store lifetime (``checkpoint_dir`` is required — the exactly-once
+    marker is meaningless without one). A fresh checkpoint restarts
+    micro-batch ids at 0; the guard raises on an id BELOW the marker
+    instead of silently skipping genuinely-new early batches
+    (_marker_skips).
     """
     import json
     import os
@@ -296,16 +326,17 @@ def stream_into_cms(
     from dvmax_spark.ext.sketches import cms_table
     from dvmax_spark.fsops import recover_swap, swap_dir
 
-    def _applied(batch_id: int) -> bool:
-        try:
-            with open(os.path.join(path, "_meta.json")) as fh:
-                return json.load(fh)["batch_id"] >= batch_id
-        except (OSError, ValueError, KeyError):
-            return False
+    if not checkpoint_dir:
+        raise ValueError(
+            "stream_into_cms: checkpoint_dir is required — the sink's "
+            "exactly-once marker contract assumes a durable checkpoint "
+            "(and pyspark fails opaquely on a null checkpointLocation)."
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         recover_swap(path)
-        if _applied(batch_id) or batch_df.isEmpty():
+        meta = os.path.join(path, "_meta.json")
+        if _marker_skips(meta, batch_id, "stream_into_cms") or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         new = cms_table(batch_df, key_col, width, depth)
@@ -362,7 +393,11 @@ def stream_into_dsir_model(
     count-merge is not idempotent under foreachBatch replay, so the
     applied batch id commits as _meta.json INSIDE the staging dir and
     swaps atomically with the data; a crash between the promote's two
-    renames heals via fsops.recover_swap on the next batch."""
+    renames heals via fsops.recover_swap on the next batch.
+
+    Contract: ONE checkpoint per model lifetime — replay of the newest
+    committed batch is a no-op, an older batch id raises
+    (_marker_skips) instead of silently dropping data."""
     import json
     import os
     import shutil
@@ -372,16 +407,10 @@ def stream_into_dsir_model(
     from dvmax_spark.ext.dsir import dsir_bucket_counts
     from dvmax_spark.fsops import recover_swap, swap_dir
 
-    def _applied(batch_id: int) -> bool:
-        try:
-            with open(os.path.join(path, "_meta.json")) as fh:
-                return json.load(fh)["batch_id"] >= batch_id
-        except (OSError, ValueError, KeyError):
-            return False
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         recover_swap(path)
-        if _applied(batch_id) or batch_df.isEmpty():
+        meta = os.path.join(path, "_meta.json")
+        if _marker_skips(meta, batch_id, "stream_into_dsir_model") or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         new = dsir_bucket_counts(
@@ -440,6 +469,21 @@ def stream_into_bm25(
     postings write is idempotent, so a replay after any crash point
     rewrites the identical partition and then applies (or skips) the
     stats merge — the pair can never double-count or diverge.
+
+    Re-delivered documents: a doc id seen in an EARLIER batch already
+    has postings and is counted in (n_docs, len_sum) — ingesting it
+    again would double-count df/avgdl and skew every subsequent score.
+    Incoming batches therefore anti-join a ``path/seen`` id ledger (the
+    dedup_ingest pattern) and within-batch duplicate ids collapse to
+    one row first. The ledger is batch-keyed (dynamic partition
+    overwrite, replay-idempotent) and the anti-join EXCLUDES the
+    current batch's own partition, so a replay after a mid-batch crash
+    (ledger written, stats marker not) recomputes the identical fresh
+    set instead of seeing its own ids and dropping the batch.
+
+    Contract: ONE checkpoint per index lifetime — replay of the newest
+    committed batch is a no-op, an older batch id raises
+    (_marker_skips).
     """
     import json
     import os
@@ -451,20 +495,30 @@ def stream_into_bm25(
 
     postings_dir = os.path.join(path, "postings")
     stats_dir = os.path.join(path, "stats")
-
-    def _applied(batch_id: int) -> bool:
-        try:
-            with open(os.path.join(stats_dir, "_meta.json")) as fh:
-                return json.load(fh)["batch_id"] >= batch_id
-        except (OSError, ValueError, KeyError):
-            return False
+    ledger_dir = os.path.join(path, "seen")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         recover_swap(stats_dir)
-        if _applied(batch_id) or batch_df.isEmpty():
+        meta = os.path.join(stats_dir, "_meta.json")
+        if _marker_skips(meta, batch_id, "stream_into_bm25") or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        toks = batch_df.select(
+        batch = batch_df.dropDuplicates([id_col])
+        if os.path.isdir(ledger_dir):
+            seen = (
+                spark.read.parquet(ledger_dir)
+                .where(F.col("ingest_batch") != F.lit(str(batch_id)))
+                .select(id_col)
+            )
+            fresh = batch.join(seen, id_col, "left_anti")
+        else:
+            fresh = batch
+        # recomputed on replay from the same batch data — deterministic,
+        # so every per-batch partition rewrite below is byte-stable
+        fresh = fresh.localCheckpoint()
+        if fresh.isEmpty():  # all re-deliveries: nothing to merge
+            return
+        toks = fresh.select(
             F.col(id_col),
             F.size(F.split(F.col(text_col), " ")).alias("dl"),
             F.explode(F.split(F.col(text_col), " ")).alias("token"),
@@ -481,7 +535,16 @@ def stream_into_bm25(
             .option("compression", "zstd")
             .parquet(postings_dir)
         )
-        new = batch_df.agg(
+        (
+            fresh.select(id_col)
+            .withColumn("ingest_batch", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .option("compression", "zstd")
+            .parquet(ledger_dir)
+        )
+        new = fresh.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(F.split(F.col(text_col), " "))).alias("len_sum"),
         )

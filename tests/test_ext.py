@@ -833,6 +833,19 @@ def test_ivf_index_batch_append_is_replay_idempotent(spark, tmp_path):
     empty = idx.probe(emb.where(F.col("vec_id") < 0), k=3, nprobe=2)
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["q_id", "rnk", "c_id", "cosine"]
+    # empty-path id types must match the non-empty path's (r4 ADVICE:
+    # a hardcoded bigint DDL diverged under non-bigint id_col)
+    emb_i = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id int, embedding array<double>",
+    )
+    idx_i = IVFIndex(spark, str(tmp_path / "ivf3i"), n_clusters=4)
+    idx_i.build(emb_i, batch_key=0)
+    full_i = idx_i.probe(emb_i.where(F.col("vec_id") < 5), k=2, nprobe=2)
+    empty_i = idx_i.probe(emb_i.where(F.col("vec_id") < 0), k=2, nprobe=2)
+    assert [f.dataType for f in empty_i.schema.fields] == [
+        f.dataType for f in full_i.schema.fields
+    ]
 
 
 def test_cms_never_underestimates_and_merges_exactly(spark):

@@ -447,13 +447,25 @@ def test_stream_into_bm25_equals_batch_and_survives_crash(spark, tmp_path):
     want = {r["doc_id"]: r["bm25"] for r in bm25_rank(docs, terms, k=20).collect()}
     assert got == want
 
-    # replay idempotence: clear the checkpoint so the whole input
-    # replays as batch 0 — the stats marker (batch_id 1 already
-    # applied) must gate the non-idempotent count merge, leaving both
-    # stores byte-identical
+    # fresh-checkpoint guard: clearing the checkpoint restarts
+    # micro-batch ids at 0 — BELOW the committed marker (1). The old
+    # '>= marker' test silently skipped such batches (dropping
+    # genuinely-new data on a real counter restart); the sink now
+    # raises loudly and leaves the store untouched (r4 ADVICE).
     n_before = spark.read.parquet(stats_dir).collect()[0]
     shutil.rmtree(str(tmp_path / "ck"))
-    _drain()
+    from pyspark.errors import StreamingQueryException
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    q = stream_into_bm25(
+        stream, path, checkpoint_dir=str(tmp_path / "ck"), query_name="bm25_t"
+    )
+    try:
+        q.awaitTermination(120)
+    except StreamingQueryException:
+        pass
+    assert q.exception() is not None
+    assert "older than the committed marker" in str(q.exception())
     n_after = spark.read.parquet(stats_dir).collect()[0]
     assert (n_before["n_docs"], n_before["len_sum"]) == (
         n_after["n_docs"], n_after["len_sum"],
@@ -461,6 +473,113 @@ def test_stream_into_bm25_equals_batch_and_survives_crash(spark, tmp_path):
     got2 = {r["doc_id"]: r["bm25"] for r in
             bm25_from_index(spark, path, terms, k=20).collect()}
     assert got2 == want
+
+
+def test_stream_into_bm25_redelivered_docs_counted_once(spark, tmp_path):
+    """A doc id re-delivered in a LATER micro-batch (at-least-once
+    sources do this) must not double-count n_docs/len_sum or write
+    duplicate postings: the seen-id ledger anti-joins it away, and
+    within-batch duplicate ids collapse to one row. Scores from the
+    streamed index must equal the batch scan over the DISTINCT docs
+    (r4 ADVICE)."""
+    import os
+
+    from dvmax_spark.ext.retrieval import bm25_from_index, bm25_rank
+    from dvmax_spark.streaming.ingest import stream_into_bm25
+
+    rows = [
+        (1, "spark join table spark"),
+        (2, "customer table scan"),
+        (2, "customer table scan"),  # duplicate WITHIN batch 0
+        (3, "join join filter"),
+    ]
+    later = [
+        (2, "customer table scan"),  # re-delivered ACROSS batches
+        (4, "spark filter push"),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    path = str(tmp_path / "index")
+
+    def _feed(sl, name):
+        spark.createDataFrame(sl, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        import shutil as _sh
+
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                _sh.copy(
+                    os.path.join(str(tmp_path / name), f),
+                    os.path.join(in_dir, name + ".parquet"),
+                )
+
+    def _drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+        q = stream_into_bm25(
+            stream, path, checkpoint_dir=str(tmp_path / "ck"), query_name="bm25_led"
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    _feed(rows, "b1")
+    _drain()
+    _feed(later, "b2")
+    _drain()
+
+    stats = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    assert stats["n_docs"] == 4  # docs 1-4, each exactly once
+    docs = spark.createDataFrame(
+        [(1, "spark join table spark"), (2, "customer table scan"),
+         (3, "join join filter"), (4, "spark filter push")],
+        "doc_id long, text string",
+    )
+    terms = ("spark", "table", "join")
+    got = {r["doc_id"]: r["bm25"] for r in
+           bm25_from_index(spark, path, terms, k=10).collect()}
+    want = {r["doc_id"]: r["bm25"] for r in bm25_rank(docs, terms, k=10).collect()}
+    assert got == want
+    # postings: doc 2 appears under exactly one ingest batch
+    posts = spark.read.parquet(os.path.join(path, "postings"))
+    from pyspark.sql import functions as F
+
+    per_doc = {
+        r["doc_id"]: r["nb"]
+        for r in posts.groupBy("doc_id")
+        .agg(F.countDistinct("ingest_batch").alias("nb"))
+        .collect()
+    }
+    assert per_doc == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_marker_skips_guard_semantics(tmp_path):
+    """Replay of the newest committed batch skips; an OLDER batch id
+    (fresh-checkpoint counter restart) raises; newer ids and absent
+    markers apply (r4 ADVICE medium)."""
+    import json
+
+    import pytest
+
+    from dvmax_spark.streaming.ingest import _marker_skips
+
+    meta = str(tmp_path / "_meta.json")
+    assert _marker_skips(meta, 0, "t") is False  # no marker yet
+    with open(meta, "w") as fh:
+        json.dump({"batch_id": 3}, fh)
+    assert _marker_skips(meta, 3, "t") is True  # legal replay
+    assert _marker_skips(meta, 4, "t") is False  # genuinely new
+    with pytest.raises(ValueError, match="older than the committed marker"):
+        _marker_skips(meta, 2, "t")
+
+
+def test_stream_into_cms_requires_checkpoint(spark):
+    import pytest
+
+    from dvmax_spark.streaming.ingest import stream_into_cms
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="checkpoint_dir is required"):
+        stream_into_cms(stream, "/tmp/nope", "value", checkpoint_dir=None)
 
 
 def test_tfidf_cosine_prefix_filter_is_lossless(spark):
