@@ -46,6 +46,20 @@ def main() -> None:
                 best[name] = dt
     timings = {name: round(dt, 3) for name, dt in best.items()}
     total = sum(timings.values())
+    # Stable cross-round comparator: the headline set GROWS as operators
+    # land (r1: 17 queries, r4: 35), so the total alone reads as a
+    # regression when coverage widens. This subtotal over round 1's
+    # fixed query set is the like-for-like number to compare across
+    # rounds (see BASELINE.md).
+    baseline_subset = (
+        "a1_pricing_summary", "a3_sma_trailing", "a8_max_drawdown",
+        "fx_price_features", "j1_inner_join_agg", "j2_asof_backward",
+        "j5_upsert_keep_last", "j7_dim_enrichment", "s1_scan_project",
+        "sql_api_q3", "t_tumbling_window", "v1_range_validation",
+        "w1_lag_returns", "w5_topk_per_group", "x_cosine_topk",
+        "x_exact_dedup", "x_text_stats",
+    )
+    baseline_subset_wall = sum(timings.get(q, 0.0) for q in baseline_subset)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -58,6 +72,11 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
+                # like-for-like across rounds: round 1's fixed 17-query
+                # subset (the standing baseline) — compare THIS field
+                # round-over-round; `value` grows with headline coverage
+                "baseline_subset_wall": round(baseline_subset_wall, 3),
+                "baseline_subset_n": sum(1 for q in baseline_subset if q in timings),
                 "queries": timings,
                 "sf": sf_val,
                 "n": n_passes,  # interleaved passes, min per query (noise guard)
