@@ -678,6 +678,182 @@ def span_dedup_clean_sql(
     """
 
 
+def exact_substr_dedup(
+    df: DataFrame,
+    n: int = 8,
+    min_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occ: int | None = None,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): remove MAXIMAL duplicated token
+    runs of length >= ``min_len``, with exact boundaries — the one
+    canonical LLM-dedup method the span family lacked. Differs from
+    ``span_dedup_clean`` in both halves of the contract:
+
+    * a gram is duplicated if it occurs >= 2 times in the CORPUS
+      (total occurrences — a verbatim within-doc repeat counts, as in
+      the paper's suffix-array formulation), not >= 2 distinct docs;
+    * covered positions are NOT all removed: adjacent duplicated-gram
+      positions merge into maximal runs (islands trick: pos minus
+      per-doc row_number is constant within a run), and only runs of
+      >= ``min_len`` tokens are cut. A 19-token duplicated snippet
+      survives a min_len=20 gate untouched — exact boundary semantics,
+      no over- or under-trim (property-tested with planted runs).
+
+    Gram granularity vs the paper's suffix array: any TRUE duplicated
+    substring of >= min_len tokens has all its n-grams duplicated, so
+    it always forms a covered run >= min_len and is ALWAYS removed
+    (recall 1 for n <= min_len). The approximation is one-sided: a run
+    stitched from grams that each match DIFFERENT other locations can
+    also reach min_len and be cut (superset removal, pinned by test) —
+    the standard trade for running as joins + windows instead of a
+    distributed suffix array.
+
+    Plan shape (100 TB): the same single gram-occurrence shuffle as
+    span_dedup_clean; gram total-counts semi-join back; coverage
+    expands by n ONLY on duplicated starts; the run merge is a window
+    partitioned BY DOC over covered positions (bounded by doc length,
+    never corpus-wide); the rebuild is one ordered per-doc aggregate.
+    ``max_occ`` is the boilerplate knob with keep-side
+    conservativeness: pruning ultra-hot grams means those spans are
+    KEPT, never that extra text is deleted.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(shingle_seq(text_col, n)).alias("gpos", "g")
+    )
+    # one materialization for the two consumers (count + expansion) —
+    # the dup_span_stats/span_dedup_clean ReuseExchange contract
+    occ = occ.localCheckpoint(eager=False)
+    gdup = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+    )
+    if max_occ is not None:
+        gdup = gdup.where(F.col("n_occ") <= max_occ)
+    covered = (
+        occ.join(gdup.select("g"), "g", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    w_rn = Window.partitionBy(id_col).orderBy("pos")
+    runs = covered.withColumn("rid", F.col("pos") - F.row_number().over(w_rn))
+    w_run = Window.partitionBy(id_col, "rid")
+    removed = runs.withColumn("run_len", F.count(F.lit(1)).over(w_run)).where(
+        F.col("run_len") >= min_len
+    )
+    run_stats = removed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.count_distinct("rid").alias("n_runs"),
+        F.max("run_len").alias("max_run_len"),
+    )
+    kept = toks.join(removed.select(id_col, "pos"), [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(run_stats, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("n_runs"), F.lit(0)).cast("bigint").alias("n_runs"),
+            F.coalesce(F.col("max_run_len"), F.lit(0))
+            .cast("bigint")
+            .alias("max_run_len"),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_hash"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def exact_substr_dedup_sql(
+    n: int = 8,
+    min_len: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, str_split({text_col}, ' ') AS tk FROM {table}
+    ),
+    occ AS (
+      SELECT {id_col}, i, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+      FROM t, unnest(range(1, len(tk) - {n} + 2)) u(i)
+    ),
+    gdup AS (
+      SELECT g FROM occ GROUP BY g HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT {id_col}, pos FROM (
+        SELECT {id_col}, unnest(range(i, i + {n})) AS pos
+        FROM occ SEMI JOIN gdup USING (g)
+      )
+    ),
+    runs AS (
+      SELECT {id_col}, pos,
+             pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS rid
+      FROM cov
+    ),
+    marked AS (
+      SELECT {id_col}, pos, rid,
+             count(*) OVER (PARTITION BY {id_col}, rid) AS run_len
+      FROM runs
+    ),
+    removed AS (
+      SELECT {id_col}, pos, rid, run_len FROM marked WHERE run_len >= {min_len}
+    ),
+    run_stats AS (
+      SELECT {id_col}, count(*) AS n_removed,
+             count(DISTINCT rid) AS n_runs,
+             max(run_len) AS max_run_len
+      FROM removed GROUP BY {id_col}
+    ),
+    toks AS (
+      SELECT {id_col}, pos - 1 AS pos0, tk[pos] AS tok
+      FROM t, unnest(range(1, len(tk) + 1)) u(pos)
+    ),
+    kept AS (
+      SELECT t2.{id_col}, t2.pos0, t2.tok
+      FROM toks t2 ANTI JOIN (SELECT {id_col}, pos - 1 AS pos0 FROM removed) r
+      USING ({id_col}, pos0)
+    ),
+    rebuilt AS (
+      SELECT {id_col}, string_agg(tok, ' ' ORDER BY pos0) AS clean_text
+      FROM kept GROUP BY {id_col}
+    )
+    SELECT t.{id_col},
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(s.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(s.max_run_len, 0) AS BIGINT) AS max_run_len,
+           md5(coalesce(r.clean_text, '')) AS clean_hash
+    FROM t LEFT JOIN run_stats s USING ({id_col})
+           LEFT JOIN rebuilt r USING ({id_col})
+    ORDER BY t.{id_col}
+    """
+
+
 # ------------------------------------------------------------- collocations
 def pmi_collocations(
     df: DataFrame,

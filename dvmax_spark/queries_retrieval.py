@@ -21,6 +21,8 @@ from dvmax_spark.ext.retrieval import (
     doc_chunks_sql,
     dup_span_stats,
     dup_span_stats_sql,
+    exact_substr_dedup,
+    exact_substr_dedup_sql,
     span_dedup_clean,
     span_dedup_clean_sql,
     tfidf_cosine_pairs,
@@ -91,6 +93,25 @@ def x_span_dedup_clean(spark: SparkSession, sf: str) -> DataFrame:
     x_dup_span_stats, plus an n-bounded coverage expansion on
     duplicated starts only and an ordered per-doc rebuild."""
     return span_dedup_clean(load_table(spark, "documents", sf), n=8)
+
+
+@query(
+    "x_exact_substr_dedup",
+    ids=("X1", "X10", "X15"),
+    bench=True,
+    sql=exact_substr_dedup_sql(n=8, min_len=20),
+)
+def x_exact_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical ExactSubstr dedup (Lee et al. 2022): adjacent
+    duplicated 8-gram positions merge into MAXIMAL runs (islands
+    window per doc) and only runs >= 20 tokens are removed — exact
+    boundaries, so a 19-token duplicated snippet survives untouched,
+    unlike x_span_dedup_clean's remove-every-covered-position form.
+    Duplication is total corpus occurrences (within-doc verbatim
+    repeats count, as in the paper's suffix-array formulation). Same
+    single gram-occurrence shuffle; the run merge is a per-doc window,
+    never corpus-wide."""
+    return exact_substr_dedup(load_table(spark, "documents", sf), n=8, min_len=20)
 
 
 @query("x_doc_chunks", ids=("X7", "X10"), bench=True, sql=doc_chunks_sql())

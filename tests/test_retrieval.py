@@ -582,6 +582,102 @@ def test_stream_into_cms_requires_checkpoint(spark):
         stream_into_cms(stream, "/tmp/nope", "value", checkpoint_dir=None)
 
 
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_exact_substr_planted_run_removed_with_exact_boundaries(spark):
+    """The ExactSubstr contract (Lee et al. 2022): a planted TRUE
+    duplicated run of >= min_len tokens is removed EXACTLY — no
+    over-trim into the unique neighbors, no under-trim at the run's
+    edges — while a run one token short of min_len survives untouched,
+    and one of exactly min_len is cut."""
+    from dvmax_spark.ext.retrieval import exact_substr_dedup
+
+    run25 = [f"s{i}" for i in range(25)]
+    run19 = [f"t{i}" for i in range(19)]
+    run20 = [f"u{i}" for i in range(20)]
+    mk = lambda pre, mid, post: " ".join(pre + mid + post)
+    docs = spark.createDataFrame(
+        [
+            (1, mk([f"a{i}" for i in range(10)], run25, [f"b{i}" for i in range(10)])),
+            (2, mk([f"c{i}" for i in range(10)], run25, [f"d{i}" for i in range(10)])),
+            (3, mk([f"e{i}" for i in range(10)], run19, [f"f{i}" for i in range(10)])),
+            (4, mk([f"g{i}" for i in range(10)], run19, [f"h{i}" for i in range(10)])),
+            (5, mk([f"p{i}" for i in range(10)], run20, [f"q{i}" for i in range(10)])),
+            (6, mk([f"r{i}" for i in range(10)], run20, [f"w{i}" for i in range(10)])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_dedup(docs, n=8, min_len=20).collect()
+    }
+    # 25-token true duplicate: removed exactly, both copies
+    for d, pre, post in ((1, "a", "b"), (2, "c", "d")):
+        assert (out[d]["n_removed"], out[d]["n_runs"], out[d]["max_run_len"]) == (
+            25, 1, 25,
+        )
+        want = " ".join([f"{pre}{i}" for i in range(10)] + [f"{post}{i}" for i in range(10)])
+        assert out[d]["clean_hash"] == _md5(want)
+    # 19-token duplicate: below min_len, kept in full
+    for d, pre, mid, post in ((3, "e", run19, "f"), (4, "g", run19, "h")):
+        assert out[d]["n_removed"] == 0
+        orig = " ".join([f"{pre}{i}" for i in range(10)] + mid + [f"{post}{i}" for i in range(10)])
+        assert out[d]["clean_hash"] == _md5(orig)
+    # exactly min_len: removed
+    assert out[5]["n_removed"] == 20 and out[5]["max_run_len"] == 20
+    assert out[6]["n_removed"] == 20
+
+
+def test_exact_substr_within_doc_repeat_and_stitched_superset(spark):
+    """Two documented semantics beyond the covered-position form:
+    (1) duplication counts TOTAL corpus occurrences, so a verbatim
+    within-doc repeat of >= min_len tokens is cut (both copies) even
+    with no other doc sharing it; (2) the gram-granularity
+    approximation is one-sided — a run STITCHED from grams matching
+    different other docs can reach min_len and be cut in the stitching
+    doc while each source doc's shorter covered run survives."""
+    from dvmax_spark.ext.retrieval import exact_substr_dedup
+
+    rep = [f"z{i}" for i in range(20)]
+    r1 = [f"x{i}" for i in range(15)]
+    r2 = [f"y{i}" for i in range(15)]
+    docs = spark.createDataFrame(
+        [
+            # doc 1: the same 20-token run twice, unique separator
+            (1, " ".join(rep + [f"m{i}" for i in range(10)] + rep)),
+            # doc 2 stitches r1+r2 adjacently; docs 3/4 hold one each
+            (2, " ".join([f"a{i}" for i in range(10)] + r1 + r2 + [f"b{i}" for i in range(10)])),
+            (3, " ".join([f"c{i}" for i in range(10)] + r1 + [f"d{i}" for i in range(10)])),
+            (4, " ".join([f"e{i}" for i in range(10)] + r2 + [f"f{i}" for i in range(10)])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_dedup(docs, n=8, min_len=20).collect()
+    }
+    # (1) within-doc: both 20-token copies removed, separator kept
+    assert out[1]["n_removed"] == 40 and out[1]["n_runs"] == 2
+    assert out[1]["clean_hash"] == _md5(" ".join(f"m{i}" for i in range(10)))
+    # (2) stitched 30-token covered run cut in doc 2 ...
+    assert out[2]["n_removed"] == 30 and out[2]["max_run_len"] == 30
+    assert out[2]["clean_hash"] == _md5(
+        " ".join([f"a{i}" for i in range(10)] + [f"b{i}" for i in range(10)])
+    )
+    # ... while each source doc's 15-token covered run is below the
+    # gate and survives in full
+    for d in (3, 4):
+        assert out[d]["n_removed"] == 0
+    # docs shorter than n: no grams, kept whole (schema sanity)
+    tiny = spark.createDataFrame([(9, "one two three")], "doc_id long, text string")
+    t = exact_substr_dedup(tiny, n=8, min_len=20).collect()[0]
+    assert (t["n_tokens"], t["n_removed"], t["clean_hash"]) == (3, 0, _md5("one two three"))
+
+
 def test_tfidf_cosine_prefix_filter_is_lossless(spark):
     """The symmetric half-threshold prefix filter must return EXACTLY
     the brute-force pair set (ids and cosines) on seeded random corpora
