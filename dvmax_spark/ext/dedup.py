@@ -1125,6 +1125,157 @@ def incremental_dedup_sql(
 
 
 
+class NearDupGraph:
+    """Persisted near-dup PAIR-GRAPH artifact: MinHash signatures +
+    banded-LSH candidate pairs materialize ONCE, and every graph
+    consumer — connected components, PageRank, census, canonical
+    selection, soft-dedup weights — reads the pair table instead of
+    regenerating signatures per query. At 100 TB the signature+band
+    join is the expensive step (hashing every shingle of every doc);
+    the pair table it produces is tiny by comparison, so the
+    production shape is build-once/read-many (the claim
+    pagerank_centrality's docstring makes; this class makes it the
+    benched reality).
+
+    Layout: ``path/`` is one zstd parquet table
+    ``(id_a, id_b, est_jaccard)`` with a ``_meta.json`` INSIDE the
+    table dir (invisible to Spark's reader, like _SUCCESS) recording
+    the LSH parameters plus a corpus fingerprint
+    ``(n_docs, id/text hash-sum)``. ``ensure(docs)`` rebuilds iff the
+    meta is absent or disagrees — a stale artifact against regenerated
+    testdata (or changed params) can never serve wrong pairs. Promote
+    is the shared fsops staging + swap protocol, so readers heal a
+    crashed build and no crash point loses the previous table.
+
+    The pair pipeline is minhash_lsh_pairs verbatim (portable hashes,
+    deterministic), so artifact-backed consumers are value-exact
+    against the same recursive-CTE oracles as the regenerate-per-query
+    forms — pinned by the x_* graph queries' unchanged oracle SQL.
+    """
+
+    _SPEC = 1  # bump to invalidate all persisted artifacts on format change
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 32,
+        bands: int = 16,
+        shingle_n: int = 2,
+        threshold: float = 0.1,
+        max_bucket: int | None = 1000,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # ------------------------------------------------------------ meta
+    def _params(self) -> dict:
+        return {
+            "spec": self._SPEC,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_n": self.shingle_n,
+            "threshold": self.threshold,
+            "max_bucket": self.max_bucket,
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+        }
+
+    def _fingerprint(self, docs: DataFrame) -> dict:
+        """Cheap corpus identity: one map-only pass hashing (id, text)
+        per row into a bounded modular sum + row count. Detects
+        regenerated/filtered/extended corpora; collisions would need
+        an adversarial corpus, which is not the threat model (the
+        artifact is a cache, not a security boundary)."""
+        row = docs.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                _portable_hash(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col(self.id_col).cast("string"),
+                        F.col(self.text_col),
+                    )
+                )
+                % F.lit(1_000_000_007)
+            ).alias("hsum"),
+        ).collect()[0]
+        return {"n_docs": row["n"], "hsum": int(row["hsum"] or 0)}
+
+    def read_meta(self) -> dict | None:
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self.path, "_meta.json")) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    # ------------------------------------------------------------- io
+    def build(self, docs: DataFrame) -> None:
+        """Materialize the pair table for ``docs`` (staging + atomic
+        swap; meta commits inside the staging dir so table and
+        fingerprint can never disagree)."""
+        import json
+        import os
+        import shutil
+
+        from dvmax_spark.fsops import swap_dir
+
+        pairs = minhash_lsh_pairs(
+            docs,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            shingle_n=self.shingle_n,
+            threshold=self.threshold,
+            max_bucket=self.max_bucket,
+        )
+        staging = self.path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        pairs.write.mode("overwrite").option("compression", "zstd").parquet(staging)
+        meta = {"params": self._params(), "corpus": self._fingerprint(docs)}
+        with open(os.path.join(staging, "_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        retired = swap_dir(self.path, staging)
+        if retired:
+            shutil.rmtree(retired, ignore_errors=True)
+
+    def pairs(self) -> DataFrame:
+        """Read the persisted pair table (heals a crashed promote)."""
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)
+        return self.spark.read.parquet(self.path)
+
+    def ensure(self, docs: DataFrame) -> DataFrame:
+        """Return the pair table for ``docs``, building it iff the
+        persisted artifact is absent, was built with different
+        parameters, or fingerprints a different corpus."""
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)
+        meta = self.read_meta()
+        if (
+            meta is None
+            or meta.get("params") != self._params()
+            or meta.get("corpus") != self._fingerprint(docs)
+        ):
+            self.build(docs)
+        return self.pairs()
+
+
 def canonical_by_degree(
     df: DataFrame,
     pairs: DataFrame,

@@ -161,18 +161,12 @@ def x_group_split(spark: SparkSession, sf: str) -> DataFrame:
     LSH → connected components) drawn as units, so no document can sit
     in train while its near-duplicate sits in eval. Split assignment is
     a portable hash of the component label — map-side arithmetic on top
-    of the existing clustering pipeline."""
+    of the existing clustering pipeline. Pairs read from the persisted
+    NearDupGraph artifact (queries_ext._ndg_pairs)."""
     docs = load_table(spark, "documents", sf)
-    from dvmax_spark.ext.dedup import minhash_lsh_pairs
+    from dvmax_spark.queries_ext import _ndg_pairs
 
-    pairs = minhash_lsh_pairs(
-        docs.where(F.size(F.split(F.col("text"), " ")) >= 2),
-        num_hashes=32,
-        bands=16,
-        shingle_n=2,
-        threshold=0.1,
-    )
-    return group_split(docs, pairs).orderBy("doc_id")
+    return group_split(docs, _ndg_pairs(spark, sf)).orderBy("doc_id")
 
 
 def _ppl_sample_sql(pct: int = 30) -> str:

@@ -807,6 +807,72 @@ def test_ivf_index_append_finds_new_vectors(spark, tmp_path):
     assert out[0]["c_id"] == 1005 and out[0]["cosine"] >= 0.9999
 
 
+def test_neardup_graph_artifact_build_reuse_invalidate_heal(spark, tmp_path):
+    """The persisted pair-graph artifact contract: (1) pairs served
+    from the artifact equal a fresh minhash_lsh_pairs run exactly;
+    (2) a second ensure() over the same corpus REUSES the files
+    (no rebuild); (3) a changed corpus or changed params triggers a
+    rebuild instead of serving stale pairs; (4) a crashed promote
+    (table stranded in '.old') heals on read."""
+    import os
+
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dedup import NearDupGraph, minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", SF).where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    path = str(tmp_path / "ndg")
+    g = NearDupGraph(spark, path, num_hashes=32, bands=16, shingle_n=2, threshold=0.1)
+
+    want = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"] for r in g.ensure(docs).collect()
+    }
+    assert got == want
+
+    # reuse: same corpus+params -> parquet files untouched
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    mtimes = [os.stat(os.path.join(path, f)).st_mtime_ns for f in files]
+    g2 = NearDupGraph(spark, path, num_hashes=32, bands=16, shingle_n=2, threshold=0.1)
+    g2.ensure(docs)
+    assert [
+        os.stat(os.path.join(path, f)).st_mtime_ns for f in files
+    ] == mtimes
+
+    # corpus change -> rebuild with correct content
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    want_half = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            half, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
+        ).collect()
+    }
+    got_half = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"] for r in g.ensure(half).collect()
+    }
+    assert got_half == want_half and got_half != got
+
+    # params change -> meta mismatch -> rebuild (threshold tightens)
+    g3 = NearDupGraph(spark, path, num_hashes=32, bands=16, shingle_n=2, threshold=0.5)
+    tight = g3.ensure(half)
+    assert tight.where(F.col("est_jaccard") < 0.5).count() == 0
+
+    # crash heal: promote died between the two renames
+    os.rename(path, path + ".old")
+    healed = {
+        (r["id_a"], r["id_b"]) for r in g3.pairs().collect()
+    }
+    assert healed == {
+        (a, b) for (a, b), j in want_half.items() if j >= 0.5
+    }
+
+
 def test_ivf_index_batch_append_is_replay_idempotent(spark, tmp_path):
     """Batch-keyed appends are dynamic partition overwrites: replaying
     the same batch (crash-recovery) must NOT duplicate list entries —
