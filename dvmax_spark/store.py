@@ -30,7 +30,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dvmax_spark.fsops import recover_swap, swap_dir
+from dvmax_spark.fsops import (
+    current_version_dir,
+    list_versions,
+    recover_swap,
+    swap_dir,
+)
 from dvmax_spark.operators.union_ops import align_and_union
 from dvmax_spark.operators.upsert import upsert_keep_last
 
@@ -99,44 +104,64 @@ class FeatureStore:
 
     def _swap_in(self, staging: str, snapshot_current: bool | None = None) -> None:
         """Atomic promote of ``staging`` to main. The displaced current
-        table is RENAMED into the snapshot log (zero data copy) when
+        version is RENAMED into the snapshot log (zero data copy) when
         snapshots are enabled, else deleted; retention prunes the log
-        to ``keep_snapshots`` entries. Writers never lose state at any
-        crash point: the promote is two renames via fsops.swap_dir and
-        a crash between them is healed (rolled back from '.old') by the
-        next read()/exists()/_swap_in. A CONCURRENT reader can still
-        hit a brief path-not-found inside that window — single-process
-        semantics, same as the reference's temp-file replace; true
-        multi-process atomicity would need a manifest layer
-        (Delta/Iceberg-style), out of scope here."""
+        to ``keep_snapshots`` entries. The promote is fsops.swap_dir's
+        versioned-dir + atomic-pointer-flip protocol: no crash point
+        loses state AND the table path never stops resolving to a
+        complete version, so concurrent readers never see
+        path-not-found (the old two-rename layout's window). Writers
+        stay single-process per table; true multi-writer atomicity
+        would need a manifest layer (Delta/Iceberg-style), out of
+        scope here."""
         keep = self.keep_snapshots if snapshot_current is None else (
             max(self.keep_snapshots, 1) if snapshot_current else 0
         )
-        retired = swap_dir(self.main_path, staging)
+        # Sweep version dirs stranded by a crash between a prior swap
+        # and its snapshot-log rename BEFORE promoting: versions older
+        # than current are real history — adopt them into the snapshot
+        # log (keep>0) instead of letting them rot or be pruned (the
+        # r4 ADVICE silent-retention-loss window); newer orphans are
+        # un-promoted stagings whose operation will simply re-run.
+        cur = current_version_dir(self.main_path)
+        if cur is not None:
+            cur_n = int(cur.rsplit(".v", 1)[1])
+            for n, d in sorted(list_versions(self.main_path).items()):
+                if d == cur:
+                    continue
+                if n < cur_n and keep > 0:
+                    self._log_snapshot(d)
+                else:
+                    shutil.rmtree(d, ignore_errors=True)
+        retired = swap_dir(self.main_path, staging, prune_strays=False)
         if retired is None:  # no prior main table — nothing to retire
             return
         if keep > 0:
-            os.makedirs(self.snapshots_path, exist_ok=True)
-            # version ids are NEVER reused: a counter file tracks the
-            # high-water mark so a version number keeps denoting one
-            # historical state even after retention (or restore) drains
-            # the live snapshot set — read_version(n) of a pruned id
-            # errors instead of silently returning a different state.
-            counter = os.path.join(self.snapshots_path, "NEXT")
-            try:
-                with open(counter) as fh:
-                    hwm = int(fh.read().strip())
-            except (FileNotFoundError, ValueError):
-                hwm = 0
-            versions = self.snapshots()
-            nxt = max(hwm, versions[-1] if versions else 0) + 1
-            with open(counter, "w") as fh:
-                fh.write(str(nxt))
-            os.rename(retired, os.path.join(self.snapshots_path, f"v{nxt}"))
+            self._log_snapshot(retired)
             for v in self.snapshots()[:-keep]:
                 shutil.rmtree(os.path.join(self.snapshots_path, f"v{v}"))
         else:
             shutil.rmtree(retired)
+
+    def _log_snapshot(self, retired: str) -> None:
+        """Rename a displaced version directory into the snapshot log.
+        Version ids are NEVER reused: a counter file tracks the
+        high-water mark so a version number keeps denoting one
+        historical state even after retention (or restore) drains the
+        live snapshot set — read_version(n) of a pruned id errors
+        instead of silently returning a different state."""
+        os.makedirs(self.snapshots_path, exist_ok=True)
+        counter = os.path.join(self.snapshots_path, "NEXT")
+        try:
+            with open(counter) as fh:
+                hwm = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            hwm = 0
+        versions = self.snapshots()
+        nxt = max(hwm, versions[-1] if versions else 0) + 1
+        with open(counter, "w") as fh:
+            fh.write(str(nxt))
+        os.rename(retired, os.path.join(self.snapshots_path, f"v{nxt}"))
 
     # ------------------------------------------------------------ io
     def exists(self) -> bool:

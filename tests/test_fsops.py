@@ -45,17 +45,110 @@ def test_recover_swap_rolls_back_crashed_promote(tmp_path):
 def test_swap_dir_promotes_and_returns_retired(tmp_path):
     path, staging = str(tmp_path / "t"), str(tmp_path / "t.staging")
     os.makedirs(staging)
-    # first promote: no prior table
+    # first promote: no prior table — path becomes a pointer to .v1
     assert swap_dir(path, staging) is None
-    assert os.path.isdir(path)
-    # second promote returns the retired dir, still on disk
+    assert os.path.isdir(path) and os.path.islink(path)
+    # second promote returns the displaced VERSION dir, still on disk
     os.makedirs(staging)
     with open(os.path.join(staging, "m"), "w") as fh:
         fh.write("v2")
     retired = swap_dir(path, staging)
-    assert retired == path + ".old" and os.path.isdir(retired)
+    assert retired == path + ".v1" and os.path.isdir(retired)
     with open(os.path.join(path, "m")) as fh:
         assert fh.read() == "v2"
+
+
+def test_swap_dir_migrates_legacy_layout_and_heals_mid_migration(tmp_path):
+    """A pre-existing real-directory table is adopted as .v1 on its
+    first swap; a crash INSIDE the migration (dir renamed away, pointer
+    not yet created) heals by re-pointing at the newest version."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    with open(os.path.join(path, "data"), "w") as fh:
+        fh.write("legacy")
+    staging = path + ".staging"
+    os.makedirs(staging)
+    with open(os.path.join(staging, "data"), "w") as fh:
+        fh.write("new")
+    retired = swap_dir(path, staging)
+    assert os.path.islink(path)
+    assert retired == path + ".v1"
+    with open(os.path.join(retired, "data")) as fh:
+        assert fh.read() == "legacy"
+    with open(os.path.join(path, "data")) as fh:
+        assert fh.read() == "new"
+    # mid-migration crash state: versions exist, pointer lost
+    os.remove(path)
+    assert recover_swap(path) is True
+    with open(os.path.join(path, "data")) as fh:
+        assert fh.read() == "new"  # newest version wins
+
+
+def test_swap_dir_prunes_unpromoted_orphans(tmp_path):
+    """A crash between the staging rename and the pointer flip leaves
+    an un-promoted orphan version; the next successful swap prunes it
+    (its operation replays) and never promotes it by accident."""
+    path, staging = str(tmp_path / "t"), str(tmp_path / "t.staging")
+    os.makedirs(staging)
+    swap_dir(path, staging)  # v1 current
+    orphan = path + ".v7"  # crashed promote: renamed, never flipped
+    os.makedirs(orphan)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "m"), "w") as fh:
+        fh.write("v8")
+    retired = swap_dir(path, staging)
+    assert retired == path + ".v1"
+    assert not os.path.isdir(orphan)  # pruned, not promoted
+    with open(os.path.join(path, "m")) as fh:
+        assert fh.read() == "v8"
+
+
+def test_concurrent_reader_never_sees_missing_or_half_table(tmp_path):
+    """The r4 VERDICT ask: under a swap storm the table path must
+    ALWAYS resolve to a complete version — no path-not-found window,
+    no half-written state. swap_dir's own stray pruning gives every
+    displaced version a one-swap grace (it is deleted by the NEXT
+    promote, not its own), which is the retention concurrent readers
+    rely on; the reader hammers open+read the whole time and must
+    never error or see a torn value."""
+    import threading
+
+    path = str(tmp_path / "t")
+    payloads = {k: (f"v{k}:" + "x" * 4096) for k in range(40)}
+
+    def _stage(k):
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        with open(os.path.join(staging, "data"), "w") as fh:
+            fh.write(payloads[k])
+        return staging
+
+    swap_dir(path, _stage(0))
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def _reader():
+        while not stop.is_set():
+            try:
+                with open(os.path.join(path, "data")) as fh:
+                    got = fh.read()
+                assert got in payloads.values(), f"torn read: {got[:40]!r}"
+            except BaseException as e:  # noqa: BLE001 - recorded for assert
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=_reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for k in range(1, 40):
+        swap_dir(path, _stage(k))  # prune gives v(k-1) one-swap grace
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+    with open(os.path.join(path, "data")) as fh:
+        assert fh.read() == payloads[39]
 
 
 def test_swap_dir_heals_before_promoting(tmp_path):
@@ -92,6 +185,36 @@ def test_store_read_heals_crashed_swap(spark, tmp_path):
     # and the next upsert proceeds on the healed table
     st.upsert(spark.createDataFrame([(3, "c")], "k int, v string"))
     assert st.read().count() == 3
+
+
+def test_store_adopts_stranded_version_into_snapshot_log(spark, tmp_path):
+    """r4 ADVICE: a crash after the swap but before the snapshot-log
+    rename used to permanently drop that version from the retention
+    log (the next promote deleted the stranded dir). The sweep must
+    ADOPT the stranded version as a snapshot instead."""
+    from dvmax_spark.store import FeatureStore
+
+    st = FeatureStore(
+        spark, str(tmp_path / "st"), keys=["k"], partition_col=None,
+        keep_snapshots=3,
+    )
+    st.upsert(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # simulate the crash window: promote v2 via raw swap_dir (as
+    # _swap_in does) and "die" before the snapshot-log rename — the
+    # displaced v1 is left stranded beside main
+    staging = st.main_path + ".staging"
+    spark.createDataFrame([(1, "b")], "k int, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    stranded = swap_dir(st.main_path, staging, prune_strays=False)
+    assert stranded is not None and os.path.isdir(stranded)
+    # next store write sweeps the stranded version into the log
+    st.upsert(spark.createDataFrame([(1, "c")], "k int, v string"))
+    snaps = st.snapshots()
+    assert len(snaps) == 2  # stranded v1 adopted + v2 retired normally
+    assert {r.v for r in st.read_version(snaps[0]).collect()} == {"a"}
+    assert {r.v for r in st.read_version(snaps[1]).collect()} == {"b"}
+    assert {r.v for r in st.read().collect()} == {"c"}
 
 
 # ------------------------------------------------------ ContinuousRollup

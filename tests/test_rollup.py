@@ -38,8 +38,13 @@ def test_refresh_leaves_no_staging_residue(spark, tmp_path):
     roll = ContinuousRollup(spark, path, "event_type", "ts", "value")
     roll.refresh(ev)
     roll.refresh(ev)  # second refresh exercises the replace path
+    # no staging/uuid residue: exactly the pointer and the version dir
+    # it serves (the displaced version was disposed by refresh)
+    from dvmax_spark.fsops import current_version_dir
+
+    cur = os.path.basename(current_version_dir(path))
     siblings = [p for p in os.listdir(tmp_path) if p.startswith("roll")]
-    assert siblings == ["roll"], siblings
+    assert sorted(siblings) == sorted(["roll", cur]), siblings
     # doubling the same batch doubles counts/sums, keeps min/max
     doubled = roll.read().collect()
     single = aggregate_delta(ev, "event_type", "ts", "value").collect()
