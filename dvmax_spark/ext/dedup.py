@@ -1604,6 +1604,7 @@ def jaccard_prefix_join(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positional_filter: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold set-similarity self-join via prefix
     filtering (the AllPairs/PPJoin family — Bayardo et al. WWW'07,
@@ -1641,6 +1642,50 @@ def jaccard_prefix_join(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("tok"),
     )
+    cand = jaccard_prefix_candidates(
+        df, threshold_ppm, shingle_n, id_col, text_col, positional_filter
+    )
+    inter = (
+        cand.join(toks.select(F.col("id").alias("id_a"), "tok"), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), "tok"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    return (
+        inter.withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter_sz"))
+        .where(
+            F.col("inter_sz") * F.lit(1_000_000)
+            >= F.lit(threshold_ppm) * F.col("union_sz")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter_sz").cast("long").alias("inter_sz"),
+            F.col("union_sz").cast("long").alias("union_sz"),
+            F.expr("(inter_sz * 1000000) div union_sz").cast("long").alias("jaccard_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def jaccard_prefix_candidates(
+    df: DataFrame,
+    threshold_ppm: int = 300_000,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positional_filter: bool = True,
+) -> DataFrame:
+    """Candidate generation for :func:`jaccard_prefix_join` —
+    rarity-ordered prefix join + length filter + (optionally) PPJoin's
+    positional filter — as ``(id_a, id_b, na, nb)`` distinct pairs.
+    Exposed so the positional filter's candidate reduction is
+    measurable (the verify stage is lossless either way, so only the
+    candidate count changes)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("tok"),
+    )
     sz = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(dfreq, "tok").withColumn(
@@ -1672,36 +1717,21 @@ def jaccard_prefix_join(
             F.least("na", "nb") * F.lit(1_000_000)
             >= F.lit(threshold_ppm) * F.greatest("na", "nb")
         )
-        # PPJoin positional filter: tokens at/after this prefix slot
-        # cannot supply minoverlap shared tokens
-        .where(
+    )
+    if positional_filter:
+        # PPJoin positional filter (Xiao et al. WWW'08): a pair judged
+        # at its EARLIEST shared prefix token (i, j) can overlap at
+        # most 1 + min(|a|-i, |b|-j); below minoverlap it can never
+        # verify. Row-wise any-match semantics equal the canonical
+        # first-match test because the earliest shared token maximizes
+        # the bound (shared tokens appear in the same global rarity
+        # order in both docs). ``positional_filter=False`` exists only
+        # to MEASURE the reduction; verified results are identical.
+        cand = cand.where(
             F.lit(1) + F.least(F.col("na") - F.col("rka"), F.col("nb") - F.col("rkb"))
             >= minov
         )
-        .select("id_a", "id_b", "na", "nb")
-        .distinct()
-    )
-    inter = (
-        cand.join(toks.select(F.col("id").alias("id_a"), "tok"), "id_a")
-        .join(toks.select(F.col("id").alias("id_b"), "tok"), ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter_sz"))
-    )
-    return (
-        inter.withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter_sz"))
-        .where(
-            F.col("inter_sz") * F.lit(1_000_000)
-            >= F.lit(threshold_ppm) * F.col("union_sz")
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.col("inter_sz").cast("long").alias("inter_sz"),
-            F.col("union_sz").cast("long").alias("union_sz"),
-            F.expr("(inter_sz * 1000000) div union_sz").cast("long").alias("jaccard_ppm"),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return cand.select("id_a", "id_b", "na", "nb").distinct()
 
 
 def jaccard_prefix_join_sql(

@@ -1150,6 +1150,75 @@ def test_jaccard_prefix_join_prunes_candidates(spark):
     assert cands < all_pairs // 2, (cands, all_pairs)
 
 
+def test_ppjoin_positional_filter_strictly_reduces_candidates(spark):
+    """PPJoin's positional filter (Xiao et al.) must prune candidates
+    the rarity prefix + length filters ALONE cannot — without changing
+    the verified result (lossless). Construction: docs A and B share
+    exactly one token engineered to sit at rank 6 of 12 (inside the
+    t=0.5 prefix of 7, but with too little suffix left to ever reach
+    minoverlap 8), plus a true near-dup pair C~D that must survive
+    in both modes, plus single-token helper docs that give the filler
+    tokens df=2 so token rank is controlled by name."""
+    from dvmax_spark.ext.dedup import (
+        jaccard_prefix_candidates,
+        jaccard_prefix_join,
+    )
+
+    rows = []
+    # A: a01..a05 < s_ab < t01..t06 lexicographically, all df=2
+    rows.append((1, " ".join([f"a0{i}" for i in range(1, 6)] + ["s_ab"] + [f"t0{i}" for i in range(1, 7)])))
+    rows.append((2, " ".join([f"b0{i}" for i in range(1, 6)] + ["s_ab"] + [f"u0{i}" for i in range(1, 7)])))
+    # helpers: one doc per filler token so every filler has df=2
+    hid = 100
+    for tok in (
+        [f"a0{i}" for i in range(1, 6)] + [f"t0{i}" for i in range(1, 7)]
+        + [f"b0{i}" for i in range(1, 6)] + [f"u0{i}" for i in range(1, 7)]
+    ):
+        rows.append((hid, tok))
+        hid += 1
+    # true near-dups: share 11 of 12 tokens
+    common = [f"c{i:02d}" for i in range(11)]
+    rows.append((3, " ".join(common + ["only3"])))
+    rows.append((4, " ".join(common + ["only4"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n_with = jaccard_prefix_candidates(
+        docs, threshold_ppm=500_000, shingle_n=1, positional_filter=True
+    ).count()
+    n_without = jaccard_prefix_candidates(
+        docs, threshold_ppm=500_000, shingle_n=1, positional_filter=False
+    ).count()
+    assert n_with < n_without, (n_with, n_without)
+    # (A, B) is exactly a positionally-pruned candidate
+    pruned = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_candidates(
+            docs, 500_000, 1, positional_filter=False
+        ).collect()
+    } - {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_candidates(
+            docs, 500_000, 1, positional_filter=True
+        ).collect()
+    }
+    assert (1, 2) in pruned
+
+    got_with = {
+        (r["id_a"], r["id_b"], r["jaccard_ppm"])
+        for r in jaccard_prefix_join(
+            docs, threshold_ppm=500_000, shingle_n=1, positional_filter=True
+        ).collect()
+    }
+    got_without = {
+        (r["id_a"], r["id_b"], r["jaccard_ppm"])
+        for r in jaccard_prefix_join(
+            docs, threshold_ppm=500_000, shingle_n=1, positional_filter=False
+        ).collect()
+    }
+    assert got_with == got_without  # lossless
+    assert (3, 4, 846_153) in got_with  # 11/13 = 0.846153...
+
+
 def test_oph_signature_matches_python_recurrence(spark):
     """OPH signature vs a pure-Python replay of the same rules (md5
     portable hash, bucket = h mod k, per-bucket min, cyclic-right
