@@ -744,6 +744,21 @@ def exact_substr_dedup(
         )
         .distinct()
     )
+    return _remove_covered_runs(df, toks, covered, min_len, id_col, text_col)
+
+
+def _remove_covered_runs(
+    df: DataFrame,
+    toks: DataFrame,
+    covered: DataFrame,
+    min_len: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared tail of the ExactSubstr family: merge ``covered``
+    (id, pos) positions into maximal per-doc runs (islands window),
+    drop runs >= ``min_len``, rebuild the cleaned text, and report
+    (n_tokens, n_removed, n_runs, max_run_len, clean_hash) per doc."""
     w_rn = Window.partitionBy(id_col).orderBy("pos")
     runs = covered.withColumn("rid", F.col("pos") - F.row_number().over(w_rn))
     w_run = Window.partitionBy(id_col, "rid")
@@ -784,6 +799,141 @@ def exact_substr_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def exact_substr_clean_vs(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    n: int = 8,
+    min_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr AGAINST A REFERENCE CORPUS: remove from each new
+    document every maximal run of >= ``min_len`` tokens all of whose
+    ``n``-grams occur anywhere in ``ref_docs`` — exact boundaries via
+    the same islands merge as :func:`exact_substr_dedup`. Two readings,
+    one operator:
+
+    * **incremental ingest dedup** — ``ref_docs`` is the admitted
+      corpus; new batches are span-cleaned against it without ever
+      re-scanning corpus text (only its gram set), completing the
+      incremental family (exact ids: dedup_ingest ledger; near-dup:
+      MinHashIndex.match_new; sub-document: this).
+    * **surgical span decontamination** — ``ref_docs`` is a benchmark
+      suite; instead of DROPPING a contaminated document (the
+      x_decontaminate policy), only the contaminated span >= min_len
+      is excised and the rest of the document survives.
+
+    Semantics are pure cross-corpus: duplication WITHIN the new batch
+    is not consulted (run :func:`exact_substr_dedup` on the batch for
+    that), so results are independent of how new docs are batched —
+    each doc's verdict depends only on (doc, ref gram set). Recall is
+    1 for any true >= min_len substring copied from the reference
+    (every one of its grams is in the gram set); stitched-run
+    removal is the same one-sided superset as the self-join form.
+
+    Scale shape: the reference reduces to its DISTINCT gram set ONCE
+    (at 100 TB: persist it — e.g. ``write_bucketed`` on the gram — so
+    per-batch cleaning is a bucketed semi-join with no reference-side
+    shuffle); the new batch pays one gram shuffle of ITS OWN size, an
+    n-bounded expansion on matched starts, and the per-doc islands
+    window. Nothing scales with reference text size at query time
+    except the gram-set join."""
+    toks = new_docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    ref_grams = ref_docs.select(
+        F.explode(shingle_seq(text_col, n)).alias("g")
+    ).distinct()
+    occ = new_docs.select(
+        F.col(id_col), F.posexplode(shingle_seq(text_col, n)).alias("gpos", "g")
+    )
+    covered = (
+        occ.join(ref_grams, "g", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    return _remove_covered_runs(new_docs, toks, covered, min_len, id_col, text_col)
+
+
+def exact_substr_clean_vs_sql(
+    n: int = 8,
+    min_len: int = 20,
+    old_pred: str = "source = 'src0'",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`exact_substr_clean_vs` with the
+    reference corpus selected by ``old_pred`` and the new side its
+    complement — same window-over-positions islands formulation."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, str_split({text_col}, ' ') AS tk FROM {table}
+      WHERE NOT ({old_pred})
+    ),
+    ref AS (
+      SELECT DISTINCT array_to_string(tk[i:i+{n - 1}], ' ') AS g
+      FROM (SELECT str_split({text_col}, ' ') AS tk FROM {table}
+            WHERE {old_pred}),
+           unnest(range(1, len(tk) - {n} + 2)) u(i)
+    ),
+    occ AS (
+      SELECT {id_col}, i, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+      FROM t, unnest(range(1, len(tk) - {n} + 2)) u(i)
+    ),
+    cov AS (
+      SELECT DISTINCT {id_col}, pos FROM (
+        SELECT {id_col}, unnest(range(i, i + {n})) AS pos
+        FROM occ SEMI JOIN ref USING (g)
+      )
+    ),
+    runs AS (
+      SELECT {id_col}, pos,
+             pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS rid
+      FROM cov
+    ),
+    marked AS (
+      SELECT {id_col}, pos, rid,
+             count(*) OVER (PARTITION BY {id_col}, rid) AS run_len
+      FROM runs
+    ),
+    removed AS (
+      SELECT {id_col}, pos, rid, run_len FROM marked WHERE run_len >= {min_len}
+    ),
+    run_stats AS (
+      SELECT {id_col}, count(*) AS n_removed,
+             count(DISTINCT rid) AS n_runs,
+             max(run_len) AS max_run_len
+      FROM removed GROUP BY {id_col}
+    ),
+    toks AS (
+      SELECT {id_col}, pos - 1 AS pos0, tk[pos] AS tok
+      FROM t, unnest(range(1, len(tk) + 1)) u(pos)
+    ),
+    kept AS (
+      SELECT t2.{id_col}, t2.pos0, t2.tok
+      FROM toks t2 ANTI JOIN (SELECT {id_col}, pos - 1 AS pos0 FROM removed) r
+      USING ({id_col}, pos0)
+    ),
+    rebuilt AS (
+      SELECT {id_col}, string_agg(tok, ' ' ORDER BY pos0) AS clean_text
+      FROM kept GROUP BY {id_col}
+    )
+    SELECT t.{id_col},
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(s.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(s.max_run_len, 0) AS BIGINT) AS max_run_len,
+           md5(coalesce(r.clean_text, '')) AS clean_hash
+    FROM t LEFT JOIN run_stats s USING ({id_col})
+           LEFT JOIN rebuilt r USING ({id_col})
+    ORDER BY t.{id_col}
+    """
 
 
 def exact_substr_dedup_sql(

@@ -10,6 +10,7 @@ tests/test_oracle_parity.py + tools/driver_sim.py --all.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dvmax_spark.catalog import load_table
 from dvmax_spark.ext.retrieval import (
@@ -21,6 +22,8 @@ from dvmax_spark.ext.retrieval import (
     doc_chunks_sql,
     dup_span_stats,
     dup_span_stats_sql,
+    exact_substr_clean_vs,
+    exact_substr_clean_vs_sql,
     exact_substr_dedup,
     exact_substr_dedup_sql,
     span_dedup_clean,
@@ -112,6 +115,29 @@ def x_exact_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
     single gram-occurrence shuffle; the run merge is a per-doc window,
     never corpus-wide."""
     return exact_substr_dedup(load_table(spark, "documents", sf), n=8, min_len=20)
+
+
+@query(
+    "x_substr_decontam",
+    ids=("X1", "X10", "X18"),
+    sql=exact_substr_clean_vs_sql(n=8, min_len=20),
+)
+def x_substr_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr vs a REFERENCE corpus (src0 as the admitted/eval
+    side): every maximal run >= 20 tokens of 8-grams present anywhere
+    in src0 is excised from the other sources' documents with exact
+    boundaries — surgical span decontamination (keep the doc, cut the
+    contaminated span) and equally the incremental ingest form of
+    x_exact_substr_dedup (new batch cleaned against the corpus gram
+    set without re-scanning corpus text). Cross-corpus-only semantics,
+    so the verdict is batching-independent."""
+    docs = load_table(spark, "documents", sf)
+    return exact_substr_clean_vs(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=8,
+        min_len=20,
+    )
 
 
 @query("x_doc_chunks", ids=("X7", "X10"), bench=True, sql=doc_chunks_sql())

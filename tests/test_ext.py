@@ -519,16 +519,33 @@ def test_semantic_dedup_collapses_planted_duplicates(spark):
 
 
 def test_kll_quantile_rollup_error_bound(spark):
-    """Merged-from-daily KLL estimates must sit in a tight band around
-    the exact percentiles (k=200 default: rank error ~1.65% at 99%
-    confidence; band allows 3% + epsilon for value-space spread)."""
+    """Merged-from-daily KLL estimates checked in RANK space — the
+    space KLL actually bounds (k=200: ~1.65% rank error at 99%
+    confidence; compaction is randomized, so a value-space band flakes
+    whenever the distribution is locally sparse around the quantile:
+    a legal 2% rank slip can be a >3% value gap). Assert the empirical
+    CDF of each estimate sits within 4% of its target rank."""
+    from dvmax_spark.catalog import load_table
     from dvmax_spark.registry import all_queries
 
     rows = all_queries()["a_kll_quantile_rollup"].fn(spark, "/root/testdata/sf0.01").collect()
     assert rows
+    vals: dict[str, list[float]] = {}
+    for rec in (
+        load_table(spark, "events", "/root/testdata/sf0.01")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+        .collect()
+    ):
+        vals.setdefault(rec["event_type"], []).append(rec["value"])
     for r in rows:
-        assert abs(r.p50_est - r.p50_exact) <= abs(r.p50_exact) * 0.03 + 0.5
-        assert abs(r.p90_est - r.p90_exact) <= abs(r.p90_exact) * 0.03 + 0.5
+        xs = sorted(vals[r.event_type])
+        n = len(xs)
+        for est, q in ((r.p50_est, 0.5), (r.p90_est, 0.9)):
+            import bisect
+
+            rank = bisect.bisect_right(xs, est) / n
+            assert abs(rank - q) <= 0.04, (r.event_type, q, est, rank)
 
 
 def test_theta_overlap_matches_exact_set_algebra(spark):

@@ -678,6 +678,50 @@ def test_exact_substr_within_doc_repeat_and_stitched_superset(spark):
     assert (t["n_tokens"], t["n_removed"], t["clean_hash"]) == (3, 0, _md5("one two three"))
 
 
+def test_exact_substr_clean_vs_reference_corpus(spark):
+    """The cross-corpus ExactSubstr contract: a >= min_len span copied
+    FROM the reference is excised with exact boundaries; spans shared
+    only AMONG new docs are untouched (cross-corpus-only semantics —
+    the batching-independence guarantee); a sub-threshold copy
+    survives."""
+    from dvmax_spark.ext.retrieval import exact_substr_clean_vs
+
+    X = [f"x{i}" for i in range(25)]
+    Y = [f"y{i}" for i in range(25)]
+    ref = spark.createDataFrame(
+        [(100, " ".join([f"r{i}" for i in range(5)] + X + [f"q{i}" for i in range(5)]))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # copies the reference run X -> cut exactly
+            (1, " ".join([f"a{i}" for i in range(10)] + X + [f"b{i}" for i in range(10)])),
+            # B and C share Y with each OTHER, not with ref -> kept
+            (2, " ".join([f"c{i}" for i in range(10)] + Y + [f"d{i}" for i in range(10)])),
+            (3, " ".join([f"e{i}" for i in range(10)] + Y + [f"f{i}" for i in range(10)])),
+            # 19-token sub-run of X -> below the 20 gate, kept
+            (4, " ".join([f"g{i}" for i in range(10)] + X[:19] + [f"h{i}" for i in range(10)])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_clean_vs(new, ref, n=8, min_len=20).collect()
+    }
+    assert (out[1]["n_removed"], out[1]["n_runs"], out[1]["max_run_len"]) == (25, 1, 25)
+    assert out[1]["clean_hash"] == _md5(
+        " ".join([f"a{i}" for i in range(10)] + [f"b{i}" for i in range(10)])
+    )
+    for d, pre, mid, post in ((2, "c", Y, "d"), (3, "e", Y, "f")):
+        assert out[d]["n_removed"] == 0
+        assert out[d]["clean_hash"] == _md5(
+            " ".join([f"{pre}{i}" for i in range(10)] + mid + [f"{post}{i}" for i in range(10)])
+        )
+    assert out[4]["n_removed"] == 0  # 19 < min_len: exact gate
+    # the reference side is never in the output
+    assert 100 not in out
+
+
 def test_tfidf_cosine_prefix_filter_is_lossless(spark):
     """The symmetric half-threshold prefix filter must return EXACTLY
     the brute-force pair set (ids and cosines) on seeded random corpora
