@@ -24,7 +24,7 @@ Scale shapes (100 TB contract):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -840,17 +840,35 @@ def exact_substr_clean_vs(
     n-bounded expansion on matched starts, and the per-doc islands
     window. Nothing scales with reference text size at query time
     except the gram-set join."""
-    toks = new_docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
-    )
     ref_grams = ref_docs.select(
         F.explode(shingle_seq(text_col, n)).alias("g")
     ).distinct()
+    return exact_substr_clean_vs_grams(
+        new_docs, ref_grams, n=n, min_len=min_len, id_col=id_col, text_col=text_col
+    )
+
+
+def exact_substr_clean_vs_grams(
+    new_docs: DataFrame,
+    ref_grams: DataFrame,
+    n: int = 8,
+    min_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`exact_substr_clean_vs` with the reference already reduced
+    to its distinct gram table ``(g string)`` — the form the persisted
+    :class:`GramIndex` and the streaming ingest use, where the
+    reference grams are materialized once and every batch joins them
+    without touching reference text."""
+    toks = new_docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
     occ = new_docs.select(
         F.col(id_col), F.posexplode(shingle_seq(text_col, n)).alias("gpos", "g")
     )
     covered = (
-        occ.join(ref_grams, "g", "left_semi")
+        occ.join(ref_grams.select("g"), "g", "left_semi")
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.col("gpos"), F.col("gpos") + n - 1)).alias("pos"),
@@ -858,6 +876,79 @@ def exact_substr_clean_vs(
         .distinct()
     )
     return _remove_covered_runs(new_docs, toks, covered, min_len, id_col, text_col)
+
+
+class GramIndex:
+    """Persisted distinct-gram table for cross-corpus ExactSubstr — the
+    artifact that makes span-level dedup/decontamination INCREMENTAL:
+    build once from the admitted corpus (or benchmark suite), then
+    clean every incoming batch against the gram set without re-scanning
+    reference text. Batch-keyed appends (``ingest_batch=<key>`` dynamic
+    partition overwrite) are replay-idempotent, the streaming-ingest
+    contract shared with MinHashIndex; an unkeyed ``build`` is a plain
+    overwrite for the frozen-reference (benchmark) case. At 100 TB the
+    gram table is the big side — bucket it on ``g``
+    (:func:`~dvmax_spark.store.write_bucketed`) and the per-batch
+    semi-join needs no reference-side shuffle."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, n: int = 8, text_col: str = "text"
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.n = n
+        self.text_col = text_col
+
+    def _grams(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.explode(shingle_seq(self.text_col, self.n)).alias("g")
+        ).distinct()
+
+    def build(self, docs: DataFrame, batch_key: int | str | None = None) -> None:
+        g = self._grams(docs)
+        if batch_key is None:
+            g.write.mode("overwrite").option("compression", "zstd").parquet(self.path)
+        else:
+            self._write_batch(g, batch_key)
+
+    def append(self, docs: DataFrame, batch_key: int | str) -> None:
+        """Admit a batch's grams (idempotent under replay: the batch
+        rewrites its own partition). Per-batch grams may repeat across
+        batches — ``grams()`` reads distinct, and semi-join consumers
+        are duplicate-insensitive anyway."""
+        self._write_batch(self._grams(docs), batch_key)
+
+    def _write_batch(self, g: DataFrame, batch_key: int | str) -> None:
+        (
+            g.withColumn("ingest_batch", F.lit(str(batch_key)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .option("compression", "zstd")
+            .parquet(self.path)
+        )
+
+    def grams(self) -> DataFrame:
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)
+        return self.spark.read.parquet(self.path).select("g").distinct()
+
+    def clean_new(
+        self,
+        new_docs: DataFrame,
+        min_len: int = 20,
+        id_col: str = "doc_id",
+        text_col: str | None = None,
+    ) -> DataFrame:
+        return exact_substr_clean_vs_grams(
+            new_docs,
+            self.grams(),
+            n=self.n,
+            min_len=min_len,
+            id_col=id_col,
+            text_col=text_col or self.text_col,
+        )
 
 
 def exact_substr_clean_vs_sql(

@@ -140,6 +140,88 @@ def x_substr_decontam(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "t_stream_substr_decontam",
+    ids=("X1", "X18", "T3", "S11"),
+    sql=exact_substr_clean_vs_sql(n=8, min_len=20),
+)
+def t_stream_substr_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING span-level decontamination, run for real: src0's
+    8-grams persist once as a GramIndex; the other sources arrive as 3
+    micro-batches, each span-cleaned against the index
+    (streaming/decontam_ingest.py:stream_substr_decontam) into a
+    batch-keyed sink. Verdicts are per-doc against the frozen index —
+    no cross-batch state — so the streamed union equals the one-shot
+    x_substr_decontam sweep at ANY slicing, and the oracle is the same
+    batch SQL: a hash match proves the ingest-time form is value-exact."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+
+    from dvmax_spark.ext.retrieval import GramIndex
+    from dvmax_spark.streaming.decontam_ingest import stream_substr_decontam
+
+    docs = load_table(spark, "documents", sf)
+    ref = docs.where(F.col("source") == "src0")
+    new = docs.where(F.col("source") != "src0")
+    run_id = _uuid.uuid4().hex[:10]
+    base = _os.path.join(
+        _tf.gettempdir(), f"dvmax_substr_{_os.getpid()}_{run_id}"
+    )
+    in_dir = _os.path.join(base, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    idx = GramIndex(spark, _os.path.join(base, "grams"), n=8)
+    idx.build(ref)
+    staged = new.withColumn("_b", F.ntile(3).over(_W.orderBy("doc_id")))
+    now = None
+    for i in (1, 2, 3):
+        p = _os.path.join(base, f"s{i}")
+        staged.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        part = next(
+            f for f in _os.listdir(p) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = _os.path.join(in_dir, f"{i:03d}.parquet")
+        _os.replace(_os.path.join(p, part), dst)
+        if now is None:
+            now = _os.stat(dst).st_mtime
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(p, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_substr_decontam(
+            stream,
+            idx,
+            out_dir=_os.path.join(base, "clean"),
+            min_len=20,
+            checkpoint_dir=_os.path.join(base, "ckpt"),
+            query_name=f"substr_{run_id}",
+        )
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(_os.path.join(base, "clean"))
+        .select(
+            "doc_id", "n_tokens", "n_removed", "n_runs", "max_run_len", "clean_hash"
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("x_doc_chunks", ids=("X7", "X10"), bench=True, sql=doc_chunks_sql())
 def x_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-style overlapping chunker: 64-token windows every 32 tokens,

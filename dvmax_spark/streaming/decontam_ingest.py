@@ -90,3 +90,55 @@ def stream_decontam_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_substr_decontam(
+    stream_docs: DataFrame,
+    index,
+    out_dir: str,
+    min_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    query_name: str = "substr_decontam",
+    available_now: bool = True,
+):
+    """SPAN-level streaming decontamination / incremental ExactSubstr:
+    each micro-batch is cleaned against a persisted
+    :class:`~dvmax_spark.ext.retrieval.GramIndex` — maximal runs >=
+    ``min_len`` of reference grams are excised with exact boundaries
+    (exact_substr_clean_vs semantics) and the per-doc result rows
+    (n_tokens, n_removed, n_runs, max_run_len, clean_hash) land in a
+    batch-keyed partition of ``out_dir``.
+
+    Like the doc-level gate above, each doc's verdict depends only on
+    itself and the frozen gram index — no cross-batch state — so
+    batch-keyed dynamic partition overwrite makes output byte-stable
+    under crash replay AND under a fresh-checkpoint re-drain at the
+    SAME slicing (pinned by test); the union of all batches equals the
+    one-shot batch sweep at any slicing (the value-exact oracle
+    t_stream_substr_decontam runs). A re-drain that slices batches
+    DIFFERENTLY writes the same docs under different batch keys —
+    clear ``out_dir`` together with the checkpoint when resetting, the
+    contract shared by every batch-keyed sink in this family."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = index.clean_new(batch_df, min_len=min_len, id_col=id_col,
+                                  text_col=text_col)
+        (
+            cleaned.withColumn("ingest_batch", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .option("compression", "zstd")
+            .parquet(out_dir)
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_sink).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

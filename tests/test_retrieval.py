@@ -722,6 +722,78 @@ def test_exact_substr_clean_vs_reference_corpus(spark):
     assert 100 not in out
 
 
+def test_stream_substr_decontam_redrain_idempotent(spark, tmp_path):
+    """Span-level streaming decontamination is stateless per doc
+    (frozen GramIndex, no cross-batch state), so even a FRESH
+    CHECKPOINT full re-drain must leave the output byte-stable —
+    the strongest idempotence in the streaming curation family."""
+    import os
+
+    from dvmax_spark.ext.retrieval import GramIndex, exact_substr_clean_vs
+    from dvmax_spark.streaming.decontam_ingest import stream_substr_decontam
+
+    run = [f"s{i}" for i in range(25)]
+    ref = spark.createDataFrame(
+        [(100, " ".join([f"r{i}" for i in range(5)] + run))],
+        "doc_id long, text string",
+    )
+    new_rows = [
+        (1, " ".join([f"a{i}" for i in range(10)] + run + [f"b{i}" for i in range(10)])),
+        (2, " ".join(f"c{i}" for i in range(30))),
+        (3, " ".join([f"d{i}" for i in range(3)] + run + [f"e{i}" for i in range(3)])),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for k, row in enumerate(new_rows):
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"b{k}"))
+        import shutil as _sh
+
+        for f in os.listdir(str(tmp_path / f"b{k}")):
+            if f.endswith(".parquet"):
+                _sh.copy(
+                    os.path.join(str(tmp_path / f"b{k}"), f),
+                    os.path.join(in_dir, f"{k:03d}.parquet"),
+                )
+    idx = GramIndex(spark, str(tmp_path / "grams"), n=8)
+    idx.build(ref)
+    out = str(tmp_path / "clean")
+
+    def _drain(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # same slicing both drains:
+            # batch k rewrites its own partition with identical content
+            .parquet(in_dir)
+        )
+        q = stream_substr_decontam(
+            stream, idx, out, min_len=20,
+            checkpoint_dir=str(tmp_path / ck), query_name=f"ssd_{ck}",
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    _drain("ck1")
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("ingest_batch").collect()
+    )
+    _drain("ck2")  # fresh checkpoint: everything replays as new batches
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("ingest_batch").collect()
+    )
+    assert first == second
+    # and equals the batch operator
+    want = sorted(
+        tuple(r)
+        for r in exact_substr_clean_vs(
+            spark.createDataFrame(new_rows, "doc_id long, text string"), ref,
+            n=8, min_len=20,
+        ).collect()
+    )
+    assert first == want
+
+
 def test_tfidf_cosine_prefix_filter_is_lossless(spark):
     """The symmetric half-threshold prefix filter must return EXACTLY
     the brute-force pair set (ids and cosines) on seeded random corpora
