@@ -628,6 +628,76 @@ def dedup_clusters_twophase(
     return _cluster_output(df, comp, id_col, rank_col)
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_rounds: int = 30,
+) -> tuple[DataFrame, int]:
+    """EXACT connected-component label maintenance: given the previous
+    min-id labels ``(id, label)`` and a batch of ``new_edges``
+    (id_a, id_b), return the exact labels of the UNION graph while
+    recomputing only the components the new edges touch — the
+    incremental form of :func:`connected_components_twophase`, and the
+    graph-side member of the incremental family (exact ids:
+    dedup_ingest ledger; near-dup pairs: MinHashIndex.match_new;
+    sub-document: GramIndex.clean_new).
+
+    Correctness rests on star compression: a component's connectivity
+    is fully captured by its label star (label — member edges), so
+    CC(old graph ∪ new edges) = CC(touched stars ∪ new edges) on the
+    touched part, with untouched labels passing through UNCHANGED —
+    they never enter a join or shuffle. Labels stay min-id because
+    every member of a touched component rides into the merge as a
+    node. At 100 TB this is the production shape: the label table is
+    the persisted artifact (NearDupGraph's companion), a daily batch
+    contributes |batch| edges, and the merge's cost is proportional to
+    the TOUCHED components + new edges, not the corpus graph.
+
+    Returns ``(labels, rounds)`` — labels covers every old id plus
+    every new-edge endpoint; rounds is the two-phase round count of
+    the touched-subgraph merge.
+    """
+    ends = (
+        new_edges.select(F.col("id_a").alias("id"))
+        .unionAll(new_edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    touched = (
+        labels.join(ends, "id", "left_semi").select("label").distinct()
+        .localCheckpoint(eager=False)
+    )
+    members = labels.join(touched, "label", "left_semi")
+    stars = members.select(
+        F.col("label").alias("id_a"), F.col("id").alias("id_b")
+    ).where(F.col("id_a") != F.col("id_b"))
+    merged, rounds = connected_components_twophase(
+        stars.unionAll(new_edges.select("id_a", "id_b")), max_rounds=max_rounds
+    )
+    # a touched SINGLETON component (label == id, no star edge) is an
+    # endpoint of some new edge, so it is already a node of the merge;
+    # endpoints with no prior label likewise. Untouched labels bypass.
+    untouched = labels.join(touched, "label", "left_anti")
+    return untouched.select("id", "label").unionAll(merged.select("id", "label")), rounds
+
+
+def dedup_clusters_incremental(
+    df: DataFrame,
+    labels: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Cluster assignment + canonical selection from MAINTAINED labels:
+    :func:`incremental_components` over (previous labels, new edge
+    batch), then the shared (doc, cluster_id, cluster_size, keep)
+    assembly — output contract (and oracle SQL) identical to
+    :func:`dedup_clusters` over the union pair set."""
+    lab, _ = incremental_components(labels, new_edges, max_rounds=max_rounds)
+    comp = lab.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return _cluster_output(df, comp, id_col, rank_col)
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", out: str = "simhash", id_col: str = "doc_id"
 ) -> DataFrame:

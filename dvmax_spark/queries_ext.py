@@ -219,6 +219,36 @@ def x_dedup_clusters_twophase(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters_twophase(docs, _ndg_pairs(spark, sf), rank_col="n_chars").orderBy("doc_id")
 
 
+@query("x_incremental_components", ids=("X17",), sql=dedup_clusters_sql())
+def x_incremental_components(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT incremental connected components: src0's near-dup labels
+    are treated as the maintained artifact; the other sources' pairs
+    arrive as the new edge batch and merge via star compression
+    (ext/dedup.py:incremental_components) — only TOUCHED components
+    recompute, untouched labels pass through without a shuffle. The
+    result must equal clustering the union pair set from scratch, so
+    this shares x_dedup_clusters' exact recursive-CTE oracle: the
+    maintenance path is value-checked against the full recompute."""
+    from dvmax_spark.ext.dedup import (
+        connected_components_twophase,
+        dedup_clusters_incremental,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    pairs = _ndg_pairs(spark, sf)
+    old_ids = docs.where(F.col("source") == "src0").select("doc_id")
+    both_old = pairs.join(
+        old_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(old_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    new_edges = pairs.join(
+        both_old.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+    labels0, _ = connected_components_twophase(both_old)
+    return dedup_clusters_incremental(
+        docs, labels0, new_edges, rank_col="n_chars"
+    ).orderBy("doc_id")
+
+
 @query("x_simhash_pairs", ids=("X4",), sql=simhash_sql(max_hamming=10))
 def x_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 10 (banded

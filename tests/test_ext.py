@@ -824,6 +824,49 @@ def test_ivf_index_append_finds_new_vectors(spark, tmp_path):
     assert out[0]["c_id"] == 1005 and out[0]["cosine"] >= 0.9999
 
 
+def test_incremental_components_equals_full_recompute(spark):
+    """Star-compression label maintenance must equal two-phase CC on
+    the union graph across the adversarial shapes: a new edge MERGING
+    two old components (min label must come from the union), a
+    new-only chain, an old node bridging to brand-new ids, and
+    untouched components passing through with their labels intact."""
+    from dvmax_spark.ext.dedup import (
+        connected_components_twophase,
+        incremental_components,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    # old graph: comp {1,2,3}, comp {10,11}, comp {20,21,22}, singleton 30
+    old = edges([(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)])
+    labels0, _ = connected_components_twophase(old)
+    labels0 = labels0.unionAll(
+        spark.createDataFrame([(30, 30)], "id long, label long")
+    )
+    # new batch: merge {1..3}x{10,11}; chain of new ids; bridge 30->new
+    new = edges([(3, 10), (100, 101), (101, 102), (30, 200)])
+    got, _ = incremental_components(labels0, new)
+    got_map = {r["id"]: r["label"] for r in got.collect()}
+    want, _ = connected_components_twophase(old.unionAll(new))
+    want_map = {r["id"]: r["label"] for r in want.collect()}
+    want_map.setdefault(30, 30)
+    assert got_map == want_map
+    # untouched component {20,21,22} passed through unchanged
+    assert got_map[20] == 20 and got_map[21] == 20 and got_map[22] == 20
+    # merged component takes the global min id
+    assert got_map[11] == 1 and got_map[30] == 30 and got_map[200] == 30
+    # second increment on top of the maintained labels (associativity)
+    new2 = edges([(102, 20)])  # merge new-chain into {20,21,22}
+    got2, _ = incremental_components(got, new2)
+    got2_map = {r["id"]: r["label"] for r in got2.collect()}
+    want2, _ = connected_components_twophase(old.unionAll(new).unionAll(new2))
+    want2_map = {r["id"]: r["label"] for r in want2.collect()}
+    want2_map.setdefault(30, 30)
+    assert got2_map == want2_map
+    assert got2_map[102] == 20 and got2_map[20] == 20
+
+
 def test_neardup_graph_artifact_build_reuse_invalidate_heal(spark, tmp_path):
     """The persisted pair-graph artifact contract: (1) pairs served
     from the artifact equal a fresh minhash_lsh_pairs run exactly;
