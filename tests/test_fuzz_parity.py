@@ -373,3 +373,119 @@ def test_fuzzed_string_ops_parity(spark, oracle):
         except AssertionError as e:
             mismatches.append((i, sql, str(e).splitlines()[0]))
     assert not mismatches, mismatches
+
+
+def test_fuzzed_islands_runs_parity(spark, oracle):
+    """Random islands-and-gaps compositions — the run-merge window
+    pattern the ExactSubstr family is built on (rid = pos − row_number
+    per doc, per-run count/min aggregates, run-length gates): token
+    positions of the documents table survive a random exact predicate,
+    consecutive survivors merge into maximal runs, and per-doc run
+    statistics must match DuckDB bit-for-bit. All-integer by
+    construction (positions, counts, lexicographic token compares)."""
+    from pyspark.sql import Window
+
+    rng = random.Random(7171)
+
+    # (spark predicate factory, sql predicate text factory)
+    preds = [
+        (
+            lambda m, j: F.col("pos") % m != j,
+            lambda m, j: f"pos % {m} <> {j}",
+        ),
+        (
+            lambda m, j: F.length("tok") % 2 == (j % 2),
+            lambda m, j: f"length(tok) % 2 = {j % 2}",
+        ),
+        (
+            lambda m, j: F.col("tok") >= "m",
+            lambda m, j: "tok >= 'm'",
+        ),
+        (
+            lambda m, j: F.col("tok") < "t",
+            lambda m, j: "tok < 't'",
+        ),
+    ]
+    mismatches = []
+    for i in range(12):
+        n_pred = rng.randint(1, 2)
+        picks = rng.sample(preds, n_pred)
+        ms = [rng.randint(2, 5) for _ in picks]
+        js = [rng.randint(0, 1) for _ in picks]
+        conj = rng.choice(["AND", "OR"]) if n_pred == 2 else "AND"
+        L = rng.randint(2, 6)
+        s_mod, s_val = rng.choice([(3, 0), (4, 1), (2, 0)])
+
+        toks = (
+            spark.read.parquet(f"{SF_DIR_CORRECT}/documents.parquet")
+            .where(F.col("doc_id") % s_mod == s_val)
+            .select(
+                "doc_id",
+                F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+            )
+        )
+        sp = picks[0][0](ms[0], js[0])
+        if n_pred == 2:
+            sp = (sp & picks[1][0](ms[1], js[1])) if conj == "AND" else (
+                sp | picks[1][0](ms[1], js[1])
+            )
+        filt = toks.where(sp)
+        w_rn = Window.partitionBy("doc_id").orderBy("pos")
+        runs = (
+            filt.withColumn("rid", F.col("pos") - F.row_number().over(w_rn))
+            .groupBy("doc_id", "rid")
+            .agg(
+                F.count(F.lit(1)).alias("run_len"),
+                F.min("pos").alias("run_start"),
+            )
+            .where(F.col("run_len") >= L)
+        )
+        out = (
+            runs.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_runs"),
+                F.max("run_len").cast("long").alias("max_run"),
+                F.sum("run_len").cast("long").alias("covered"),
+                F.min("run_start").cast("long").alias("first_start"),
+            )
+            .orderBy("doc_id")
+        )
+        sql_pred = picks[0][1](ms[0], js[0])
+        if n_pred == 2:
+            sql_pred = f"({sql_pred}) {conj} ({picks[1][1](ms[1], js[1])})"
+        sql = f"""
+        WITH t AS (
+          SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+          WHERE doc_id % {s_mod} = {s_val}
+        ),
+        toks AS (
+          SELECT doc_id, pos - 1 AS pos, tk[pos] AS tok
+          FROM t, unnest(range(1, len(tk) + 1)) u(pos)
+        ),
+        filt AS (SELECT doc_id, pos FROM toks WHERE {sql_pred}),
+        runs0 AS (
+          SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+          FROM filt
+        ),
+        runs AS (
+          SELECT doc_id, rid, count(*) AS run_len, min(pos) AS run_start
+          FROM runs0 GROUP BY doc_id, rid
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(run_len) AS BIGINT) AS max_run,
+               CAST(sum(run_len) AS BIGINT) AS covered,
+               CAST(min(run_start) AS BIGINT) AS first_start
+        FROM runs WHERE run_len >= {L}
+        GROUP BY doc_id ORDER BY doc_id
+        """
+        got = canonicalize(out.toPandas())
+        exp = canonicalize(oracle.execute(sql).fetchdf())
+        try:
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, check_exact=True
+            )
+        except AssertionError as e:
+            mismatches.append((i, sql_pred, L, str(e).splitlines()[0]))
+    assert not mismatches, mismatches
