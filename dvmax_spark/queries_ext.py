@@ -249,6 +249,85 @@ def x_incremental_components(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "t_stream_components",
+    ids=("X17", "T3", "S11"),
+    sql=dedup_clusters_sql(),
+)
+def t_stream_components(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING exact near-dup clustering, run for real: the corpus
+    arrives as 3 micro-batches; each batch's cross edges (vs the
+    growing banded index) and within-batch edges merge into the
+    persisted label table via star-compression incremental components
+    (streaming/dedup_ingest.py:stream_into_components — no markers
+    needed: index appends are batch-keyed overwrites and re-merging
+    edges into a CC labeling is a no-op). Because every full-corpus
+    LSH pair appears when its later endpoint arrives and CC is
+    edge-order-insensitive, the maintained labels equal clustering the
+    whole corpus from scratch at ANY slicing — so the oracle is the
+    batch x_dedup_clusters recursive CTE, value-exact."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from dvmax_spark.ext.dedup import MinHashIndex, _cluster_output
+    from dvmax_spark.streaming.dedup_ingest import stream_into_components
+
+    docs = load_table(spark, "documents", sf)
+    run_id = _uuid.uuid4().hex[:10]
+    base = _os.path.join(_tf.gettempdir(), f"dvmax_cc_{_os.getpid()}_{run_id}")
+    in_dir = _os.path.join(base, "in")
+    _os.makedirs(in_dir, exist_ok=True)
+    staged = docs.withColumn("_b", F.ntile(3).over(Window.orderBy("doc_id")))
+    now = None
+    for i in (1, 2, 3):
+        p = _os.path.join(base, f"s{i}")
+        staged.where(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        part = next(
+            f for f in _os.listdir(p) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = _os.path.join(in_dir, f"{i:03d}.parquet")
+        _os.replace(_os.path.join(p, part), dst)
+        if now is None:
+            now = _os.stat(dst).st_mtime
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(p, ignore_errors=True)
+    idx = MinHashIndex(
+        spark, _os.path.join(base, "idx"), num_hashes=32, bands=16, shingle_n=2
+    )
+    labels_path = _os.path.join(base, "labels")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_into_components(
+            stream,
+            idx,
+            labels_path,
+            threshold=0.1,
+            checkpoint_dir=_os.path.join(base, "ckpt"),
+            query_name=f"cc_{run_id}",
+        )
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise RuntimeError(q.exception().desc)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    labels = spark.read.parquet(labels_path)
+    comp = labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    return _cluster_output(docs, comp, "doc_id", "n_chars").orderBy("doc_id")
+
+
 @query("x_simhash_pairs", ids=("X4",), sql=simhash_sql(max_hamming=10))
 def x_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 10 (banded

@@ -185,3 +185,104 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_components(
+    stream_docs: DataFrame,
+    index: MinHashIndex,
+    labels_path: str,
+    threshold: float = 0.1,
+    checkpoint_dir: str | None = None,
+    query_name: str = "components_ingest",
+    available_now: bool = True,
+):
+    """Streaming EXACT near-dup clustering: maintain the min-id
+    connected-component LABEL table of the full LSH pair graph as
+    documents arrive — the exact-semantics sibling of
+    :func:`stream_dedup_ingest`'s greedy-online dedup. Per micro-batch:
+
+      1. cross edges vs the admitted corpus via the banded index
+         (``match_new`` — corpus signatures never recompute),
+      2. within-batch edges via ``minhash_lsh_pairs``,
+      3. the persisted labels merge both through
+         :func:`~dvmax_spark.ext.dedup.incremental_components` — only
+         components the batch touches recompute (star compression),
+      4. the batch's signatures append to the index (batch-keyed).
+
+    The maintained labels equal clustering the ENTIRE corpus-so-far
+    from scratch at ANY batch slicing: every pair (a, b) of the
+    full-corpus LSH output appears exactly when the later of a, b
+    arrives (cross) or both share a batch (within), and CC is
+    insensitive to edge arrival order. That slice-invariance is what
+    gives the streamed clustering the same exact recursive-CTE oracle
+    as the batch x_dedup_clusters (t_stream_components runs it).
+
+    Exactly-once WITHOUT markers: every step is naturally idempotent —
+    the index append is a batch-keyed dynamic partition overwrite, and
+    RE-MERGING already-merged edges into a CC labeling is a no-op — so
+    crash replays and even fresh-checkpoint re-drains converge to the
+    same labels. ``max_bucket`` is deliberately None on both pair
+    paths: bucket caps are census-dependent, and exactness here trades
+    the cap for the oracle (cap-aware streaming stays with
+    stream_dedup_ingest).
+    """
+    import shutil
+
+    from dvmax_spark.ext.dedup import incremental_components
+    from dvmax_spark.fsops import recover_swap, swap_dir
+
+    idc = index.id_col
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        recover_swap(index.path)
+        recover_swap(labels_path)
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([idc])
+        matchable = batch.where(
+            F.size(F.split(F.col(index.text_col), " ")) >= index.shingle_n
+        ).localCheckpoint()
+        if matchable.isEmpty():
+            return
+        if os.path.isdir(index.path):
+            cross = index.match_new(
+                matchable, threshold=threshold, max_bucket=None, exclude_self=True
+            ).select(F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b"))
+        else:
+            cross = None
+        within = minhash_lsh_pairs(
+            matchable,
+            id_col=idc,
+            text_col=index.text_col,
+            num_hashes=index.num_hashes,
+            bands=index.bands,
+            shingle_n=index.shingle_n,
+            threshold=threshold,
+            max_bucket=None,
+        ).select("id_a", "id_b")
+        edges = within if cross is None else within.unionAll(cross)
+        edges = edges.localCheckpoint()
+        if os.path.isdir(labels_path):
+            labels0 = spark.read.parquet(labels_path)
+        else:
+            idt = matchable.schema[idc].dataType.simpleString()
+            labels0 = spark.createDataFrame([], f"id {idt}, label {idt}")
+        if not edges.isEmpty():
+            labels1, _ = incremental_components(labels0, edges)
+            staging = labels_path + ".staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            labels1.write.mode("overwrite").option("compression", "zstd").parquet(
+                staging
+            )
+            retired = swap_dir(labels_path, staging)
+            if retired:
+                shutil.rmtree(retired, ignore_errors=True)
+        index.append(matchable, batch_key=f"s{batch_id}")
+
+    writer = stream_docs.writeStream.foreachBatch(_sink).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

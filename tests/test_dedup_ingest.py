@@ -259,3 +259,57 @@ def test_compact_batches_folds_history_and_preserves_matches(spark, tmp_path):
         (r.new_id, r.old_id) for r in idx.match_new(probe, threshold=0.2).collect()
     }
     assert after_matches == before_matches and before_matches
+
+
+def test_stream_into_components_slice_invariant_and_redrain_stable(spark, tmp_path):
+    """Streaming EXACT clustering: the maintained label table must
+    equal the from-scratch two-phase CC of the full-corpus pair set at
+    every slicing (1 batch vs 4 batches), and a fresh-checkpoint full
+    re-drain must leave the labels unchanged (edge re-merges are
+    no-ops — the marker-free idempotence claim)."""
+    from dvmax_spark.ext.dedup import (
+        MinHashIndex,
+        connected_components_twophase,
+        minhash_lsh_pairs,
+    )
+    from dvmax_spark.streaming.dedup_ingest import stream_into_components
+
+    docs = _mk_corpus(spark)
+    pdf = docs.toPandas()
+    full_pairs = minhash_lsh_pairs(
+        docs.where("size(split(text, ' ')) >= 2"),
+        num_hashes=32, bands=16, shingle_n=2, threshold=0.1, max_bucket=None,
+    )
+    want_labels, _ = connected_components_twophase(full_pairs)
+    want = {(r["id"], r["label"]) for r in want_labels.collect()}
+
+    def _drain(tag, n_slices, reuse_root=None, ck="ck1"):
+        root = reuse_root or os.path.join(str(tmp_path), f"cc_{tag}")
+        in_dir = os.path.join(root, "in")
+        if not os.path.isdir(in_dir):
+            _stage_slices(pdf, in_dir, n_slices)
+        idx = MinHashIndex(
+            spark, os.path.join(root, "idx"), num_hashes=32, bands=16, shingle_n=2
+        )
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = stream_into_components(
+            stream, idx, os.path.join(root, "labels"), threshold=0.1,
+            checkpoint_dir=os.path.join(root, ck), query_name=f"cc_{tag}_{ck}",
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        return root, {
+            (r["id"], r["label"])
+            for r in spark.read.parquet(os.path.join(root, "labels")).collect()
+        }
+
+    _, got1 = _drain("one", 1)
+    root4, got4 = _drain("four", 4)
+    assert got1 == want and got4 == want
+    # fresh-checkpoint full re-drain over the same store: labels stable
+    _, got_redrain = _drain("four", 4, reuse_root=root4, ck="ck2")
+    assert got_redrain == want
