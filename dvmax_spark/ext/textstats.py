@@ -9,7 +9,7 @@ shuffles (fingerprint/lang-id are per-row expressions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram-heuristic language ID.
@@ -724,4 +724,200 @@ def token_entropy_sql(
                 - (s_ppm // n_tokens) AS BIGINT) AS entropy_x1e6
     FROM d WHERE n_tokens >= {min_tokens}
     ORDER BY entropy_x1e6 ASC, doc_id ASC LIMIT {k}
+    """
+
+
+_GOPHER_TOP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}
+_GOPHER_DUP_THRESH = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The COMPLETE Gopher repetition battery (Rae et al. 2021 §A1.1):
+    per document, the fraction of token positions covered by (a) the
+    single most frequent n-gram for n in 2..4 and (b) ALL
+    within-document duplicated n-grams for n in 5..10, plus the
+    published keep gate (top-2/3/4 <= 0.20/0.18/0.16; dup-5..10 <=
+    0.15/0.14/0.13/0.12/0.11/0.10). This is the position-COVERAGE form
+    of the battery — overlapping occurrences count each position once
+    (the paper measures character coverage; tokens are the exact
+    analog on whitespace corpora) — complementing repetition_stats'
+    cheap count-fraction gate.
+
+    Fractions are exact integer ppm (1e6·covered div n_tokens), so the
+    whole battery is value-exact cross-engine. Top-gram tie-break:
+    highest count, then lexicographically smallest gram.
+
+    Scale shape: ONE combined explode emits (n, start, gram) rows for
+    all nine n in a single corpus pass (struct arrays concatenated
+    map-side); per-(doc, n, gram) counts are one hash aggregate; the
+    argmax per (doc, n<=4) is a window over the doc's own gram
+    vocabulary; coverage expands only on SELECTED grams' occurrences
+    and the distinct runs per (doc, n) — everything downstream of the
+    one explode is bounded by document length, never corpus-wide.
+    """
+    # stage the split ONCE behind a projection barrier: the nine
+    # zip-of-slices gram chains below reference the token array ~50
+    # times, and under interpreted higher-order eval an inlined
+    # split() re-runs PER REFERENCE (the repetition_stats lesson);
+    # CollapseProject keeps the non-cheap multiply-referenced alias
+    pre = df.select(F.col(id_col), tokens(text_col).alias("_tk")).withColumn(
+        "_sz", F.size("_tk")
+    )
+    toks, sz = F.col("_tk"), F.col("_sz")
+    arrays = []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        slices = [F.slice(toks, k + 1, sz - n + 1) for k in range(n)]
+        gram = slices[0]
+        for s in slices[1:]:
+            gram = F.zip_with(gram, s, lambda a, b: F.concat_ws(" ", a, b))
+        arr = F.when(sz >= n, gram).otherwise(F.array().cast("array<string>"))
+        arrays.append(
+            F.transform(
+                arr,
+                lambda g, i: F.struct(
+                    F.lit(n).alias("n"), i.alias("gpos"), g.alias("g")
+                ),
+            )
+        )
+    staged = pre.select(
+        F.col(id_col),
+        sz.cast("bigint").alias("n_tokens"),
+        F.explode_outer(F.concat(*arrays)).alias("o"),
+    ).select(
+        id_col, "n_tokens", F.col("o.n").alias("n"),
+        F.col("o.gpos").alias("gpos"), F.col("o.g").alias("g"),
+    )
+    occ = staged.where(F.col("g").isNotNull()).localCheckpoint(eager=False)
+    cnt = occ.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col, "n").orderBy(F.col("c").desc(), F.col("g").asc())
+    top = (
+        cnt.where(F.col("n") <= 4)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("c") >= 2))
+        .select(id_col, "n", "g")
+    )
+    dup = cnt.where((F.col("n") >= 5) & (F.col("c") >= 2)).select(id_col, "n", "g")
+    sel = top.unionAll(dup)
+    cov = (
+        occ.join(sel, [id_col, "n", "g"], "left_semi")
+        .select(
+            F.col(id_col),
+            "n",
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + F.col("n") - 1)).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col, "n")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    per_n = base.join(cov, id_col, "left")
+    aggs = []
+    names = []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        kind = "top" if n <= 4 else "dup"
+        name = f"rep_{kind}{n}_ppm"
+        names.append(name)
+        aggs.append(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        F.expr("(1000000 * covered) div n_tokens"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    out = per_n.groupBy(id_col, "n_tokens").agg(*aggs)
+    gate = F.lit(True)
+    for n, t in _GOPHER_TOP_THRESH.items():
+        gate = gate & (F.col(f"rep_top{n}_ppm") <= int(t * 1_000_000))
+    for n, t in _GOPHER_DUP_THRESH.items():
+        gate = gate & (F.col(f"rep_dup{n}_ppm") <= int(t * 1_000_000))
+    return out.select(
+        id_col, "n_tokens", *names, gate.alias("passes_repetition_battery")
+    ).orderBy(id_col)
+
+
+def gopher_repetition_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`gopher_repetition` — per-n CTEs generated
+    from the same thresholds."""
+    cov_ctes = []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        kind = "top" if n <= 4 else "dup"
+        sel = (
+            f"""sel{n} AS (
+      SELECT {id_col}, g FROM (
+        SELECT {id_col}, g, c,
+               row_number() OVER (PARTITION BY {id_col}
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM (SELECT {id_col}, g, count(*) AS c FROM occ{n}
+              GROUP BY {id_col}, g)
+      ) WHERE rn = 1 AND c >= 2
+    )"""
+            if kind == "top"
+            else f"""sel{n} AS (
+      SELECT {id_col}, g FROM occ{n}
+      GROUP BY {id_col}, g HAVING count(*) >= 2
+    )"""
+        )
+        cov_ctes.append(
+            f"""occ{n} AS (
+      SELECT {id_col}, i, array_to_string(tk[i:i+{n - 1}], ' ') AS g
+      FROM t, unnest(range(1, len(tk) - {n} + 2)) u(i)
+    ),
+    {sel},
+    cov{n} AS (
+      SELECT {id_col}, count(*) AS covered FROM (
+        SELECT DISTINCT {id_col}, pos FROM (
+          SELECT o.{id_col}, unnest(range(o.i, o.i + {n})) AS pos
+          FROM occ{n} o SEMI JOIN sel{n} s USING ({id_col}, g)
+        )
+      ) GROUP BY {id_col}
+    )"""
+        )
+    cols = []
+    gates = []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        kind = "top" if n <= 4 else "dup"
+        t = (_GOPHER_TOP_THRESH if n <= 4 else _GOPHER_DUP_THRESH)[n]
+        cols.append(
+            f"CAST(coalesce((1000000 * c{n}.covered) // b.n_tokens, 0) AS BIGINT)"
+            f" AS rep_{kind}{n}_ppm"
+        )
+        gates.append(
+            f"coalesce((1000000 * c{n}.covered) // b.n_tokens, 0)"
+            f" <= {int(t * 1_000_000)}"
+        )
+    joins = "\n    ".join(
+        f"LEFT JOIN cov{n} c{n} ON c{n}.{id_col} = b.{id_col}"
+        for n in (2, 3, 4, 5, 6, 7, 8, 9, 10)
+    )
+    ctes_txt = ",\n    ".join(cov_ctes)
+    cols_txt = ",\n           ".join(cols)
+    gates_txt = " AND ".join(gates)
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, str_split({text_col}, ' ') AS tk FROM {table}
+    ),
+    {ctes_txt},
+    base AS (
+      SELECT {id_col}, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
+    )
+    SELECT b.{id_col}, b.n_tokens,
+           {cols_txt},
+           ({gates_txt}) AS passes_repetition_battery
+    FROM base b
+    {joins}
+    ORDER BY b.{id_col}
     """

@@ -571,6 +571,22 @@ def x_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(docs).orderBy("doc_id")
 
 
+from dvmax_spark.ext.textstats import gopher_repetition, gopher_repetition_sql
+
+
+@query("x_gopher_repetition", ids=("X15", "X8"), sql=gopher_repetition_sql())
+def x_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """[X15] The COMPLETE Gopher repetition battery (Rae et al. 2021
+    §A1.1): per doc, token-position coverage of the top n-gram for
+    n=2..4 and of ALL within-doc duplicated n-grams for n=5..10, as
+    exact integer ppm, plus the published 9-threshold keep gate —
+    the position-coverage upgrade of x_repetition_stats' count
+    fractions. One combined explode for all nine n in a single corpus
+    pass; everything after is bounded by document length."""
+    docs = load_table(spark, "documents", sf)
+    return gopher_repetition(docs)
+
+
 @query(
     "x_pii_redact",
     ids=("X16",),

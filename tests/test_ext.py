@@ -1363,3 +1363,33 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert (2, 1) not in out
     jac = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=None).collect()
     assert not jac  # jaccard blind to the same pair at any sane threshold
+
+
+def test_gopher_repetition_battery_hand_computed(spark):
+    """Position-coverage semantics pinned by hand: overlapping
+    occurrences of the top gram count each position once; duplicated
+    5-grams union their coverage; the 9-threshold gate fires on the
+    published constants."""
+    from dvmax_spark.ext.textstats import gopher_repetition
+
+    # doc 1: "a b a b a b" + 14 unique fillers -> top bigram "a b"
+    # occurs 3x at starts 0,2,4 covering positions 0..5 (6 of 20) = 30%
+    d1 = "a b a b a b " + " ".join(f"u{i}" for i in range(14))
+    # doc 2: one duplicated 5-gram (v0..v4 twice, disjoint) in 20 toks
+    # -> dup5 coverage 10/20 = 50%; top-2 gram "v0 v1" twice covering
+    # 4/20 = 20% (exactly AT the threshold -> passes that one)
+    d2 = " ".join([f"v{i}" for i in range(5)] + [f"w{i}" for i in range(5)]
+                  + [f"v{i}" for i in range(5)] + [f"x{i}" for i in range(5)])
+    # doc 3: all-unique -> everything 0, passes
+    d3 = " ".join(f"z{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert out[1]["rep_top2_ppm"] == 300_000  # 6/20
+    assert out[1]["passes_repetition_battery"] is False  # 0.30 > 0.20
+    assert out[2]["rep_dup5_ppm"] == 500_000  # 10/20
+    assert out[2]["rep_top2_ppm"] == 200_000  # 4/20, == threshold: ok
+    assert out[2]["passes_repetition_battery"] is False  # dup5 0.5 > 0.15
+    assert out[3]["rep_top2_ppm"] == 0 and out[3]["rep_dup10_ppm"] == 0
+    assert out[3]["passes_repetition_battery"] is True
