@@ -328,6 +328,66 @@ def t_stream_components(spark: SparkSession, sf: str) -> DataFrame:
     return _cluster_output(docs, comp, "doc_id", "n_chars").orderBy("doc_id")
 
 
+def _threshold_curve_sql() -> str:
+    from dvmax_spark.ext.dedup import _minhash_lsh_ctes
+
+    ctes = _minhash_lsh_ctes(32, 16, 2, 0.1, "documents")
+    return f"""
+    WITH {ctes},
+    m AS (
+      SELECT id_a, id_b, CAST(round(est_jaccard * 32) AS BIGINT) AS m
+      FROM lsh_pairs
+    ),
+    th AS (SELECT unnest(range(1, 10)) AS k),
+    q AS (SELECT th.k, id_a, id_b, m FROM m, th WHERE 10 * m >= 32 * th.k),
+    np AS (SELECT k, count(*) AS n_pairs FROM q GROUP BY k),
+    nd AS (
+      SELECT k, count(DISTINCT id) AS n_docs FROM (
+        SELECT k, id_a AS id FROM q UNION ALL SELECT k, id_b FROM q
+      ) GROUP BY k
+    )
+    SELECT CAST(th.k * 100000 AS BIGINT) AS t_ppm,
+           CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM th LEFT JOIN np USING (k) LEFT JOIN nd USING (k)
+    ORDER BY t_ppm
+    """
+
+
+@query("x_dedup_threshold_curve", ids=("X3", "X17"), sql=_threshold_curve_sql())
+def x_dedup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-threshold sensitivity curve — the diagnostic a pipeline
+    owner reads before PICKING the near-dup threshold: for t in
+    0.1..0.9, how many candidate pairs and how many distinct documents
+    the verdict would touch. Reads the persisted NearDupGraph artifact
+    (built at the 0.1 floor, so the whole curve is in its support);
+    comparisons are exact integers (est_jaccard is matches/32 exactly,
+    so est >= k/10 becomes 10*matches >= 32*k). One tiny
+    broadcast-join of 9 threshold rows against the pair table."""
+    pairs = _ndg_pairs(spark, sf).withColumn(
+        "m", F.round(F.col("est_jaccard") * 32).cast("long")
+    )
+    th = spark.range(1, 10).select(F.col("id").alias("k"))
+    q = pairs.crossJoin(F.broadcast(th)).where(10 * F.col("m") >= 32 * F.col("k"))
+    np_ = q.groupBy("k").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = (
+        q.select("k", F.col("id_a").alias("id"))
+        .unionAll(q.select("k", F.col("id_b").alias("id")))
+        .groupBy("k")
+        .agg(F.count_distinct("id").alias("n_docs"))
+    )
+    return (
+        th.join(np_, "k", "left")
+        .join(nd, "k", "left")
+        .select(
+            (F.col("k") * 100000).cast("bigint").alias("t_ppm"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("t_ppm")
+    )
+
+
 @query("x_simhash_pairs", ids=("X4",), sql=simhash_sql(max_hamming=10))
 def x_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 10 (banded
