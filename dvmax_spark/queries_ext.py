@@ -388,6 +388,84 @@ def x_dedup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _minhash_calibration_sql() -> str:
+    from dvmax_spark.ext.dedup import _minhash_lsh_ctes
+
+    ctes = _minhash_lsh_ctes(32, 16, 2, 0.1, "documents")
+    return f"""
+    WITH {ctes},
+    tk AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    sz AS (SELECT doc_id, len(gs) AS n FROM grams),
+    pairs AS (
+      SELECT id_a, id_b, CAST((1000000 * CAST(round(est_jaccard * 32) AS BIGINT))
+             // 32 AS BIGINT) AS est_ppm
+      FROM lsh_pairs
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, p.est_ppm, count(*) AS i
+      FROM pairs p
+      JOIN tk a ON a.doc_id = p.id_a
+      JOIN tk b ON b.doc_id = p.id_b AND b.g = a.g
+      GROUP BY p.id_a, p.id_b, p.est_ppm
+    )
+    SELECT x.id_a, x.id_b, x.est_ppm,
+           CAST((1000000 * x.i) // (sa.n + sb.n - x.i) AS BIGINT) AS exact_ppm,
+           CAST(x.est_ppm - (1000000 * x.i) // (sa.n + sb.n - x.i) AS BIGINT)
+             AS err_ppm
+    FROM inter x
+    JOIN sz sa ON sa.doc_id = x.id_a
+    JOIN sz sb ON sb.doc_id = x.id_b
+    ORDER BY x.id_a, x.id_b
+    """
+
+
+@query("x_minhash_calibration", ids=("X3", "X2"), sql=_minhash_calibration_sql())
+def x_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash calibration audit: for every candidate pair in the
+    persisted pair artifact, the 32-hash ESTIMATED Jaccard next to the
+    EXACT bigram-set Jaccard and the signed error — the measurement
+    that tells you whether 32 hashes are enough before trusting the
+    near-dup verdicts at a threshold (the estimator is unbiased; its
+    spread at your operating point is what this reports). Exact
+    intersection runs on the CANDIDATE PAIRS ONLY (never all-pairs):
+    pair-scoped gram join, sizes attached from per-doc distinct-gram
+    counts. All integer ppm; value-exact."""
+    from dvmax_spark.ext.dedup import shingles
+
+    docs = load_table(spark, "documents", sf)
+    pairs = _ndg_pairs(spark, sf).select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "(1000000 * CAST(round(est_jaccard * 32) AS BIGINT)) div 32"
+        ).alias("est_ppm"),
+    )
+    tk = docs.select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"), 2)).alias("g")
+    )
+    sz = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(tk.select(F.col("doc_id").alias("id_a"), "g"), "id_a")
+        .join(tk.select(F.col("doc_id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b", "est_ppm")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_ppm",
+            F.expr("(1000000 * i) div (na + nb - i)").cast("bigint").alias("exact_ppm"),
+            F.expr("est_ppm - (1000000 * i) div (na + nb - i)")
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query("x_simhash_pairs", ids=("X4",), sql=simhash_sql(max_hamming=10))
 def x_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 10 (banded
