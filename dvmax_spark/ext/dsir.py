@@ -36,7 +36,7 @@ paper.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dvmax_spark.ext.dedup import _portable_hash, shingle_seq
@@ -180,22 +180,69 @@ def dsir_select(
     """Per-``group_col`` report of DSIR top-``pct``% selection:
     ``(group, n_docs, n_selected, sel_logw_x1e6)``.
 
-    Selection here is the exact global rank (weight desc, id asc;
-    floor(N*pct/100) docs kept) so the DuckDB oracle can reproduce it
-    bit-for-bit. At 100 TB the rank threshold would come from a
-    mergeable quantile sketch over ``logw_x1e6`` (ext/sketches.py
-    kll_*) instead of a global sort — the weights themselves need no
-    change."""
+    Selection is the exact global rank (weight desc, id asc;
+    floor(N*pct/100) docs kept) so the DuckDB oracle reproduces it
+    bit-for-bit — but the rank is computed DISTRIBUTED
+    (operators/distrank.py: range shuffle + per-partition row_number +
+    broadcast offsets), never a single-partition window, so the benched
+    plan is the 100 TB plan. For a cheaper approximate threshold at
+    scale see :func:`dsir_select_kll` (mergeable KLL quantile sketch →
+    map-side filter, no rank at all)."""
+    from dvmax_spark.operators.distrank import with_global_rank
+
     w = dsir_logweights(df, target, n=n, buckets=buckets, id_col=id_col, text_col=text_col)
     scored = df.select(id_col, group_col).join(w, id_col)
     total = scored.agg(F.count(F.lit(1)).alias("n_all"))
-    rn = F.row_number().over(
-        Window.orderBy(F.col("logw_x1e6").desc(), F.col(id_col).asc())
-    )
-    ranked = scored.withColumn("rn", rn).crossJoin(F.broadcast(total))
+    ranked = with_global_rank(
+        scored, [F.col("logw_x1e6").desc(), F.col(id_col).asc()], out_col="rn"
+    ).crossJoin(F.broadcast(total))
     sel = (F.col("rn") * 100 <= F.col("n_all") * pct).cast("int")
     return (
         ranked.select(group_col, "logw_x1e6", sel.alias("is_sel"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_sel").cast("long").alias("n_selected"),
+            F.sum(F.col("is_sel") * F.col("logw_x1e6")).alias("sel_logw_x1e6"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def dsir_select_kll(
+    df: DataFrame,
+    target: Column,
+    pct: int = 25,
+    n: int = 2,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Sketch-thresholded DSIR selection — the pure 100 TB form: a
+    mergeable KLL quantile sketch over ``logw_x1e6`` yields the
+    top-``pct``% weight threshold (one map-side-combined aggregate to a
+    single ~1 KB sketch), and selection is then a broadcast scalar
+    compare — NO rank, NO sort, NO global structure of any kind.
+
+    Same output shape as :func:`dsir_select` so the two are directly
+    comparable; the sketch's rank error (~0.02% at the default K) moves
+    ``n_selected`` by at most that fraction of N, which
+    tests/test_dsir.py pins as an agreement floor vs the exact form.
+    Rows-only in the registry (DataSketches KLL compaction is
+    randomized by design — no deterministic cross-engine oracle)."""
+    w = dsir_logweights(df, target, n=n, buckets=buckets, id_col=id_col, text_col=text_col)
+    scored = df.select(id_col, group_col).join(w, id_col)
+    thr = scored.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double(F.col("logw_x1e6").cast("double")),
+            F.lit(1.0 - pct / 100.0),
+        ).alias("thr")
+    )
+    sel = (F.col("logw_x1e6") >= F.col("thr")).cast("int")
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(group_col, "logw_x1e6", sel.alias("is_sel"))
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

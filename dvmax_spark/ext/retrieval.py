@@ -1333,19 +1333,23 @@ def vocab_growth(
 
     Scale shape: explode -> two hash-aggs (per-doc token counts, O(docs)
     rows; per-word first-doc, O(vocab) rows). The decile assignment
-    needs each doc's global rank — at this repo's test scale a global
-    row_number; at 100 TB the id->rank map is a range-partition sort
-    or (for monotone synthetic ids like these) arithmetic on the id
-    itself. Final rollup is ``deciles`` rows through one tiny window.
+    needs each doc's global rank — computed DISTRIBUTED via the
+    range-partition recipe (operators/distrank.py: range shuffle +
+    per-partition row_number + broadcast offsets), bit-identical to the
+    single-window rank for the unique ``id_col`` order, so the oracle
+    is unchanged and no single-partition window exists. Final rollup is
+    ``deciles`` rows through one tiny (bounded-input) window.
     """
+    from dvmax_spark.operators.distrank import with_global_rank
+
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).where(F.col("tok") != "")
     per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     n_docs = per_doc.agg(F.count(F.lit(1)).alias("n_all"))
-    ranked = per_doc.withColumn(
-        "rn", F.row_number().over(Window.orderBy(id_col))
-    ).crossJoin(F.broadcast(n_docs))
+    ranked = with_global_rank(per_doc, [F.col(id_col).asc()], out_col="rn").crossJoin(
+        F.broadcast(n_docs)
+    )
     # first checkpoint that includes this doc: ceil(rn*D/n) as exact ints
     dec = F.expr(f"(rn * {deciles} + n_all - 1) div n_all")
     ranked = ranked.withColumn("dec", dec)

@@ -841,16 +841,19 @@ def mixture_schedule(
     the id), so the schedule is reproducible across runs and engines.
 
     Returns the verification rollup: per (source, band) doc counts
-    over ``n_bands`` equal slices of the global order — a uniform
+    over ``n_bands`` equal slices of the stride-key space — a uniform
     interleave shows each source's mass split ~evenly across bands
     (the property a curriculum owner actually checks; emitting the
-    raw order is `.withColumn` on the same `global_pos`).
+    raw order is a sort by (key, source, r)).
 
-    Exact-integer throughout (stride keys are bigint `div` results;
-    ties broken on (key, source, rank)), so value-exact cross-engine.
-    The two global row_numbers are the toy-exact form; at 100 TB the
-    stride KEY needs no global structure at all — writers emit
-    (key-range, shard) files directly and the bands are key prefixes.
+    Exact-integer throughout (stride keys are bigint `div` results),
+    so value-exact cross-engine. The band is ARITHMETIC on the key
+    itself — ``band = key * n_bands div 10^12`` — which is the whole
+    point of stride keys at 100 TB: no global rank, no global count,
+    no window of any kind; writers emit (key-range, shard) files
+    directly and the bands are literal key prefixes. (The per-source
+    rank `r` that seeds the key is a PARTITIONED window — the stride
+    construction needs each doc's index within its source.)
     """
     from dvmax_spark.ext.dedup import _portable_hash
 
@@ -868,21 +871,15 @@ def mixture_schedule(
         .join(F.broadcast(n_i), group_col)
         .withColumn("key", F.expr("((2 * r + 1) * 1000000000000) div (2 * n_i)"))
     )
-    total = ranked.agg(F.count(F.lit(1)).alias("n_all"))
-    pos = (
-        ranked.withColumn(
-            "global_pos",
-            F.row_number().over(Window.orderBy("key", group_col, "r")) - 1,
-        )
-        .crossJoin(F.broadcast(total))
-        .withColumn("band", F.expr(f"(global_pos * {n_bands}) div n_all"))
+    banded = ranked.withColumn(
+        "band", F.expr(f"(key * {n_bands}) div 1000000000000")
     )
     return (
-        pos.groupBy(group_col, "band")
+        banded.groupBy(group_col, "band")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.min("global_pos").alias("first_pos"),
-            F.max("global_pos").alias("last_pos"),
+            F.min("key").alias("first_key"),
+            F.max("key").alias("last_key"),
         )
         .orderBy(group_col, "band")
     )
@@ -903,18 +900,14 @@ def mixture_schedule_sql(
              ) - 1 AS r
       FROM {table} d JOIN n USING ({group_col})
     ), keyed AS (
-      SELECT *, ((2 * r + 1) * 1000000000000) // (2 * n_i) AS key,
-             count(*) OVER () AS n_all
+      SELECT *, ((2 * r + 1) * 1000000000000) // (2 * n_i) AS key
       FROM ranked
-    ), pos AS (
-      SELECT *, row_number() OVER (ORDER BY key, {group_col}, r) - 1 AS global_pos
-      FROM keyed
     )
-    SELECT {group_col}, (global_pos * {n_bands}) // n_all AS band,
+    SELECT {group_col}, (key * {n_bands}) // 1000000000000 AS band,
            count(*) AS n_docs,
-           CAST(min(global_pos) AS BIGINT) AS first_pos,
-           CAST(max(global_pos) AS BIGINT) AS last_pos
-    FROM pos GROUP BY 1, 2 ORDER BY 1, 2
+           CAST(min(key) AS BIGINT) AS first_key,
+           CAST(max(key) AS BIGINT) AS last_key
+    FROM keyed GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 

@@ -1,0 +1,104 @@
+"""Exact global rank WITHOUT a single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` with no partition key moves the
+whole input through one task (Spark logs ``WindowExec: No Partition
+Defined``) — a driver-adjacent bottleneck at 100 TB. This operator
+computes the *identical* exact rank with the classic distributed
+recipe (the same shape Spark's own ``SortExec``-based total ordering
+uses):
+
+  1. range-shuffle the rows on the ordering key
+     (``repartitionByRange`` — sampled boundaries, parallel sort);
+  2. pin the partitioning (``localCheckpoint``) so step 3 and step 4
+     see the same physical layout;
+  3. count rows per physical partition (tiny: one row per partition)
+     and turn the counts into cumulative offsets on the driver —
+     a bounded collect of ``numPartitions`` rows, the same bounded-
+     collect class as the BPE merge table;
+  4. per-partition ``row_number`` (window PARTITIONED by
+     ``spark_partition_id()`` — parallel, no global sort) plus the
+     broadcast offset.
+
+Exactness requires the ordering to be TOTAL (callers must include a
+unique tie-break column, which every caller in this repo already does
+for cross-engine float policy). With a total order the result is
+bit-identical to the single-window ``row_number`` regardless of where
+the sampled range boundaries land, so DuckDB oracles need no change.
+
+Cost: one range shuffle + one hash shuffle on partition id (both
+fully parallel) instead of one all-to-one shuffle. The localCheckpoint
+materializes the ranked projection once — pass a pre-pruned projection
+(id + ordering columns), not the full table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add exact 1-based global ``row_number`` over ``order_by`` —
+    which MUST be a total order (include a unique tie-break) — without
+    any unpartitioned window. See module docstring for the recipe."""
+    order_by = list(order_by)
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(num_partitions, *order_by).localCheckpoint()
+    pid = ranged.withColumn("_gr_pid", F.spark_partition_id())
+    # Bounded collect: one row per physical partition (== num_partitions).
+    counts = {
+        r["_gr_pid"]: r["n"]
+        for r in pid.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = F.lit(0).cast("long")
+    for p, o in offsets.items():
+        if o:
+            off = F.when(F.col("_gr_pid") == p, F.lit(o).cast("long")).otherwise(off)
+    local = F.row_number().over(
+        Window.partitionBy("_gr_pid").orderBy(*order_by)
+    )
+    return pid.withColumn(
+        out_col, (off + local.cast("long")).alias(out_col)
+    ).drop("_gr_pid")
+
+
+def with_exact_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY ...)`` via :func:`with_global_rank`
+    plus ntile's published arithmetic (first ``N mod n`` buckets take
+    ``ceil(N/n)`` rows, the rest ``floor(N/n)``) — bit-identical to the
+    single-window form for a total order, no unpartitioned window."""
+    ranked = with_global_rank(df, order_by, out_col="_gr_rn", num_partitions=num_partitions)
+    total = ranked.agg(F.count(F.lit(1)).alias("_gr_n"))
+    small = F.greatest(F.floor(F.col("_gr_n") / n), F.lit(1))  # floor(N/n), /0 guard
+    big = F.floor(F.col("_gr_n") / n) + 1  # ceil(N/n) when N % n != 0
+    r = F.col("_gr_n") % n  # number of big buckets
+    cut = r * big  # ranks 1..cut live in big buckets
+    bucket = F.when(
+        F.col("_gr_rn") <= cut, F.floor((F.col("_gr_rn") - 1) / big) + 1
+    ).otherwise(
+        r + F.floor((F.col("_gr_rn") - 1 - cut) / small) + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_gr_rn", "_gr_n")
+    )

@@ -195,16 +195,23 @@ def x_ppl_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     then draw a deterministic per-doc hash sample inside every
     quintile — a mixture that spans the quality spectrum instead of
     clipping its tails. Ranking happens on the PRE-ROUNDED score with
-    doc-id tie-break (cross-engine float policy). The global ntile is
-    the toy-scale form; at 100 TB replace it with approx-quantile
-    cutoffs (a_approx_percentile) so no global sort exists."""
+    doc-id tie-break (cross-engine float policy). The quintile is the
+    EXACT global ntile computed DISTRIBUTED (operators/distrank.py:
+    range shuffle + per-partition rank + ntile arithmetic — no
+    single-partition window), so the benched plan is the 100 TB plan
+    and the oracle stays bit-identical; the cheaper approximate path
+    at scale is percentile_approx cutoffs (a_approx_percentile shows
+    that sketch)."""
     from dvmax_spark.ext.textstats import unigram_logprob
+    from dvmax_spark.operators.distrank import with_exact_ntile
 
     docs = load_table(spark, "documents", sf)
     lp = unigram_logprob(docs)
-    w = Window.orderBy("avg_logprob", "doc_id")
-    q = lp.select(
-        "doc_id", "avg_logprob", F.ntile(5).over(w).alias("quintile")
+    q = with_exact_ntile(
+        lp.select("doc_id", "avg_logprob"),
+        [F.col("avg_logprob").asc(), F.col("doc_id").asc()],
+        5,
+        out_col="quintile",
     )
     kept = (hash_bucket("doc_id", 100) < 30).cast("int")
     return (
@@ -446,6 +453,22 @@ def x_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     exact integers (value-exact vs the DuckDB twin)."""
     docs = load_table(spark, "documents", sf)
     return dsir_select(docs, target=F.col("lang") == "en", pct=25, n=2, buckets=256)
+
+
+from dvmax_spark.ext.dsir import dsir_select_kll
+
+
+@query("x_dsir_select_kll", ids=("X21", "X8"), sql=None)
+def x_dsir_select_kll(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-thresholded DSIR selection — the pure 100 TB form of
+    x_dsir_select: the top-25% weight cutoff comes from a mergeable
+    KLL quantile sketch (one map-side-combined aggregate to ~1 KB),
+    selection is a broadcast scalar compare. No rank, no sort, no
+    global structure. Rows-only (KLL compaction is randomized);
+    tests/test_dsir.py pins per-group n_selected against the exact
+    x_dsir_select within the sketch's rank-error envelope."""
+    docs = load_table(spark, "documents", sf)
+    return dsir_select_kll(docs, target=F.col("lang") == "en", pct=25, n=2, buckets=256)
 
 
 def _funnel_attrition_sql(min_chars: int = 100, min_tok: int = 10,

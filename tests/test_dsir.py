@@ -120,3 +120,31 @@ def test_stream_into_dsir_model_equals_batch(spark, tmp_path):
     b = {r["doc_id"]: r["logw_x1e6"]
          for r in dsir_logweights(docs, target=F.col("lang") == "en").collect()}
     assert a == b
+
+
+def test_dsir_select_kll_agrees_with_exact(spark):
+    """The sketch-thresholded 100 TB form must agree with the exact
+    global-rank form within the KLL rank-error envelope: total
+    n_selected within 1% of N of the exact top-pct count, per-group
+    counts within the same absolute slack, and identical n_docs."""
+    from dvmax_spark.ext.dsir import dsir_select_kll
+
+    docs = load_table(spark, "documents", SF)
+    exact = {
+        r["source"]: r
+        for r in dsir_select(docs, target=F.col("lang") == "en", pct=25).collect()
+    }
+    kll = {
+        r["source"]: r
+        for r in dsir_select_kll(docs, target=F.col("lang") == "en", pct=25).collect()
+    }
+    assert set(exact) == set(kll)
+    n_all = sum(r["n_docs"] for r in exact.values())
+    slack = max(2, n_all // 100)  # KLL default K: rank error << 1%
+    for src, e in exact.items():
+        k = kll[src]
+        assert k["n_docs"] == e["n_docs"], src
+        assert abs(k["n_selected"] - e["n_selected"]) <= slack, (src, e, k)
+    tot_e = sum(r["n_selected"] for r in exact.values())
+    tot_k = sum(r["n_selected"] for r in kll.values())
+    assert abs(tot_k - tot_e) <= slack, (tot_e, tot_k)

@@ -348,3 +348,53 @@ def test_bin_range_join_matches_naive_and_handles_bin_edges(spark):
     }
     # naive reference computed by hand: inclusive both ends, user-keyed
     assert got == {(1, 10), (1, 11), (2, 11), (2, 12), (3, 14)}
+
+
+# --------------------------------------------------- distributed rank
+
+def test_distributed_rank_matches_single_window(spark):
+    """with_global_rank must be bit-identical to the unpartitioned
+    row_number for a total order — on multi-partition random data,
+    desc ordering, and with a physical plan whose only Window is
+    partitioned by spark_partition_id (no SinglePartition sort)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dvmax_spark.operators.distrank import with_global_rank
+
+    random.seed(7)
+    rows = [(i, random.random()) for i in range(5007)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(13)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = with_global_rank(df, order, "rn")
+    exp = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("v").desc(), F.col("id").asc()))
+    )
+    assert got.join(exp, "id").where(got["rn"] != exp["rn"]).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(win_lines) == 1 and "_gr_pid" in win_lines[0], plan
+    # empty input survives (offset map empty)
+    assert with_global_rank(df.where(F.lit(False)), order).count() == 0
+
+
+def test_distributed_ntile_matches_single_window(spark):
+    """with_exact_ntile reproduces ntile's published arithmetic for
+    every N-vs-n regime: even split, ragged split, and n > N."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dvmax_spark.operators.distrank import with_exact_ntile
+
+    random.seed(11)
+    rows = [(i, random.random()) for i in range(1004)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    for n in (4, 5, 7, 1004, 2000):
+        got = with_exact_ntile(df, order, n, "b")
+        exp = df.withColumn(
+            "b", F.ntile(n).over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+        )
+        assert got.join(exp, "id").where(got["b"] != exp["b"]).count() == 0, n

@@ -521,18 +521,33 @@ def test_er_golden_record_no_cartesian(spark):
 
 
 def test_dsir_select_plan_shape(spark):
-    """DSIR's scale contract: the model (bucket counts -> log ratios)
-    comes BACK to the corpus as broadcasts, the docs-side dim join is
-    a broadcast, and the only SinglePartition exchange is the
-    documented toy-exact global rank; no Python."""
+    """DSIR's scale contract, checked in its two stages (the exact
+    global rank localCheckpoints, truncating the returned lineage):
+    (1) the scoring stage — model (bucket counts -> log ratios) comes
+    BACK to the corpus as broadcasts, docs-side dim join broadcast;
+    (2) the returned rank+rollup stage — the one Window is PARTITIONED
+    by spark_partition_id (operators/distrank.py), never a
+    SinglePartition sort; no Python anywhere."""
+    import pyspark.sql.functions as F
+
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dsir import dsir_logweights
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    w = dsir_logweights(docs, F.col("lang") == "en")
+    score_plan = _simple_plan(docs.select("doc_id", "source").join(w, "doc_id"))
+    # docs-side dim join + gram->log-ratio model join are broadcast
+    # hash joins; the totals fan-back is a 1-row broadcast cross join.
+    assert score_plan.count("BroadcastHashJoin") >= 2, score_plan
+    assert "Python" not in score_plan, score_plan
+
     plan = _simple_plan(_q(spark, "x_dsir_select"))
-    assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "Python" not in plan, plan
-    # exactly one CORPUS-scale single-partition structure: the
-    # documented toy-exact global rank (one Window). The other two
-    # SinglePartition exchanges are single-ROW final aggregates
-    # (model totals, corpus count) — O(1) data by construction.
+    # exactly one Window — the per-range-partition row_number, keyed
+    # by _gr_pid (parallel). The one SinglePartition exchange is the
+    # single-ROW corpus-count aggregate — O(1) by construction.
     assert plan.count("Window") == 1, plan
+    assert "_gr_pid" in plan, plan
     assert plan.count("SinglePartition") <= 3, plan
 
 
