@@ -47,6 +47,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dvmax_spark.operators.distrank import with_exact_ntile
 
 BATCH_COL = "_batch"
 
@@ -327,8 +328,8 @@ def run_join_mv_stream(
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(in_dir, exist_ok=True)
 
-    staged = tagged.withColumn(
-        "_slice", F.ntile(n_files).over(Window.orderBy(*tagged.columns))
+    staged = with_exact_ntile(
+        tagged, [F.col(c).asc() for c in tagged.columns], n_files, "_slice"
     )
     now = None
     for i in range(1, n_files + 1):

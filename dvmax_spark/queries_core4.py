@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dvmax_spark.catalog import load_table
+from dvmax_spark.operators.distrank import with_exact_ntile
 from dvmax_spark.registry import query
 
 
@@ -564,7 +565,7 @@ def a_continuous_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
     roll = ContinuousRollup(spark, path, "event_type", "ts", "value")
     roll.drop()
-    sliced = ev.withColumn("_b", F.ntile(3).over(_W.orderBy("ts", "event_id")))
+    sliced = with_exact_ntile(ev, [F.col("ts").asc(), F.col("event_id").asc()], 3, "_b")
     for b in (1, 2, 3):
         roll.refresh(sliced.where(F.col("_b") == b).drop("_b"))
     out = roll.read().select(
@@ -1645,10 +1646,8 @@ def j_incremental_join_mv(spark: SparkSession, sf: str) -> DataFrame:
     )
     mv = IncrementalJoinMV(spark, path, key="custkey")
     mv.drop()
-    o_sliced = orders.withColumn(
-        "_b", F.ntile(3).over(Window.orderBy("o_orderkey"))
-    )
-    c_sliced = cust.withColumn("_b", F.ntile(3).over(Window.orderBy("custkey")))
+    o_sliced = with_exact_ntile(orders, [F.col("o_orderkey").asc()], 3, "_b")
+    c_sliced = with_exact_ntile(cust, [F.col("custkey").asc()], 3, "_b")
     for b in (1, 2, 3):
         mv.refresh(
             b,
@@ -1862,7 +1861,7 @@ def t_stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
     base = os.path.join(_tf.gettempdir(), f"dvmax_rollup_stream_{os.getpid()}_{run_id}")
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir, exist_ok=True)
-    staged = ev.withColumn("_b", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+    staged = with_exact_ntile(ev, [F.col("ts").asc(), F.col("event_id").asc()], 3, "_b")
     now = None
     for i in (1, 2, 3):
         p = os.path.join(in_dir, f"slice_{i}")

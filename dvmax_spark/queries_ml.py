@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from dvmax_spark.catalog import load_table
 from dvmax_spark.registry import query
+from dvmax_spark.operators.distrank import with_exact_ntile
 
 
 @query("x_ml_walk_forward", ids=("X13",), sql=None)
@@ -190,7 +191,7 @@ def t_stream_cms(spark: SparkSession, sf: str) -> DataFrame:
     base = _os.path.join(_tf.gettempdir(), f"dvmax_cms_stream_{_os.getpid()}_{run_id}")
     in_dir = _os.path.join(base, "in")
     _os.makedirs(in_dir, exist_ok=True)
-    staged = ev.withColumn("_b", F.ntile(3).over(_W.orderBy("ts", "event_id")))
+    staged = with_exact_ntile(ev, [F.col("ts").asc(), F.col("event_id").asc()], 3, "_b")
     now = None
     for i in (1, 2, 3):
         p = _os.path.join(in_dir, f"slice_{i}")

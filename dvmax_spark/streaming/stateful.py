@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from dvmax_spark.operators.distrank import with_exact_ntile
 
 FLUSH = "__flush__"
 
@@ -247,8 +248,8 @@ def run_sessionize_stream(
         "value",
     )
     # split the real events into n_files contiguous time ranges
-    staged = ev.withColumn(
-        "_slice", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    staged = with_exact_ntile(
+        ev, [F.col("ts").asc(), F.col("event_id").asc()], n_files, "_slice"
     )
     pieces = []
     for i in range(1, n_files + 1):
