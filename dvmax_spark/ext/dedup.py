@@ -1302,6 +1302,8 @@ class NearDupGraph:
 
         from dvmax_spark.fsops import swap_dir
 
+        import uuid
+
         pairs = minhash_lsh_pairs(
             docs,
             id_col=self.id_col,
@@ -1312,13 +1314,21 @@ class NearDupGraph:
             threshold=self.threshold,
             max_bucket=self.max_bucket,
         )
-        staging = self.path + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
-        pairs.write.mode("overwrite").option("compression", "zstd").parquet(staging)
-        meta = {"params": self._params(), "corpus": self._fingerprint(docs)}
-        with open(os.path.join(staging, "_meta.json"), "w") as fh:
-            json.dump(meta, fh)
-        retired = swap_dir(self.path, staging)
+        # per-process unique staging: two builders can never rmtree or
+        # half-overwrite each other's in-flight parquet (the promote
+        # itself is serialized by ensure()'s flock)
+        staging = f"{self.path}.staging.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        try:
+            pairs.write.mode("overwrite").option("compression", "zstd").parquet(
+                staging
+            )
+            meta = {"params": self._params(), "corpus": self._fingerprint(docs)}
+            with open(os.path.join(staging, "_meta.json"), "w") as fh:
+                json.dump(meta, fh)
+            retired = swap_dir(self.path, staging)
+        finally:
+            # a failed write leaves only OUR staging dir behind
+            shutil.rmtree(staging, ignore_errors=True)
         if retired:
             shutil.rmtree(retired, ignore_errors=True)
 
@@ -1332,17 +1342,37 @@ class NearDupGraph:
     def ensure(self, docs: DataFrame) -> DataFrame:
         """Return the pair table for ``docs``, building it iff the
         persisted artifact is absent, was built with different
-        parameters, or fingerprints a different corpus."""
+        parameters, or fingerprints a different corpus.
+
+        The check-then-build is EXCLUSIVE: an ``flock`` on a sibling
+        lock file serializes concurrent ensure() calls (across
+        processes on the same host), so two builders can never race on
+        promotion and a reader can never be handed a half-written
+        table under a valid meta. ``flock`` releases on process death —
+        no stale-lock cleanup needed. (Object-store deployments would
+        use a conditional-put manifest instead; this artifact is a
+        local cache.)"""
+        import fcntl
+        import os
+
         from dvmax_spark.fsops import recover_swap
 
-        recover_swap(self.path)
-        meta = self.read_meta()
-        if (
-            meta is None
-            or meta.get("params") != self._params()
-            or meta.get("corpus") != self._fingerprint(docs)
-        ):
-            self.build(docs)
+        parent = os.path.dirname(self.path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(self.path + ".lock", "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                recover_swap(self.path)
+                meta = self.read_meta()
+                if (
+                    meta is None
+                    or meta.get("params") != self._params()
+                    or meta.get("corpus") != self._fingerprint(docs)
+                ):
+                    self.build(docs)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
         return self.pairs()
 
 

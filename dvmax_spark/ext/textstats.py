@@ -792,10 +792,14 @@ def gopher_repetition(
     occ = staged.where(F.col("g").isNotNull()).localCheckpoint(eager=False)
     cnt = occ.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy(id_col, "n").orderBy(F.col("c").desc(), F.col("g").asc())
+    # the paper measures the MOST FREQUENT n-gram's coverage regardless
+    # of its count (a singleton top gram still covers n/n_tokens), so
+    # no c >= 2 gate here — only the dup-gram family (n >= 5) requires
+    # actual duplication by definition
     top = (
         cnt.where(F.col("n") <= 4)
         .withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") == 1) & (F.col("c") >= 2))
+        .where(F.col("_rn") == 1)
         .select(id_col, "n", "g")
     )
     dup = cnt.where((F.col("n") >= 5) & (F.col("c") >= 2)).select(id_col, "n", "g")
@@ -863,7 +867,7 @@ def gopher_repetition_sql(
                                   ORDER BY c DESC, g ASC) AS rn
         FROM (SELECT {id_col}, g, count(*) AS c FROM occ{n}
               GROUP BY {id_col}, g)
-      ) WHERE rn = 1 AND c >= 2
+      ) WHERE rn = 1
     )"""
             if kind == "top"
             else f"""sel{n} AS (

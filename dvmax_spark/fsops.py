@@ -42,6 +42,20 @@ the standard snapshot-retention race (what Delta's VACUUM documents);
 callers that need concurrent long scans keep the displaced dir (the
 FeatureStore renames it into its snapshot log). WRITERS stay
 single-process per table — unchanged contract.
+
+PORTABILITY: the symlink pointer is a LOCAL-POSIX protocol (atomic
+``rename`` onto an existing link; unprivileged Windows, object stores,
+and rsync-without--a don't have it). For those targets the package
+also supports a MANIFEST pointer mode (``pointer_mode='manifest'``):
+the table path is a plain FILE naming the current version directory,
+updated by temp-write + one atomic rename — the same
+one-atomic-operation promote, in the shape Delta/Iceberg commit logs
+use (an object store would swap the rename for a conditional put).
+Readers in manifest mode resolve the data directory via
+:func:`resolve` instead of reading the path directly (symlink mode
+resolves transparently, which is why it stays the default fast-path).
+Both modes pass the same crash matrix (tests/test_fsops.py is
+parametrized over them).
 """
 
 from __future__ import annotations
@@ -52,7 +66,12 @@ import shutil
 
 RETIRED_SUFFIX = ".old"
 _POINTER_TMP = ".lnk"
+_MANIFEST_TMP = ".mtmp"
 _VER_RE = re.compile(r"^\.v(\d+)$")
+
+#: default pointer protocol for NEW tables ("symlink" | "manifest");
+#: an existing table always keeps the mode it was created with
+POINTER_MODE = "symlink"
 
 
 def list_versions(path: str) -> dict[int, str]:
@@ -77,15 +96,53 @@ def list_versions(path: str) -> dict[int, str]:
 def current_version_dir(path: str) -> str | None:
     """The version directory the table pointer currently serves, or
     None (legacy real-dir layout, or no table)."""
-    if not os.path.islink(path):
-        return None
-    target = os.path.join(os.path.dirname(path) or ".", os.readlink(path))
-    return target if os.path.isdir(target) else None
+    if os.path.islink(path):
+        target = os.path.join(os.path.dirname(path) or ".", os.readlink(path))
+        return target if os.path.isdir(target) else None
+    if os.path.isfile(path):  # manifest pointer
+        try:
+            with open(path) as fh:
+                name = fh.read().strip()
+        except OSError:
+            return None
+        if not name:
+            return None
+        target = os.path.join(os.path.dirname(path) or ".", name)
+        return target if os.path.isdir(target) else None
+    return None
 
 
-def _point(path: str, target_dir: str) -> None:
+def resolve(path: str) -> str:
+    """The directory a READER should scan for table ``path``: the path
+    itself for real dirs and symlink pointers (which the filesystem
+    resolves transparently), the manifest's target in manifest mode.
+    Returns ``path`` unchanged when nothing resolves (the reader's own
+    missing-table error is clearer than one raised here)."""
+    if os.path.isdir(path):
+        return path
+    return current_version_dir(path) or path
+
+
+def _mode_of(path: str) -> str | None:
+    """The pointer protocol an existing table uses, or None."""
+    if os.path.islink(path):
+        return "symlink"
+    if os.path.isfile(path):
+        return "manifest"
+    return None
+
+
+def _point(path: str, target_dir: str, mode: str = "symlink") -> None:
     """Atomically (re)point ``path`` at ``target_dir`` — one rename,
     valid whether or not a pointer already exists."""
+    if mode == "manifest":
+        tmp = path + _MANIFEST_TMP
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(target_dir))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        return
     tmp = path + _POINTER_TMP
     try:
         os.remove(tmp)
@@ -108,15 +165,19 @@ def recover_swap(path: str) -> bool:
     for their one migration swap)."""
     if os.path.isdir(path):  # resolves (real dir or live symlink)
         return False
+    stale_mode = _mode_of(path)
+    if stale_mode == "manifest" and current_version_dir(path) is not None:
+        return False  # healthy manifest pointer
     vers = list_versions(path)
     if vers:
-        if os.path.islink(path):  # dangling pointer
+        mode = stale_mode or "symlink"
+        if os.path.islink(path):  # dangling symlink pointer
             try:
                 os.remove(path)
             except OSError:
                 pass
         try:
-            _point(path, vers[max(vers)])
+            _point(path, vers[max(vers)], mode)
         except OSError:
             # lost a heal race: sibling healed first / writer finished
             return False
@@ -131,7 +192,12 @@ def recover_swap(path: str) -> bool:
     return False
 
 
-def swap_dir(path: str, staging: str, prune_strays: bool = True) -> str | None:
+def swap_dir(
+    path: str,
+    staging: str,
+    prune_strays: bool = True,
+    pointer_mode: str | None = None,
+) -> str | None:
     """Promote ``staging`` to ``path`` (heals a crashed swap first).
     The displaced version directory is returned still on disk (``None``
     when no table existed); the CALLER disposes of it — ``rmtree`` it,
@@ -143,17 +209,23 @@ def swap_dir(path: str, staging: str, prune_strays: bool = True) -> str | None:
     crashed caller never disposed. Callers that ADOPT displaced dirs
     (the FeatureStore's snapshot log) pass False and sweep strays
     themselves, so a crash between their swap and the adoption rename
-    can never silently delete a version they meant to keep."""
+    can never silently delete a version they meant to keep.
+
+    ``pointer_mode`` selects the pointer protocol for a NEW table
+    ("symlink" fast-path / "manifest" portable file — see module
+    docstring); an existing table always keeps its established mode,
+    and None defaults to :data:`POINTER_MODE`."""
     recover_swap(path)
     # a stale legacy '.old' is fully superseded once a promote succeeds;
     # clearing it here keeps recover_swap from ever resurrecting it
     # (it can be a renamed-away POINTER, not just a dir — crash sims do
-    # `rename(tbl, tbl + '.old')` on the symlink)
+    # `rename(tbl, tbl + '.old')` on the symlink/manifest)
     old = path + RETIRED_SUFFIX
-    if os.path.islink(old):
+    if os.path.islink(old) or os.path.isfile(old):
         os.remove(old)
     else:
         shutil.rmtree(old, ignore_errors=True)
+    mode = _mode_of(path) or pointer_mode or POINTER_MODE
     vers = list_versions(path)
     nmax = max(vers) if vers else 0
     if os.path.isdir(path) and not os.path.islink(path):
@@ -163,12 +235,12 @@ def swap_dir(path: str, staging: str, prune_strays: bool = True) -> str | None:
         nmax += 1
         legacy = f"{path}.v{nmax}"
         os.rename(path, legacy)
-        _point(path, legacy)
+        _point(path, legacy, mode)
         vers[nmax] = legacy
     displaced = current_version_dir(path)
     new_dir = f"{path}.v{nmax + 1}"
     os.rename(staging, new_dir)
-    _point(path, new_dir)  # the one atomic pointer flip
+    _point(path, new_dir, mode)  # the one atomic pointer flip
     if prune_strays:
         for d in vers.values():
             if d != displaced and d != new_dir:

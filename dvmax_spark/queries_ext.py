@@ -33,18 +33,26 @@ def _ndg_pairs(spark: SparkSession, sf: str) -> DataFrame:
     :class:`NearDupGraph` artifact: the standard corpus recipe
     (docs >= 2 tokens; 32 hashes x 16 bands, bigram shingles,
     threshold 0.1) builds ONCE per (testdata dir, params) into a
-    deterministic temp path and every consumer reads it —
+    deterministic per-user cache path and every consumer reads it —
     the production materialize-once/read-many shape. The artifact
     fingerprints the corpus, so regenerated testdata rebuilds instead
     of serving stale pairs; results are value-exact vs the same
     oracles as the regenerate-per-query form (minhash_lsh_pairs is
-    deterministic either way)."""
+    deterministic either way).
+
+    Cache root: ``$DVMAX_SPARK_CACHE`` if set, else
+    ``~/.cache/dvmax_spark`` — a user-owned directory, never the
+    world-writable system tempdir (another user could pre-create or
+    poison a predictable /tmp path). Concurrent builders are
+    serialized by NearDupGraph.ensure()'s flock."""
     import hashlib
     import os
-    import tempfile
 
     digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"dvmax_ndg_{digest}")
+    root = os.environ.get("DVMAX_SPARK_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "dvmax_spark"
+    )
+    path = os.path.join(root, f"ndg_{digest}")
     docs = load_table(spark, "documents", sf).where(
         F.size(F.split(F.col("text"), " ")) >= 2
     )

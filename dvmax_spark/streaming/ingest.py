@@ -290,6 +290,7 @@ def stream_into_cms(
     stream_df: DataFrame,
     path: str,
     key_col: str,
+    *,
     checkpoint_dir: str,
     width: int = 64,
     depth: int = 4,

@@ -1369,7 +1369,10 @@ def test_gopher_repetition_battery_hand_computed(spark):
     """Position-coverage semantics pinned by hand: overlapping
     occurrences of the top gram count each position once; duplicated
     5-grams union their coverage; the 9-threshold gate fires on the
-    published constants."""
+    published constants. Per the paper, the top-n-gram fraction is
+    measured REGARDLESS of its count — a singleton top gram still
+    covers n/n_tokens, so very short all-unique docs fail the top-4
+    gate (4/20 > 0.16), exactly as Rae et al.'s battery would."""
     from dvmax_spark.ext.textstats import gopher_repetition
 
     # doc 1: "a b a b a b" + 14 unique fillers -> top bigram "a b"
@@ -1380,10 +1383,14 @@ def test_gopher_repetition_battery_hand_computed(spark):
     # 4/20 = 20% (exactly AT the threshold -> passes that one)
     d2 = " ".join([f"v{i}" for i in range(5)] + [f"w{i}" for i in range(5)]
                   + [f"v{i}" for i in range(5)] + [f"x{i}" for i in range(5)])
-    # doc 3: all-unique -> everything 0, passes
+    # doc 3: 20 all-unique tokens -> singleton top grams cover n/20;
+    # top4 = 4/20 = 0.20 > 0.16 -> FAILS (the paper's short-doc edge)
     d3 = " ".join(f"z{i}" for i in range(20))
+    # doc 4: 50 all-unique tokens -> top-n coverage n/50, every gate
+    # clears (2/50, 3/50, 4/50; dup families 0) -> passes
+    d4 = " ".join(f"y{i}" for i in range(50))
     docs = spark.createDataFrame(
-        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
     )
     out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
     assert out[1]["rep_top2_ppm"] == 300_000  # 6/20
@@ -1391,5 +1398,9 @@ def test_gopher_repetition_battery_hand_computed(spark):
     assert out[2]["rep_dup5_ppm"] == 500_000  # 10/20
     assert out[2]["rep_top2_ppm"] == 200_000  # 4/20, == threshold: ok
     assert out[2]["passes_repetition_battery"] is False  # dup5 0.5 > 0.15
-    assert out[3]["rep_top2_ppm"] == 0 and out[3]["rep_dup10_ppm"] == 0
-    assert out[3]["passes_repetition_battery"] is True
+    assert out[3]["rep_top2_ppm"] == 100_000  # singleton "z0 z1": 2/20
+    assert out[3]["rep_dup10_ppm"] == 0
+    assert out[3]["passes_repetition_battery"] is False  # top4 0.20 > 0.16
+    assert out[4]["rep_top2_ppm"] == 40_000 and out[4]["rep_top4_ppm"] == 80_000
+    assert out[4]["rep_dup5_ppm"] == 0
+    assert out[4]["passes_repetition_battery"] is True

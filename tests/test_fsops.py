@@ -17,7 +17,23 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from dvmax_spark.fsops import recover_swap, swap_dir
+from dvmax_spark.fsops import recover_swap, resolve, swap_dir
+
+# the crash matrix runs in BOTH pointer protocols: the symlink
+# fast-path and the portable manifest-file mode (object-store shape) —
+# same promotes, same crash windows, same heals
+both_modes = pytest.mark.parametrize("pmode", ["symlink", "manifest"])
+
+
+def _read(path: str, name: str) -> str:
+    with open(os.path.join(resolve(path), name)) as fh:
+        return fh.read()
+
+
+def _is_pointer(path: str, pmode: str) -> bool:
+    if pmode == "symlink":
+        return os.path.islink(path) and os.path.isdir(path)
+    return os.path.isfile(path) and os.path.isdir(resolve(path))
 
 
 # ------------------------------------------------------------ primitives
@@ -42,23 +58,27 @@ def test_recover_swap_rolls_back_crashed_promote(tmp_path):
     assert os.path.isdir(path)
 
 
-def test_swap_dir_promotes_and_returns_retired(tmp_path):
+@both_modes
+def test_swap_dir_promotes_and_returns_retired(tmp_path, pmode):
     path, staging = str(tmp_path / "t"), str(tmp_path / "t.staging")
     os.makedirs(staging)
     # first promote: no prior table — path becomes a pointer to .v1
-    assert swap_dir(path, staging) is None
-    assert os.path.isdir(path) and os.path.islink(path)
-    # second promote returns the displaced VERSION dir, still on disk
+    assert swap_dir(path, staging, pointer_mode=pmode) is None
+    assert _is_pointer(path, pmode)
+    # second promote returns the displaced VERSION dir, still on disk;
+    # the established mode sticks even if the caller asks for the other
     os.makedirs(staging)
     with open(os.path.join(staging, "m"), "w") as fh:
         fh.write("v2")
-    retired = swap_dir(path, staging)
+    other = "manifest" if pmode == "symlink" else "symlink"
+    retired = swap_dir(path, staging, pointer_mode=other)
     assert retired == path + ".v1" and os.path.isdir(retired)
-    with open(os.path.join(path, "m")) as fh:
-        assert fh.read() == "v2"
+    assert _is_pointer(path, pmode)  # mode is sticky
+    assert _read(path, "m") == "v2"
 
 
-def test_swap_dir_migrates_legacy_layout_and_heals_mid_migration(tmp_path):
+@both_modes
+def test_swap_dir_migrates_legacy_layout_and_heals_mid_migration(tmp_path, pmode):
     """A pre-existing real-directory table is adopted as .v1 on its
     first swap; a crash INSIDE the migration (dir renamed away, pointer
     not yet created) heals by re-pointing at the newest version."""
@@ -70,27 +90,26 @@ def test_swap_dir_migrates_legacy_layout_and_heals_mid_migration(tmp_path):
     os.makedirs(staging)
     with open(os.path.join(staging, "data"), "w") as fh:
         fh.write("new")
-    retired = swap_dir(path, staging)
-    assert os.path.islink(path)
+    retired = swap_dir(path, staging, pointer_mode=pmode)
+    assert _is_pointer(path, pmode)
     assert retired == path + ".v1"
     with open(os.path.join(retired, "data")) as fh:
         assert fh.read() == "legacy"
-    with open(os.path.join(path, "data")) as fh:
-        assert fh.read() == "new"
+    assert _read(path, "data") == "new"
     # mid-migration crash state: versions exist, pointer lost
     os.remove(path)
     assert recover_swap(path) is True
-    with open(os.path.join(path, "data")) as fh:
-        assert fh.read() == "new"  # newest version wins
+    assert _read(path, "data") == "new"  # newest version wins
 
 
-def test_swap_dir_prunes_unpromoted_orphans(tmp_path):
+@both_modes
+def test_swap_dir_prunes_unpromoted_orphans(tmp_path, pmode):
     """A crash between the staging rename and the pointer flip leaves
     an un-promoted orphan version; the next successful swap prunes it
     (its operation replays) and never promotes it by accident."""
     path, staging = str(tmp_path / "t"), str(tmp_path / "t.staging")
     os.makedirs(staging)
-    swap_dir(path, staging)  # v1 current
+    swap_dir(path, staging, pointer_mode=pmode)  # v1 current
     orphan = path + ".v7"  # crashed promote: renamed, never flipped
     os.makedirs(orphan)
     os.makedirs(staging)
@@ -99,11 +118,11 @@ def test_swap_dir_prunes_unpromoted_orphans(tmp_path):
     retired = swap_dir(path, staging)
     assert retired == path + ".v1"
     assert not os.path.isdir(orphan)  # pruned, not promoted
-    with open(os.path.join(path, "m")) as fh:
-        assert fh.read() == "v8"
+    assert _read(path, "m") == "v8"
 
 
-def test_concurrent_reader_never_sees_missing_or_half_table(tmp_path):
+@both_modes
+def test_concurrent_reader_never_sees_missing_or_half_table(tmp_path, pmode):
     """The r4 VERDICT ask: under a swap storm the table path must
     ALWAYS resolve to a complete version — no path-not-found window,
     no half-written state. swap_dir's own stray pruning gives every
@@ -124,15 +143,14 @@ def test_concurrent_reader_never_sees_missing_or_half_table(tmp_path):
             fh.write(payloads[k])
         return staging
 
-    swap_dir(path, _stage(0))
+    swap_dir(path, _stage(0), pointer_mode=pmode)
     stop = threading.Event()
     errors: list[BaseException] = []
 
     def _reader():
         while not stop.is_set():
             try:
-                with open(os.path.join(path, "data")) as fh:
-                    got = fh.read()
+                got = _read(path, "data")
                 assert got in payloads.values(), f"torn read: {got[:40]!r}"
             except BaseException as e:  # noqa: BLE001 - recorded for assert
                 errors.append(e)
@@ -147,11 +165,11 @@ def test_concurrent_reader_never_sees_missing_or_half_table(tmp_path):
     for t in threads:
         t.join()
     assert not errors, errors[:3]
-    with open(os.path.join(path, "data")) as fh:
-        assert fh.read() == payloads[39]
+    assert _read(path, "data") == payloads[39]
 
 
-def test_swap_dir_heals_before_promoting(tmp_path):
+@both_modes
+def test_swap_dir_heals_before_promoting(tmp_path, pmode):
     """A promote that follows a crashed promote must retire the
     RECOVERED state (not clobber it as a stale .old)."""
     path = str(tmp_path / "t")
@@ -161,7 +179,7 @@ def test_swap_dir_heals_before_promoting(tmp_path):
     os.rename(path, path + ".old")  # crashed window
     staging = path + ".staging"
     os.makedirs(staging)
-    retired = swap_dir(path, staging)
+    retired = swap_dir(path, staging, pointer_mode=pmode)
     assert retired is not None
     with open(os.path.join(retired, "data")) as fh:
         assert fh.read() == "v1"
