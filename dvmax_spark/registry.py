@@ -70,7 +70,7 @@ PRIORITY: tuple[str, ...] = (
     # windows/aggregates
     "w1_lag_returns",
     "a3_sma_trailing",
-    "a5_yield_vs_median",
+    "a_weighted_median_udaf",  # r6 rotation: was a5_yield_vs_median
     "a7_cumprod",
     "a9_group_year_first",
     "w5_topk_per_group",
@@ -110,23 +110,34 @@ PRIORITY: tuple[str, ...] = (
     "s13_format_matrix",
     # LLM-data-pipeline operators
     "x_exact_dedup",
-    "x_ngram_jaccard",
-    "x_minhash_lsh",
+    "x_jaccard_prefix_join",  # r6 rotation: was x_ngram_jaccard
+    "x_dedup_threshold_curve",  # r6 rotation: was x_minhash_lsh
     "x_simhash_pairs",
-    "x_dedup_clusters",
-    "x_cosine_topk",
+    "x_incremental_components",  # r6 rotation: was x_dedup_clusters
+    "x_hard_negatives",  # r6 rotation: was x_cosine_topk
     "x_cosine_topk_lsh",
     "x_text_stats",
-    "x_quality_score",
+    "x_unigram_logprob",  # r6 rotation: was x_quality_score
     "x_lang_id",
-    "x_fingerprint",
-    "x_repetition_stats",
-    "x_pii_redact",
+    "x_exact_substr_dedup",  # r6 rotation: was x_fingerprint
+    "x_gopher_repetition",  # r6 rotation: was x_repetition_stats
+    "x_pseudonymize",  # r6 rotation: was x_pii_redact
     "x_image_features",
     "x_frame_sample",
     "x_ml_walk_forward",
     "x_score_portfolio",
     # --- everything below is redundant-coverage / variant evidence ---
+    # r6 rotation: displaced from the evidence window (IDs still
+    # covered in-cap); their parity evidence is PARITY.md + tests
+    "x_fingerprint",
+    "x_repetition_stats",
+    "x_dedup_clusters",
+    "x_ngram_jaccard",
+    "x_minhash_lsh",
+    "x_pii_redact",
+    "x_cosine_topk",
+    "x_quality_score",
+    "a5_yield_vs_median",
     "p2_filter_predicates",
     "a_rollup",
     "t_sliding_window",
@@ -168,7 +179,6 @@ PRIORITY: tuple[str, ...] = (
     "a_percentiles",
     "a_corr_stats",
     "sql_api_q5",
-    "x_unigram_logprob",
     "j_asof_forward",
     "t_interval_join",
     "f_variant_json",
