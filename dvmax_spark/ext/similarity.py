@@ -494,6 +494,75 @@ def semantic_dedup_sql(
     """
 
 
+def semdedup_kmeans(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): the
+    clustering-bucketed semantic-dedup recipe large pipelines cite —
+    KMeans over L2-normalized embeddings partitions the corpus into
+    ``n_clusters`` buckets, pairwise cosine runs ONLY within each
+    bucket, and each within-bucket near-dup group (cosine >=
+    ``threshold``, connected components) keeps one representative
+    (min id, the paper's "keep one point per epsilon-ball" with a
+    deterministic tie-break).
+
+    This is the embedding-side analog of MinHash banding: the
+    quantizer turns the O(N²) similarity matrix into per-cluster
+    blocks of ~(N/k)² — the paper runs it at k=50,000 over LAION —
+    and the k knob trades recall (near-dups split across cluster
+    boundaries are missed) for cost exactly like IVF's nprobe.
+    tests/test_ext.py pins pair recall vs the brute-force epsilon-ball
+    graph and verdict agreement vs :func:`semantic_dedup`'s
+    LSH-bucketed form.
+
+    Scale shape: one KMeans fit over the (normalized) vectors (MLlib,
+    sampled init, seed pinned), one shuffle on cluster id for the
+    within-cluster self-join, then the bounded component propagation
+    of ext/dedup.py. Returns one row per vector:
+    ``(id, kbucket, cluster_id, cluster_size, keep)``. Rows-only in
+    the registry: MLlib KMeans has no cross-engine oracle (the LSH
+    form x_semantic_dedup carries the family's value-exact evidence).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from dvmax_spark.ext.dedup import dedup_clusters
+
+    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "vn", F.transform("v", lambda x: x / norm(F.col("v")))
+    )
+    ml_input = vecs.withColumn("features", array_to_vector("vn"))
+    model = KMeans(k=n_clusters, seed=42, maxIter=20).fit(ml_input)
+    assigned = model.transform(ml_input).select(
+        id_col, "vn", F.col("prediction").alias("kbucket")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("vn").alias("va"), "kbucket"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("vn").alias("vb"), "kbucket"
+    )
+    pairs = (
+        a.join(b, "kbucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = dedup_clusters(
+        emb.select(id_col), pairs, id_col=id_col, rank_col=None
+    )
+    return (
+        comp.join(assigned.select(id_col, "kbucket"), id_col)
+        .select(id_col, "kbucket", "cluster_id", "cluster_size", "keep")
+        .orderBy(id_col)
+    )
+
+
 # -------------------------------------------------- persisted IVF index
 
 class IVFIndex:

@@ -367,6 +367,22 @@ def x_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.45, n_planes=4).orderBy("vec_id")
 
 
+@query("x_semdedup_kmeans", ids=("X6", "X17"), sql=None)
+def x_semdedup_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023): MLlib KMeans clusters the
+    embedding space, pairwise cosine runs only within clusters, and
+    each within-cluster epsilon-ball keeps its min-id representative —
+    the clustering-bucketed analog of MinHash banding on the embedding
+    side (the paper's LAION recipe at k=50k). Rows-only: MLlib KMeans
+    has no cross-engine oracle; tests/test_ext.py pins pair recall vs
+    the brute-force epsilon-ball graph and verdict agreement vs the
+    oracled LSH form (x_semantic_dedup)."""
+    from dvmax_spark.ext.similarity import semdedup_kmeans
+
+    emb = load_table(spark, "embeddings", sf)
+    return semdedup_kmeans(emb, n_clusters=8, threshold=0.45)
+
+
 @query("a_hll_sketch_rollup", ids=("A10",), sql=None)
 def a_hll_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable HLL distinct-count sketches (ext/sketches.py) with the

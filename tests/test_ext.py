@@ -465,6 +465,67 @@ def test_semantic_dedup_invariants(spark, emb):
     res.unpersist()
 
 
+def test_semdedup_kmeans_recall_and_agreement_floors(spark, emb):
+    """SemDeDup's clustering-bucketed pair stage must find >= 50% of the
+    brute-force epsilon-ball pairs at threshold 0.45 (measured 0.57-0.71
+    on this corpus; misses are pairs split across KMeans boundaries —
+    the paper's documented recall/cost knob), its keep verdicts must
+    agree with the oracled LSH form on >= 95% of vectors (measured
+    0.98+), and the component invariants hold (one min-id keeper per
+    cluster). Deterministic: seeded KMeans on fixed data."""
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.ext.similarity import (
+        as_double,
+        cosine,
+        norm,
+        semantic_dedup,
+        semdedup_kmeans,
+    )
+
+    thr = 0.45
+    res = semdedup_kmeans(emb, n_clusters=8, threshold=thr).cache()
+    # component invariants: exactly one keeper per cluster, min id wins
+    per = res.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.min("vec_id").alias("min_id"),
+    )
+    assert per.where(
+        (F.col("n_keep") != 1) | (F.col("min_id") != F.col("cluster_id"))
+    ).count() == 0
+
+    # pair recall vs the brute-force epsilon-ball graph
+    vecs = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "vn", F.transform("v", lambda x: x / norm(F.col("v")))
+    )
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("vn").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("vn").alias("vb"))
+    bf = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cos") >= thr)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    # a brute-force pair is "found" iff both ends share a cluster
+    lab = {r.vec_id: r.cluster_id for r in res.collect()}
+    found = sum(1 for x, y in bf if lab[x] == lab[y])
+    assert bf, "corpus lost its planted near-dups"
+    assert found / len(bf) >= 0.5, (found, len(bf))
+
+    # keep-verdict agreement with the LSH-bucketed oracled form
+    lsh = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(emb, threshold=thr, n_planes=4).collect()
+    }
+    km = {r.vec_id: r.keep for r in res.collect()}
+    agree = sum(1 for k in km if km[k] == lsh.get(k)) / len(km)
+    assert agree >= 0.95, agree
+    res.unpersist()
+
+
 def test_hll_sketch_rollup_error_bound(spark):
     from dvmax_spark.registry import all_queries
 
