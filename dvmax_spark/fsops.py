@@ -184,6 +184,15 @@ def recover_swap(path: str) -> bool:
         return True
     retired = path + RETIRED_SUFFIX
     if os.path.isdir(retired):
+        # a stale pointer (dangling symlink / manifest whose target is
+        # gone) at the table path would make the rename fail silently —
+        # clear it first; only a pointer can be stale here (a real dir
+        # returned False at the top)
+        if os.path.islink(path) or os.path.isfile(path):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
         try:
             os.rename(retired, path)
         except OSError:

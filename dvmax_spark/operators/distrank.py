@@ -59,20 +59,29 @@ def with_global_rank(
         r["_gr_pid"]: r["n"]
         for r in pid.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for p in sorted(counts):
-        offsets[p] = acc
+        offsets.append((p, acc))
         acc += counts[p]
-    off = F.lit(0).cast("long")
-    for p, o in offsets.items():
-        if o:
-            off = F.when(F.col("_gr_pid") == p, F.lit(o).cast("long")).otherwise(off)
+    # broadcast-join the offsets (a when-chain would nest one branch per
+    # partition — a Catalyst expression-depth hazard at real partition
+    # counts; the tiny join is flat at any count)
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_gr_pid int, _gr_off long"
+    )
     local = F.row_number().over(
         Window.partitionBy("_gr_pid").orderBy(*order_by)
     )
-    return pid.withColumn(
-        out_col, (off + local.cast("long")).alias(out_col)
-    ).drop("_gr_pid")
+    return (
+        pid.join(F.broadcast(off_df), "_gr_pid", "left")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("_gr_off"), F.lit(0)) + local.cast("long")).alias(
+                out_col
+            ),
+        )
+        .drop("_gr_pid", "_gr_off")
+    )
 
 
 def with_exact_ntile(

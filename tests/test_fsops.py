@@ -373,3 +373,22 @@ def test_compact_batches_refuses_mixed_keys(spark, tmp_path):
     idx.append(docs.where("doc_id >= 20"), batch_key="backfill_a")
     with pytest.raises(ValueError, match="mixed"):
         idx.compact_batches(keep_last=1)
+
+
+@both_modes
+def test_legacy_old_heal_clears_stale_pointer(tmp_path, pmode):
+    """A stale pointer (dangling symlink / manifest whose target is
+    gone) at the table path must not make the legacy .old rollback
+    fail silently (r6 adversarial-review finding)."""
+    path = str(tmp_path / "t")
+    os.makedirs(path + ".old")
+    with open(os.path.join(path + ".old", "data"), "w") as fh:
+        fh.write("legacy")
+    if pmode == "symlink":
+        os.symlink(os.path.basename(path) + ".vgone", path)
+    else:
+        with open(path, "w") as fh:
+            fh.write(os.path.basename(path) + ".vgone")
+    assert recover_swap(path) is True
+    with open(os.path.join(path, "data")) as fh:
+        assert fh.read() == "legacy"
