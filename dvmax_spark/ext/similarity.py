@@ -563,6 +563,106 @@ def semdedup_kmeans(
     )
 
 
+def d4_prune(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    dedup_threshold: float = 0.95,
+    prune_frac: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D4 (Tirumala et al. 2023, arXiv:2308.12284): SemDeDup followed
+    by SSL-prototype DIVERSIFICATION — after near-duplicate epsilon-
+    balls collapse to one representative (:func:`semdedup_kmeans`),
+    additionally drop the ``prune_frac`` most PROTOTYPICAL survivors of
+    each KMeans cluster (highest cosine to their own centroid): the
+    points that carry the least marginal information about the cluster.
+    The paper shows dedup-then-diversify beats either alone for LLM
+    pretraining selection.
+
+    One KMeans fit serves both stages (the same seeded quantizer as
+    semdedup_kmeans); prototype ranking is a PARTITIONED window over
+    each cluster (cosine desc, id asc — deterministic); the per-cluster
+    drop count is ``floor(prune_frac * survivors)``, so tiny clusters
+    lose nothing and the realized prune fraction is always <= the
+    requested one (conservative; pinned by test).
+
+    Returns one row per vector:
+    ``(id, kbucket, centroid_cos, keep, reason)`` with reason in
+    {'dup', 'prototype', 'kept'} — keep == (reason = 'kept'). Rows-only
+    in the registry (MLlib KMeans, no cross-engine oracle); property
+    tests pin stage composition, the prune-fraction ceiling, and
+    determinism."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from dvmax_spark.ext.dedup import dedup_clusters
+
+    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "vn", F.transform("v", lambda x: x / norm(F.col("v")))
+    )
+    ml_input = vecs.withColumn("features", array_to_vector("vn"))
+    model = KMeans(k=n_clusters, seed=42, maxIter=20).fit(ml_input)
+    assigned = model.transform(ml_input).select(
+        id_col, "vn", F.col("prediction").alias("kbucket")
+    )
+    centers = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "kbucket int, center array<double>",
+    )
+    scored = assigned.join(F.broadcast(centers), "kbucket").select(
+        id_col,
+        "kbucket",
+        "vn",
+        F.round(cosine(F.col("vn"), F.col("center")), 6).alias("centroid_cos"),
+    )
+    # stage 1: SemDeDup within the same clusters
+    a = scored.select(F.col(id_col).alias("id_a"), F.col("vn").alias("va"), "kbucket")
+    b = scored.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vb"), "kbucket")
+    pairs = (
+        a.join(b, "kbucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cos") >= dedup_threshold)
+        .select("id_a", "id_b")
+    )
+    comp = dedup_clusters(emb.select(id_col), pairs, id_col=id_col, rank_col=None)
+    survivors = scored.join(
+        comp.where(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    # stage 2: prototype pruning among dedup survivors, per cluster
+    wr = Window.partitionBy("kbucket").orderBy(
+        F.col("centroid_cos").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("kbucket")
+    proto = (
+        survivors.withColumn("_r", F.row_number().over(wr))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "_proto", F.col("_r") <= F.floor(F.lit(prune_frac) * F.col("_n"))
+        )
+        .select(id_col, F.col("_proto"))
+    )
+    reason = (
+        F.when(F.col("_dup_keep") == False, F.lit("dup"))  # noqa: E712
+        .when(F.coalesce("_proto", F.lit(False)), F.lit("prototype"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        scored.select(id_col, "kbucket", "centroid_cos")
+        .join(comp.select(id_col, F.col("keep").alias("_dup_keep")), id_col)
+        .join(proto, id_col, "left")
+        .select(
+            id_col,
+            "kbucket",
+            "centroid_cos",
+            reason.alias("reason"),
+        )
+        .withColumn("keep", F.col("reason") == "kept")
+        .orderBy(id_col)
+    )
+
+
 # -------------------------------------------------- persisted IVF index
 
 class IVFIndex:

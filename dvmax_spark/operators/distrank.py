@@ -84,6 +84,26 @@ def with_global_rank(
     )
 
 
+def with_hash_slice(
+    df: DataFrame,
+    cols: Sequence[str],
+    n: int,
+    out_col: str = "_b",
+) -> DataFrame:
+    """Deterministic 1-based slice assignment by key hash — pure
+    map-side (zero shuffles, zero windows, zero extra jobs). The right
+    stager for SLICING-INVARIANT consumers (incremental MVs, rollups,
+    idempotent decontamination, exact streaming clustering): the
+    result is contractually independent of how rows are batched —
+    that invariance IS the tested claim — so slice composition is
+    free to be a hash. Order-SENSITIVE stagers (time-contiguous
+    session streams) use :func:`with_exact_ntile` instead."""
+    return df.withColumn(
+        out_col,
+        (F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n)) + 1).cast("int"),
+    )
+
+
 def with_exact_ntile(
     df: DataFrame,
     order_by: Sequence[Column],

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dvmax_spark.catalog import load_table
-from dvmax_spark.operators.distrank import with_exact_ntile
+from dvmax_spark.operators.distrank import with_exact_ntile, with_hash_slice
 from dvmax_spark.registry import query
 
 
@@ -565,6 +565,11 @@ def a_continuous_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
     roll = ContinuousRollup(spark, path, "event_type", "ts", "value")
     roll.drop()
+    # time-contiguous exact slices, NOT hash slices: the rollup
+    # delta-merges FLOAT sums, whose 4dp-rounded averages are
+    # order-sensitive at the ulp level (hash slicing flipped 2/150
+    # rows by 1 ulp across the rounding boundary) — and time order
+    # is the natural arrival order for a continuous rollup anyway
     sliced = with_exact_ntile(ev, [F.col("ts").asc(), F.col("event_id").asc()], 3, "_b")
     for b in (1, 2, 3):
         roll.refresh(sliced.where(F.col("_b") == b).drop("_b"))
@@ -1646,8 +1651,8 @@ def j_incremental_join_mv(spark: SparkSession, sf: str) -> DataFrame:
     )
     mv = IncrementalJoinMV(spark, path, key="custkey")
     mv.drop()
-    o_sliced = with_exact_ntile(orders, [F.col("o_orderkey").asc()], 3, "_b")
-    c_sliced = with_exact_ntile(cust, [F.col("custkey").asc()], 3, "_b")
+    o_sliced = with_hash_slice(orders, ["o_orderkey"], 3, "_b")
+    c_sliced = with_hash_slice(cust, ["custkey"], 3, "_b")
     for b in (1, 2, 3):
         mv.refresh(
             b,
@@ -1861,7 +1866,7 @@ def t_stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
     base = os.path.join(_tf.gettempdir(), f"dvmax_rollup_stream_{os.getpid()}_{run_id}")
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir, exist_ok=True)
-    staged = with_exact_ntile(ev, [F.col("ts").asc(), F.col("event_id").asc()], 3, "_b")
+    staged = with_hash_slice(ev, ["event_id"], 3, "_b")
     now = None
     for i in (1, 2, 3):
         p = os.path.join(in_dir, f"slice_{i}")

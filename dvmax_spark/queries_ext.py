@@ -63,7 +63,7 @@ from dvmax_spark.ext.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
 )
-from dvmax_spark.operators.distrank import with_exact_ntile
+from dvmax_spark.operators.distrank import with_hash_slice
 from dvmax_spark.ext.textstats import (
     fingerprint,
     gopher_rules,
@@ -288,7 +288,7 @@ def t_stream_components(spark: SparkSession, sf: str) -> DataFrame:
     base = _os.path.join(_tf.gettempdir(), f"dvmax_cc_{_os.getpid()}_{run_id}")
     in_dir = _os.path.join(base, "in")
     _os.makedirs(in_dir, exist_ok=True)
-    staged = with_exact_ntile(docs, [F.col("doc_id").asc()], 3, "_b")
+    staged = with_hash_slice(docs, ["doc_id"], 3, "_b")
     now = None
     for i in (1, 2, 3):
         p = _os.path.join(base, f"s{i}")

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from dvmax_spark.catalog import load_table
 from dvmax_spark.registry import query
-from dvmax_spark.operators.distrank import with_exact_ntile
+from dvmax_spark.operators.distrank import with_hash_slice
 
 
 @query("x_ml_walk_forward", ids=("X13",), sql=None)
@@ -191,7 +191,7 @@ def t_stream_cms(spark: SparkSession, sf: str) -> DataFrame:
     base = _os.path.join(_tf.gettempdir(), f"dvmax_cms_stream_{_os.getpid()}_{run_id}")
     in_dir = _os.path.join(base, "in")
     _os.makedirs(in_dir, exist_ok=True)
-    staged = with_exact_ntile(ev, [F.col("ts").asc(), F.col("event_id").asc()], 3, "_b")
+    staged = with_hash_slice(ev, ["event_id"], 3, "_b")
     now = None
     for i in (1, 2, 3):
         p = _os.path.join(in_dir, f"slice_{i}")
@@ -381,6 +381,21 @@ def x_semdedup_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf)
     return semdedup_kmeans(emb, n_clusters=8, threshold=0.45)
+
+
+@query("x_d4_prune", ids=("X6", "X17", "X21"), sql=None)
+def x_d4_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """D4 selection (Tirumala et al. 2023): SemDeDup then SSL-prototype
+    diversification — near-dup epsilon-balls keep one representative,
+    then each cluster drops its 20% most prototypical survivors
+    (highest cosine to centroid), keeping the diverse tail the paper
+    shows improves pretraining. Rows-only (seeded MLlib KMeans);
+    property tests pin stage composition, the prune-fraction ceiling,
+    and determinism."""
+    from dvmax_spark.ext.similarity import d4_prune
+
+    emb = load_table(spark, "embeddings", sf)
+    return d4_prune(emb, n_clusters=8, dedup_threshold=0.45, prune_frac=0.2)
 
 
 @query("a_hll_sketch_rollup", ids=("A10",), sql=None)

@@ -34,7 +34,7 @@ from dvmax_spark.ext.retrieval import (
     vocabulary_sql,
 )
 from dvmax_spark.registry import query
-from dvmax_spark.operators.distrank import with_exact_ntile
+from dvmax_spark.operators.distrank import with_hash_slice
 
 # A fixed bag-of-words query against the synthetic corpus vocabulary.
 _BM25_TERMS = ("table", "spark", "join", "customer")
@@ -176,7 +176,7 @@ def t_stream_substr_decontam(spark: SparkSession, sf: str) -> DataFrame:
     _os.makedirs(in_dir, exist_ok=True)
     idx = GramIndex(spark, _os.path.join(base, "grams"), n=8)
     idx.build(ref)
-    staged = with_exact_ntile(new, [F.col("doc_id").asc()], 3, "_b")
+    staged = with_hash_slice(new, ["doc_id"], 3, "_b")
     now = None
     for i in (1, 2, 3):
         p = _os.path.join(base, f"s{i}")
@@ -382,7 +382,7 @@ def t_stream_bm25(spark: SparkSession, sf: str) -> DataFrame:
     base = _os.path.join(_tf.gettempdir(), f"dvmax_bm25_{_os.getpid()}_{run_id}")
     in_dir = _os.path.join(base, "in")
     _os.makedirs(in_dir, exist_ok=True)
-    staged = with_exact_ntile(docs, [F.col("doc_id").asc()], 3, "_b")
+    staged = with_hash_slice(docs, ["doc_id"], 3, "_b")
     now = None
     for i in (1, 2, 3):
         p = _os.path.join(base, f"s{i}")

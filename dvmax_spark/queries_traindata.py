@@ -35,7 +35,7 @@ from dvmax_spark.ext.traindata import (
     traindata_funnel_sql,
 )
 from dvmax_spark.registry import query
-from dvmax_spark.operators.distrank import with_exact_ntile
+from dvmax_spark.operators.distrank import with_exact_ntile, with_hash_slice
 
 
 @query(
@@ -333,7 +333,7 @@ def t_stream_decontam(spark: SparkSession, sf: str) -> DataFrame:
     in_dir = _os.path.join(base, "in")
     _os.makedirs(in_dir, exist_ok=True)
     build_eval_grams(ev, _os.path.join(base, "ev_grams"), n=5)
-    staged = with_exact_ntile(tr, [F.col("doc_id").asc()], 3, "_b")
+    staged = with_hash_slice(tr, ["doc_id"], 3, "_b")
     now = None
     for i in (1, 2, 3):
         p = _os.path.join(base, f"s{i}")

@@ -526,6 +526,46 @@ def test_semdedup_kmeans_recall_and_agreement_floors(spark, emb):
     res.unpersist()
 
 
+def test_d4_prune_stage_composition_and_ceiling(spark, emb):
+    """D4 invariants: (a) docs flagged 'dup' are exactly semdedup's
+    keep=False set (same quantizer, same epsilon-balls); (b) realized
+    prototype-prune count per cluster is floor(frac * survivors) —
+    never more; (c) prototypes are the HIGHEST-centroid-cosine
+    survivors of their cluster; (d) two runs are identical (seeded)."""
+    from pyspark.sql import functions as F
+
+    from dvmax_spark.ext.similarity import d4_prune, semdedup_kmeans
+
+    res = d4_prune(emb, n_clusters=8, dedup_threshold=0.45, prune_frac=0.2).cache()
+    sem = semdedup_kmeans(emb, n_clusters=8, threshold=0.45)
+    dup_ids = {r.vec_id for r in res.where(F.col("reason") == "dup").collect()}
+    sem_dropped = {r.vec_id for r in sem.where(~F.col("keep")).collect()}
+    assert dup_ids == sem_dropped
+
+    rows = res.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        if r.reason != "dup":
+            by_cluster.setdefault(r.kbucket, []).append(r)
+    for kb, members in by_cluster.items():
+        n_proto = sum(1 for r in members if r.reason == "prototype")
+        assert n_proto == int(0.2 * len(members)), (kb, n_proto, len(members))
+        if n_proto:
+            worst_kept = max(
+                (r.centroid_cos, -r.vec_id) for r in members if r.reason == "kept"
+            )
+            best_proto = min(
+                (r.centroid_cos, -r.vec_id) for r in members if r.reason == "prototype"
+            )
+            # prototypes sit strictly above every kept survivor in the
+            # (cos desc, id asc) order
+            assert best_proto >= worst_kept, (kb, best_proto, worst_kept)
+
+    again = d4_prune(emb, n_clusters=8, dedup_threshold=0.45, prune_frac=0.2)
+    assert res.exceptAll(again).count() == 0 and again.exceptAll(res).count() == 0
+    res.unpersist()
+
+
 def test_hll_sketch_rollup_error_bound(spark):
     from dvmax_spark.registry import all_queries
 
