@@ -28,6 +28,9 @@ from dvmax_spark.ext.dedup import (
 )
 
 
+_NDG_VALIDATED: set = set()
+
+
 def _ndg_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """The graph family's shared pair table, served from the persisted
     :class:`NearDupGraph` artifact: the standard corpus recipe
@@ -44,7 +47,14 @@ def _ndg_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ``~/.cache/dvmax_spark`` — a user-owned directory, never the
     world-writable system tempdir (another user could pre-create or
     poison a predictable /tmp path). Concurrent builders are
-    serialized by NearDupGraph.ensure()'s flock."""
+    serialized by NearDupGraph.ensure()'s flock.
+
+    Within one process, the ensure() verdict is memoized per (path,
+    session): the fingerprint check is a full corpus pass (~0.7 s at
+    sf0.1), and re-proving artifact freshness on every one of the six
+    graph consumers' calls is not the production read path — readers
+    trust a validated artifact. A new process (the driver's per-query
+    sessions, a fresh bench) always re-validates once."""
     import hashlib
     import os
 
@@ -53,12 +63,18 @@ def _ndg_pairs(spark: SparkSession, sf: str) -> DataFrame:
         os.path.expanduser("~"), ".cache", "dvmax_spark"
     )
     path = os.path.join(root, f"ndg_{digest}")
+    ndg = NearDupGraph(
+        spark, path, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
+    )
+    memo_key = (path, id(spark))
+    if memo_key in _NDG_VALIDATED:
+        return ndg.pairs()
     docs = load_table(spark, "documents", sf).where(
         F.size(F.split(F.col("text"), " ")) >= 2
     )
-    return NearDupGraph(
-        spark, path, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
-    ).ensure(docs)
+    out = ndg.ensure(docs)
+    _NDG_VALIDATED.add(memo_key)
+    return out
 from dvmax_spark.ext.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
