@@ -51,7 +51,10 @@ def with_global_rank(
     order_by = list(order_by)
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+            num_partitions = 32
     ranged = df.repartitionByRange(num_partitions, *order_by).localCheckpoint()
     pid = ranged.withColumn("_gr_pid", F.spark_partition_id())
     # Bounded collect: one row per physical partition (== num_partitions).

@@ -392,3 +392,30 @@ def test_legacy_old_heal_clears_stale_pointer(tmp_path, pmode):
     assert recover_swap(path) is True
     with open(os.path.join(path, "data")) as fh:
         assert fh.read() == "legacy"
+
+
+def test_manifest_mode_spark_roundtrip_and_heal(spark, tmp_path):
+    """Manifest pointer mode must carry REAL Spark tables end to end:
+    write -> swap(pointer_mode='manifest') -> read via resolve() ->
+    re-swap -> read new state -> crash the pointer -> recover_swap ->
+    read again. This is the object-store-shaped protocol (the table
+    path is a plain file naming the current version dir)."""
+    path = str(tmp_path / "tbl")
+    staging = path + ".staging"
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df1.write.mode("overwrite").parquet(staging)
+    assert swap_dir(path, staging, pointer_mode="manifest") is None
+    assert os.path.isfile(path)  # the pointer is a plain file
+    got = spark.read.parquet(resolve(path))
+    assert got.count() == 2
+
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    df2.write.mode("overwrite").parquet(staging)
+    retired = swap_dir(path, staging)
+    assert retired is not None
+    assert spark.read.parquet(resolve(path)).count() == 1
+
+    # crash: pointer lost entirely; heal re-points at newest version
+    os.remove(path)
+    assert recover_swap(path) is True
+    assert spark.read.parquet(resolve(path)).count() == 1
