@@ -2166,3 +2166,24 @@ def x_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+from dvmax_spark.operators.zorder import zorder_layout_report, zorder_layout_sql
+
+
+@query("o_zorder_layout", ids=("O2", "S3"), sql=zorder_layout_sql())
+def o_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) data-layout report: orders clustered on the
+    space-filling curve over (custkey mod 256, order-day mod 256), one
+    row per simulated file with both dimensions' min/max envelopes and
+    whether a rectangular query box would scan it — exactly the
+    footer-stats pruning decision a parquet reader makes. File
+    assignment is pure integer arithmetic on the Morton key (no rank,
+    no window); the bit-interleave is identical SQL arithmetic in both
+    engines, so the whole report is value-exact. At 100 TB this is the
+    layout that lets BOTH filter columns prune files, where a
+    single-column sort serves only one (tests quantify the win)."""
+    o = load_table(spark, "orders", sf)
+    qa = F.col("o_custkey") % 256
+    qb = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) % 256
+    return zorder_layout_report(o, qa, qb, bits=8, n_files=16)
