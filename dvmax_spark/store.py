@@ -451,16 +451,17 @@ def zorder_write(
     a range predicate on any of them skips most files. (A plain sort
     clusters only its leading column.)
 
-    Each column is rank-normalized to ``bits`` bits (percent_rank —
-    scale- and distribution-free), bits are interleaved into one Morton
-    key, and the frame is range-partitioned + sorted on that key into
-    ``files`` files. Pure Catalyst expressions; the rank is one window
-    over an empty partitioning, which at cluster scale you'd replace
-    with approx-quantile bucketing (same curve, no global sort of the
-    rank input).
+    Each column is rank-normalized to ``bits`` bits by EXACT
+    equal-frequency bucketing (operators/distrank.with_exact_ntile —
+    range shuffle + per-partition rank, scale- and distribution-free,
+    NO unpartitioned window: the quantization parallelizes to any
+    executor count), bits are interleaved into one Morton key, and the
+    frame is range-partitioned + sorted on that key into ``files``
+    files.
     """
     import pyspark.sql.functions as _F
-    from pyspark.sql import Window as _W
+
+    from dvmax_spark.operators.distrank import with_exact_ntile
 
     # The Morton key lives in one 64-bit long; Spark's shiftleft wraps
     # shift amounts mod 64, which would silently fold high-order bits of
@@ -469,18 +470,20 @@ def zorder_write(
     if not cols:
         raise ValueError("zorder_write needs at least one clustering column")
     bits = min(bits, 63 // len(cols))
-    ranked = df
+    # one synthetic tie-break makes every per-column order total (ties
+    # may land in either neighboring bucket — immaterial for layout)
+    ranked = df.withColumn("_z_tb", _F.monotonically_increasing_id())
     rank_cols = []
     for c in cols:
         rc = f"_rk_{c}"
-        pr = _F.percent_rank().over(_W.orderBy(_F.col(c)))
-        ranked = ranked.withColumn(
-            rc, _F.least(
-                _F.lit((1 << bits) - 1),
-                _F.floor(pr * ((1 << bits) - 1)).cast("long"),
-            )
-        )
+        ranked = with_exact_ntile(
+            ranked,
+            [_F.col(c).asc(), _F.col("_z_tb").asc()],
+            1 << bits,
+            out_col=rc,
+        ).withColumn(rc, (_F.col(rc) - 1).cast("long"))
         rank_cols.append(rc)
+    ranked = ranked.drop("_z_tb")
     morton = _F.lit(0).cast("long")
     for bit in range(bits):
         for j, rc in enumerate(rank_cols):
