@@ -490,3 +490,23 @@ def test_zorder_layout_prunes_both_dimensions(spark):
         F.max("qb").alias("max_b"),
     ).collect()
     assert scans(env, 0, 255, 128, 143) == 16  # single-sort can't prune dim b
+
+
+def test_hash_slice_is_deterministic_and_covering(spark):
+    """with_hash_slice: every row gets exactly one slice in [1, n],
+    assignment is identical across calls (pure function of the key),
+    and at corpus scale every slice is non-empty."""
+    from dvmax_spark.operators.distrank import with_hash_slice
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    a = with_hash_slice(df, ["k"], 3)
+    b = with_hash_slice(df, ["k"], 3)
+    assert a.where((F.col("_b") < 1) | (F.col("_b") > 3)).count() == 0
+    assert (
+        a.join(b.withColumnRenamed("_b", "_b2"), "k")
+        .where(F.col("_b") != F.col("_b2"))
+        .count()
+        == 0
+    )
+    sizes = {r["_b"]: r["n"] for r in a.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {1, 2, 3} and min(sizes.values()) > 1000  # roughly even
