@@ -11,12 +11,24 @@ INTERLEAVED passes (all queries once, then again, …) reporting the
 per-query min: the container's noise comes in multi-second bursts, so
 spacing a query's repeats apart beats running them back-to-back. A
 warmup query amortizes JVM/codegen startup.
+
+Self-diagnosing artifact: alongside the per-query min, the JSON
+carries `queries_median` (the middle of the interleaved samples). A
+query whose median sits far above its min was hit by shared-session
+noise (GC bursts, codegen churn from 37 distinct plans in one JVM)
+during the other passes — contention, not plan drift. Compare min for
+plan regressions, median/min for environment health. Between passes a
+Python `gc.collect()` releases py4j handles so Spark's ContextCleaner
+can drop dead broadcasts/shuffles instead of letting the heap grow
+across passes.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import statistics
 import time
 
 
@@ -43,20 +55,27 @@ def main() -> None:
     # production shape (build once as data lands, serve many) — not
     # read-plus-one-time-build. x_dedup_clusters deliberately keeps the
     # regenerate-from-scratch end-to-end form and is unaffected.
+    # ndg_built records what the wall actually measured: True = cold
+    # artifact build, False = warm fingerprint re-validation only.
     t0 = time.perf_counter()
-    from dvmax_spark.queries_ext import _ndg_pairs
+    import dvmax_spark.queries_ext as qext
 
-    _ndg_pairs(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qext._ndg_pairs(spark, sf_dir).write.format("noop").mode("overwrite").save()
     ndg_build_wall = time.perf_counter() - t0
+    ndg_built = qext._NDG_LAST_BUILT
 
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in specs}
     for _ in range(n_passes):
         for name, spec in specs.items():
-            dt = run(spec)
-            if name not in best or dt < best[name]:
-                best[name] = dt
-    timings = {name: round(dt, 3) for name, dt in best.items()}
+            samples[name].append(run(spec))
+        # Release py4j references so the ContextCleaner can GC dead
+        # broadcasts/shuffle state between passes (heap growth across
+        # 37 plans × 3 passes is the suspected source of the
+        # graph-family benched-vs-standalone gap).
+        gc.collect()
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
+    medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = sum(timings.values())
     # Stable cross-round comparator: the headline set GROWS as operators
     # land (r1: 17 queries, r4: 35), so the total alone reads as a
@@ -90,9 +109,15 @@ def main() -> None:
                 "baseline_subset_wall": round(baseline_subset_wall, 3),
                 "baseline_subset_n": sum(1 for q in baseline_subset if q in timings),
                 # one-time NearDupGraph artifact build (pre-built before
-                # timing so graph-family figures are the read path)
+                # timing so graph-family figures are the read path);
+                # ndg_built: True = cold build, False = warm re-validate
                 "ndg_build_wall": round(ndg_build_wall, 3),
+                "ndg_built": ndg_built,
                 "queries": timings,
+                # median of the interleaved samples: median >> min on a
+                # query means container/JVM noise hit its other passes —
+                # environment, not plan. min is the plan-comparison number.
+                "queries_median": medians,
                 "sf": sf_val,
                 "n": n_passes,  # interleaved passes, min per query (noise guard)
             }

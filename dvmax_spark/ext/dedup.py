@@ -1246,6 +1246,10 @@ class NearDupGraph:
         self.max_bucket = max_bucket
         self.id_col = id_col
         self.text_col = text_col
+        # Set by ensure(): True iff that call actually rebuilt the
+        # artifact (cold) vs only re-validated the fingerprint (warm).
+        # bench.py reports it so ndg_build_wall is unambiguous.
+        self.last_ensure_built: bool | None = None
 
     # ------------------------------------------------------------ meta
     def _params(self) -> dict:
@@ -1365,11 +1369,12 @@ class NearDupGraph:
             try:
                 recover_swap(self.path)
                 meta = self.read_meta()
-                if (
+                self.last_ensure_built = (
                     meta is None
                     or meta.get("params") != self._params()
                     or meta.get("corpus") != self._fingerprint(docs)
-                ):
+                )
+                if self.last_ensure_built:
                     self.build(docs)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)

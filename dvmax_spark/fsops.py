@@ -142,6 +142,20 @@ def _point(path: str, target_dir: str, mode: str = "symlink") -> None:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+        # POSIX durable-rename: the replace is atomic but not durable
+        # until the PARENT directory entry is synced — without this,
+        # power loss could surface the old pointer (or none) even
+        # though the new one was observed before the crash.
+        try:
+            dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        except OSError:
+            return  # non-POSIX dir-open (e.g. some network mounts): best-effort
+        try:
+            os.fsync(dfd)
+        except OSError:
+            pass
+        finally:
+            os.close(dfd)
         return
     tmp = path + _POINTER_TMP
     try:

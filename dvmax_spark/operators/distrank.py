@@ -120,17 +120,21 @@ def with_exact_ntile(
     single-window form for a total order, no unpartitioned window."""
     ranked = with_global_rank(df, order_by, out_col="_gr_rn", num_partitions=num_partitions)
     total = ranked.agg(F.count(F.lit(1)).alias("_gr_n"))
-    small = F.greatest(F.floor(F.col("_gr_n") / n), F.lit(1))  # floor(N/n), /0 guard
-    big = F.floor(F.col("_gr_n") / n) + 1  # ceil(N/n) when N % n != 0
-    r = F.col("_gr_n") % n  # number of big buckets
-    cut = r * big  # ranks 1..cut live in big buckets
-    bucket = F.when(
-        F.col("_gr_rn") <= cut, F.floor((F.col("_gr_rn") - 1) / big) + 1
-    ).otherwise(
-        r + F.floor((F.col("_gr_rn") - 1 - cut) / small) + 1
-    )
-    return (
+    # All arithmetic in bigint `div`/`%` — double division is only exact
+    # while N < 2^53, which would break the module's bit-exactness
+    # contract at extreme scale.
+    joined = (
         ranked.crossJoin(F.broadcast(total))
-        .withColumn(out_col, bucket.cast("int"))
-        .drop("_gr_rn", "_gr_n")
+        .withColumn("_gr_small", F.greatest(F.expr(f"_gr_n div {n}"), F.lit(1)))
+        .withColumn("_gr_big", F.expr(f"_gr_n div {n}") + 1)
+        .withColumn("_gr_cut", (F.col("_gr_n") % n) * F.col("_gr_big"))
+    )
+    bucket = F.when(
+        F.col("_gr_rn") <= F.col("_gr_cut"),
+        F.expr("(_gr_rn - 1) div _gr_big") + 1,
+    ).otherwise(
+        F.col("_gr_n") % n + F.expr("(_gr_rn - 1 - _gr_cut) div _gr_small") + 1
+    )
+    return joined.withColumn(out_col, bucket.cast("int")).drop(
+        "_gr_rn", "_gr_n", "_gr_small", "_gr_big", "_gr_cut"
     )

@@ -30,6 +30,12 @@ from dvmax_spark.ext.dedup import (
 
 _NDG_VALIDATED: set = set()
 
+# Whether the most recent NON-memoized _ndg_pairs call actually rebuilt
+# the artifact (True=cold build, False=warm fingerprint re-validation).
+# bench.py emits it next to ndg_build_wall so the figure's meaning is
+# recorded instead of silently flipping between cold and warm runs.
+_NDG_LAST_BUILT: bool | None = None
+
 
 def _ndg_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """The graph family's shared pair table, served from the persisted
@@ -66,13 +72,18 @@ def _ndg_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ndg = NearDupGraph(
         spark, path, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
     )
-    memo_key = (path, id(spark))
+    # Keyed on applicationId, not id(spark): CPython can reuse id()
+    # after a session is GC'd, which would false-positive a fresh
+    # session as already-validated and skip the fingerprint check.
+    memo_key = (path, spark.sparkContext.applicationId)
     if memo_key in _NDG_VALIDATED:
         return ndg.pairs()
     docs = load_table(spark, "documents", sf).where(
         F.size(F.split(F.col("text"), " ")) >= 2
     )
     out = ndg.ensure(docs)
+    global _NDG_LAST_BUILT
+    _NDG_LAST_BUILT = ndg.last_ensure_built
     _NDG_VALIDATED.add(memo_key)
     return out
 from dvmax_spark.ext.similarity import (
