@@ -41,6 +41,66 @@ def walk_forward_splits(
     return splits
 
 
+def walk_forward_fold_table(
+    df: DataFrame, order_col: str = "vec_id", n_splits: int = 3
+) -> DataFrame:
+    """The deterministic HALF of the walk-forward pipeline as a pure
+    DataFrame: one row per split with the train-end boundary value and
+    the exact train/test row counts — everything about the folds that
+    is engine-independent (the GBT metrics are not; they live in
+    :func:`train_eval_classifier`).
+
+    Spark's ``approxQuantile(p, relativeError=0.0)`` over a column of
+    UNIQUE values returns the element at 1-based rank ``ceil(p*n)``
+    (verified empirically for the split probabilities used here), so
+    for unique ``order_col`` the fold table below is bit-identical to
+    the splits :func:`walk_forward_splits` materializes:
+    ``n_train(k) = r_k = ceil((k/m)*n)`` with ``m = n_splits+1``,
+    ``n_test(k) = r_{k+1} - r_k`` (``r_m = n``), and ``train_end`` is
+    the value at rank ``r_k``. Agreement is pinned by a test.
+
+    Scale shape: a distributed exact rank (:func:`with_global_rank` —
+    range shuffle + broadcast offsets, no single-partition window),
+    one 1-row broadcast for ``n``, one broadcast join of ``n_splits``
+    rows onto the ranked column. No driver-side collect."""
+    from dvmax_spark.operators.distrank import with_global_rank
+
+    m = n_splits + 1
+    ranked = with_global_rank(
+        df.select(order_col), [F.col(order_col)], out_col="_rnk"
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    spark = df.sparkSession
+    # (k/m)*n in IEEE double, exactly the arithmetic approxQuantile's
+    # caller + rank rule perform — and exactly what the DuckDB oracle
+    # runs (+,-,*,/ are bit-identical across engines)
+    folds = (
+        spark.range(1, n_splits + 1)
+        .select(F.col("id").cast("long").alias("split"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_train",
+            F.ceil(F.col("split").cast("double") / m * F.col("_n")),
+        )
+        .withColumn(
+            "_r_next",
+            F.when(
+                F.col("split") < n_splits,
+                F.ceil((F.col("split") + 1).cast("double") / m * F.col("_n")),
+            ).otherwise(F.col("_n")),
+        )
+    )
+    return (
+        folds.join(ranked, folds["n_train"] == ranked["_rnk"])
+        .select(
+            "split",
+            F.col(order_col).cast("long").alias("train_end"),
+            F.col("n_train").cast("long").alias("n_train"),
+            (F.col("_r_next") - F.col("n_train")).cast("long").alias("n_test"),
+        )
+    )
+
+
 def train_eval_classifier(
     emb: DataFrame,
     label_col: str = "label",

@@ -12,11 +12,53 @@ from dvmax_spark.registry import query
 from dvmax_spark.operators.distrank import with_hash_slice
 
 
-@query("x_ml_walk_forward", ids=("X13",), sql=None)
+# Walk-forward fold oracle: row_number over unique vec_id reproduces
+# the rank rule approxQuantile(p, 0.0) follows (element at rank
+# ceil(p*n)); (k/m)*n is IEEE-double in both engines, bit-identical.
+_ML_WALK_FORWARD_SQL = """
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rnk FROM embeddings
+),
+folds AS (
+  SELECT k.k AS split,
+         CAST(ceil((CAST(k.k AS DOUBLE) / 3) * n.n) AS BIGINT) AS n_train,
+         CASE WHEN k.k < 2
+              THEN CAST(ceil((CAST(k.k + 1 AS DOUBLE) / 3) * n.n) AS BIGINT)
+              ELSE n.n END AS r_next
+  FROM generate_series(1, 2) k(k), n
+)
+SELECT f.split AS split,
+       CAST(r.vec_id AS BIGINT) AS train_end,
+       f.n_train AS n_train,
+       f.r_next - f.n_train AS n_test
+FROM folds f JOIN ranked r ON r.rnk = f.n_train
+ORDER BY split
+"""
+
+
+@query("x_ml_walk_forward", ids=("X13",), sql=_ML_WALK_FORWARD_SQL)
 def x_ml_walk_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic half of the MLlib walk-forward pipeline: the fold
+    table (train-end boundary + exact train/test counts per split) —
+    engine-independent, so it carries the X13 oracle. The GBT metrics
+    (not SQL-expressible) live in x_ml_walk_forward_metrics; agreement
+    between this table and the folds the trainer actually materializes
+    is pinned in tests/test_ml_quality.py."""
+    from dvmax_spark.ml.pipeline import walk_forward_fold_table
+
+    emb = load_table(spark, "embeddings", sf)
+    return walk_forward_fold_table(emb, order_col="vec_id", n_splits=2).orderBy(
+        "split"
+    )
+
+
+@query("x_ml_walk_forward_metrics", ids=("X13",), sql=None)
+def x_ml_walk_forward_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """MLlib walk-forward classification over the embeddings table
     (BASELINE north-star modeling path). Deterministic seeds, but
-    training isn't SQL-expressible -> rows-only check."""
+    training isn't SQL-expressible -> rows-only check; fold counts are
+    oracled via x_ml_walk_forward."""
     from dvmax_spark.ml.pipeline import train_eval_classifier
 
     emb = load_table(spark, "embeddings", sf)

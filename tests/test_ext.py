@@ -342,6 +342,42 @@ def test_walk_forward_splits_no_lookahead(spark):
         prev_train_max = tr[-1]
 
 
+@pytest.mark.parametrize("n,n_splits", [(300, 3), (301, 3), (500, 2), (97, 4)])
+def test_fold_table_matches_materialized_splits(spark, n, n_splits):
+    """walk_forward_fold_table (the oracled X13 query) must agree
+    bit-for-bit with the splits train_eval_classifier actually
+    materializes via approxQuantile(p, 0.0): same train-end boundary,
+    same train/test counts — including n not divisible by n_splits+1."""
+    from dvmax_spark.ml.pipeline import walk_forward_fold_table, walk_forward_splits
+
+    df = spark.range(0, n).select(F.col("id").alias("t"))
+    table = {
+        r["split"]: r
+        for r in walk_forward_fold_table(df, "t", n_splits=n_splits).collect()
+    }
+    assert len(table) == n_splits
+    for k, (train, test) in enumerate(
+        walk_forward_splits(df, "t", n_splits=n_splits), start=1
+    ):
+        row = table[k]
+        assert row["n_train"] == train.count()
+        assert row["n_test"] == test.count()
+        assert row["train_end"] == train.agg(F.max("t")).collect()[0][0]
+
+
+def test_fold_table_on_testdata_embeddings(spark, emb):
+    """The registered x_ml_walk_forward shape on real testdata: folds
+    tile the corpus (sum n_test + first n_train ... prefix property)."""
+    from dvmax_spark.ml.pipeline import walk_forward_fold_table
+
+    rows = walk_forward_fold_table(emb, "vec_id", n_splits=2).orderBy("split").collect()
+    n = emb.count()
+    assert len(rows) == 2
+    assert rows[0]["n_train"] < rows[1]["n_train"] <= n
+    assert rows[1]["n_train"] == rows[0]["n_train"] + rows[0]["n_test"]
+    assert rows[1]["n_train"] + rows[1]["n_test"] == n
+
+
 def test_dedup_clusters_graph_semantics(spark):
     """Connected components on a hand-built graph: a 4-chain (worst
     diameter shape for min propagation), a star, and singletons all

@@ -38,7 +38,7 @@ def test_in_cap_queries_are_oracled():
     """Inside the evidence window, rows-only queries burn a hard-signal
     slot; only genuinely non-SQL-expressible ops may do that."""
     qs = all_queries()
-    allowed_rows_only = {"x_ml_walk_forward", "x_cosine_topk_ivf"}
+    allowed_rows_only = {"x_cosine_topk_ivf"}
     offenders = [
         n
         for n in list(qs)[:DRIVER_QUERY_CAP]
