@@ -215,6 +215,109 @@ def recover_swap(path: str) -> bool:
     return False
 
 
+def version_number(path: str) -> int:
+    """The version number the table pointer currently serves
+    (``tbl -> tbl.v3`` → 3), or 0 when no table exists yet. Raises on a
+    legacy real-dir table — migrate via :func:`swap_dir` first."""
+    if os.path.isdir(path) and not os.path.islink(path):
+        raise ValueError(f"{path}: legacy real-dir table has no version pointer")
+    cur = current_version_dir(path)
+    if cur is None:
+        return 0
+    m = _VER_RE.match(cur[len(path):])
+    if not m:
+        raise ValueError(f"{path}: pointer target {cur!r} is not a version dir")
+    return int(m.group(1))
+
+
+class CASConflict(RuntimeError):
+    """Another writer promoted first; re-read the table and retry."""
+
+
+def _flip_monotonic(path: str, new_dir: str, mode: str) -> None:
+    """Flip the table pointer to ``new_dir`` iff that ADVANCES the
+    version. Serialized by a sibling flock so a lagging writer's
+    forward-heal (see :func:`swap_dir_cas`) can never race a fresher
+    writer's flip into moving the pointer backwards. On an object
+    store the equivalent is a conditional put of the pointer object
+    keyed on its generation — the same monotonicity rule."""
+    import fcntl
+
+    m = _VER_RE.match(new_dir[len(path):])
+    target_n = int(m.group(1)) if m else 0
+    with open(path + ".ptrlock", "a") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if version_number(path) < target_n:
+                _point(path, new_dir, mode)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def swap_dir_cas(
+    path: str,
+    staging: str,
+    expected_version: int,
+    pointer_mode: str | None = None,
+) -> str | None:
+    """MULTI-WRITER conditional promote: succeed iff the table is still
+    at ``expected_version`` (0 = no table yet), else raise
+    :class:`CASConflict` with ``staging`` left intact for the caller's
+    retry. This is the optimistic-concurrency contract of a Delta /
+    Iceberg commit: read version N, prepare, commit N+1 conditionally.
+
+    The commit point is ONE exclusive claim of the ``.v{N+1}`` slot —
+    ``os.rename(staging, tbl.vN+1)``, which the filesystem rejects when
+    the slot is already a (necessarily non-empty) version directory —
+    the local-POSIX analog of an object store's conditional put /
+    if-none-match. Exactly one of any number of racing writers wins the
+    slot; losers raise before touching the pointer, so the pointer can
+    never move backwards (the lost-update anomaly an unconditional
+    :func:`swap_dir` race would allow). The winner then flips the
+    pointer. A writer can only claim N+1 after observing version N,
+    which exists only after the N-claimant's flip (or a heal of its
+    crash), so pointer flips are serialized by the version chain itself.
+
+    In THIS protocol the slot claim is the commit and the pointer is a
+    cache of "current": a loser that collides with a claimed slot heals
+    the pointer FORWARD onto the claimant's (necessarily complete)
+    version before raising, so a claimant crash between claim and flip
+    can never livelock retrying writers — and every flip goes through
+    a monotonic guard (:func:`_flip_monotonic`), so a lagging heal can
+    never move a fresher pointer backwards. Consequently a table must
+    not mix :func:`swap_dir` (which treats an unflipped version as a
+    discardable orphan) and :func:`swap_dir_cas` (which treats it as
+    committed) as concurrent writers.
+
+    On an actual object store, replace the rename with a conditional
+    put of the manifest file keyed on its ETag/generation — the shape
+    of this function is deliberately that call."""
+    recover_swap(path)
+    mode = _mode_of(path) or pointer_mode or POINTER_MODE
+    cur = version_number(path)
+    if cur != expected_version:
+        raise CASConflict(
+            f"{path}: expected v{expected_version}, found v{cur} — "
+            "another writer promoted first; re-read and retry"
+        )
+    new_dir = f"{path}.v{expected_version + 1}"
+    try:
+        os.rename(staging, new_dir)  # the exclusive commit point
+    except OSError as exc:
+        if os.path.isdir(new_dir):
+            # slot already committed by a writer that hasn't flipped
+            # (or crashed pre-flip): serve its version so our caller's
+            # re-read sees the winner, not a stale pointer
+            _flip_monotonic(path, new_dir, mode)
+        raise CASConflict(
+            f"{path}: version slot v{expected_version + 1} already "
+            "claimed by a concurrent writer"
+        ) from exc
+    displaced = current_version_dir(path)
+    _flip_monotonic(path, new_dir, mode)
+    return displaced
+
+
 def swap_dir(
     path: str,
     staging: str,

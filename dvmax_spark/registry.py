@@ -108,25 +108,40 @@ PRIORITY: tuple[str, ...] = (
     # (which runs the native-gap semantics through the stateful op),
     # while S13 has no other covering query.
     "s13_format_matrix",
-    # LLM-data-pipeline operators
-    "x_exact_dedup",
-    "x_jaccard_prefix_join",  # r6 rotation: was x_ngram_jaccard
-    "x_dedup_threshold_curve",  # r6 rotation: was x_minhash_lsh
+    # LLM-data-pipeline operators — r7 rotation swaps the heavy
+    # families (graph/PageRank, soft-dedup, BPE, DSIR, incremental
+    # join-MV, OPH, span-clean, TF-IDF pairs, group split) into the
+    # driver evidence window; the r6 occupants each have a green
+    # driver row already and keep full ID cover from the newcomers
+    "x_span_dedup_clean",  # r7: was x_exact_dedup (X1 covered here)
+    "x_tfidf_cosine_pairs",  # r7: was x_jaccard_prefix_join
+    "x_minhash_oph",  # r7: was x_dedup_threshold_curve
     "x_simhash_pairs",
-    "x_incremental_components",  # r6 rotation: was x_dedup_clusters
-    "x_hard_negatives",  # r6 rotation: was x_cosine_topk
+    "x_dup_pagerank",  # r7: was x_incremental_components
+    "x_soft_dedup_mass",  # r7: was x_hard_negatives
     "x_cosine_topk_lsh",
-    "x_text_stats",
-    "x_unigram_logprob",  # r6 rotation: was x_quality_score
+    "x_bpe_pair_counts",  # r7: was x_text_stats
+    "x_dsir_select",  # r7: was x_unigram_logprob
     "x_lang_id",
-    "x_exact_substr_dedup",  # r6 rotation: was x_fingerprint
-    "x_gopher_repetition",  # r6 rotation: was x_repetition_stats
-    "x_pseudonymize",  # r6 rotation: was x_pii_redact
+    "j_incremental_join_mv",  # r7: was x_exact_substr_dedup
+    "x_group_split",  # r7: was x_gopher_repetition
+    "x_pseudonymize",
     "x_image_features",
     "x_frame_sample",
     "x_ml_walk_forward",
     "x_score_portfolio",
     # --- everything below is redundant-coverage / variant evidence ---
+    # r7 rotation: displaced from the evidence window (IDs still
+    # covered in-cap); each has a green r6 driver row + PARITY.md
+    "x_exact_dedup",
+    "x_jaccard_prefix_join",
+    "x_dedup_threshold_curve",
+    "x_incremental_components",
+    "x_hard_negatives",
+    "x_text_stats",
+    "x_unigram_logprob",
+    "x_gopher_repetition",
+    "x_exact_substr_dedup",
     # r6 rotation: displaced from the evidence window (IDs still
     # covered in-cap); their parity evidence is PARITY.md + tests
     "x_fingerprint",

@@ -419,3 +419,124 @@ def test_manifest_mode_spark_roundtrip_and_heal(spark, tmp_path):
     os.remove(path)
     assert recover_swap(path) is True
     assert spark.read.parquet(resolve(path)).count() == 1
+
+
+# ----------------------------------------------- multi-writer CAS contract
+
+
+@both_modes
+def test_swap_dir_cas_deterministic_two_writer_interleave(tmp_path, pmode):
+    """The optimistic-concurrency contract, interleaved by hand: A and
+    B both read version N, both prepare staging; A commits; B's commit
+    must raise CASConflict with its staging INTACT; B re-reads and its
+    retry commits cleanly on top of A."""
+    from dvmax_spark.fsops import CASConflict, swap_dir_cas, version_number
+
+    path = str(tmp_path / "t")
+    st0 = str(tmp_path / "st0")
+    os.makedirs(st0)
+    with open(os.path.join(st0, "m"), "w") as fh:
+        fh.write("base")
+    assert swap_dir_cas(path, st0, expected_version=0, pointer_mode=pmode) is None
+    assert version_number(path) == 1 and _read(path, "m") == "base"
+
+    # both writers read v1
+    seen_a = seen_b = version_number(path)
+    st_a, st_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+    for st, tag in ((st_a, "A"), (st_b, "B")):
+        os.makedirs(st)
+        with open(os.path.join(st, "m"), "w") as fh:
+            fh.write(tag)
+    displaced = swap_dir_cas(path, st_a, expected_version=seen_a)
+    assert displaced == path + ".v1"
+    assert version_number(path) == 2 and _read(path, "m") == "A"
+    with pytest.raises(CASConflict):
+        swap_dir_cas(path, st_b, expected_version=seen_b)
+    # loser: no partial state — staging intact, table still serves A
+    assert os.path.isdir(st_b) and os.path.isfile(os.path.join(st_b, "m"))
+    assert version_number(path) == 2 and _read(path, "m") == "A"
+    # retry after re-read succeeds
+    assert swap_dir_cas(path, st_b, expected_version=version_number(path)) == path + ".v2"
+    assert version_number(path) == 3 and _read(path, "m") == "B"
+
+
+@both_modes
+def test_swap_dir_cas_slot_claim_beats_stale_version_read(tmp_path, pmode):
+    """The narrower race: B re-checks the version AFTER A's slot claim
+    but BEFORE A's pointer flip (simulated by pre-claiming the slot).
+    B's conditional rename must lose on the slot itself — the pointer
+    check alone is not the commit point."""
+    from dvmax_spark.fsops import CASConflict, swap_dir_cas, version_number
+
+    path = str(tmp_path / "t")
+    st0 = str(tmp_path / "st0")
+    os.makedirs(st0)
+    assert swap_dir_cas(path, st0, expected_version=0, pointer_mode=pmode) is None
+
+    # A claimed .v2 (complete, non-empty) but crashed before the flip
+    os.makedirs(path + ".v2")
+    with open(os.path.join(path + ".v2", "m"), "w") as fh:
+        fh.write("A")
+    st_b = str(tmp_path / "sb")
+    os.makedirs(st_b)
+    with open(os.path.join(st_b, "m"), "w") as fh:
+        fh.write("B")
+    # B read v1 before A's claim; its commit must fail on the slot,
+    # and the conflict handler heals the pointer FORWARD onto A's
+    # complete-but-unflipped .v2 (the claim is the commit) so B's
+    # re-read sees the winner instead of livelocking on v1
+    with pytest.raises(CASConflict):
+        swap_dir_cas(path, st_b, expected_version=1)
+    assert os.path.isdir(st_b)
+    # ...and after re-reading the healed state, B lands on v3
+    assert _read(path, "m") == "A"
+    swap_dir_cas(path, st_b, expected_version=version_number(path))
+    assert version_number(path) == 3 and _read(path, "m") == "B"
+
+
+@both_modes
+def test_swap_dir_cas_real_process_race(tmp_path, pmode):
+    """TWO real processes race the same expected_version through a
+    barrier: exactly one wins, the loser raises CASConflict, the final
+    table serves the winner's bytes and exactly one new version dir
+    exists (no partial state, no backwards pointer)."""
+    import multiprocessing as mp
+
+    from dvmax_spark.fsops import swap_dir_cas, version_number
+
+    path = str(tmp_path / "t")
+    st0 = str(tmp_path / "st0")
+    os.makedirs(st0)
+    assert swap_dir_cas(path, st0, expected_version=0, pointer_mode=pmode) is None
+
+    def contender(tag: str, barrier, q) -> None:
+        from dvmax_spark.fsops import CASConflict, swap_dir_cas
+
+        st = str(tmp_path / f"st_{tag}")
+        os.makedirs(st)
+        with open(os.path.join(st, "m"), "w") as fh:
+            fh.write(tag)
+        barrier.wait()
+        try:
+            swap_dir_cas(path, st, expected_version=1)
+            q.put((tag, "won"))
+        except CASConflict:
+            q.put((tag, "lost"))
+
+    ctx = mp.get_context("fork")
+    barrier, q = ctx.Barrier(2), ctx.Queue()
+    ps = [ctx.Process(target=contender, args=(t, barrier, q)) for t in ("A", "B")]
+    for p in ps:
+        p.start()
+    results = dict(q.get(timeout=60) for _ in ps)
+    for p in ps:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    assert sorted(results.values()) == ["lost", "won"], results
+    winner = next(t for t, r in results.items() if r == "won")
+    loser = next(t for t, r in results.items() if r == "lost")
+    assert version_number(path) == 2
+    assert _read(path, "m") == winner
+    # loser's staging intact for retry; only the winner's .v2 exists
+    assert os.path.isfile(os.path.join(str(tmp_path / f"st_{loser}"), "m"))
+    assert not os.path.exists(path + ".v3")
