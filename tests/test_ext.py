@@ -1416,6 +1416,61 @@ def test_ppjoin_positional_filter_strictly_reduces_candidates(spark):
     assert (3, 4, 846_153) in got_with  # 11/13 = 0.846153...
 
 
+def test_ppjoin_accumulated_filter_beats_earliest_row_bound(spark):
+    """The r7 accumulated positional filter must prune a pair the
+    earliest-row bound provably cannot. Construction (t=0.5): X and Y
+    are 12 tokens each (prefix 7, minoverlap 8) sharing exactly m01
+    (rank 1) and m07 (rank 7) — earliest-row bound 1+min(11,11)=12
+    passes, accumulated bound cp + min(na-pa, nb-pb) = 2+5 = 7 < 8
+    prunes. True J = 2/22, so pruning is correct; the C~D near-dup
+    pair must survive, and the verified join is identical with the
+    filter off (lossless)."""
+    from dvmax_spark.ext.dedup import jaccard_prefix_candidates, jaccard_prefix_join
+
+    rows = []
+    x_fill = [f"m{i:02d}" for i in range(2, 7)] + [f"x{i:02d}" for i in range(8, 13)]
+    y_fill = [f"n{i:02d}" for i in range(2, 7)] + [f"y{i:02d}" for i in range(8, 13)]
+    rows.append((11, " ".join(["m01"] + x_fill[:5] + ["m07"] + x_fill[5:])))
+    rows.append((12, " ".join(["m01"] + y_fill[:5] + ["m07"] + y_fill[5:])))
+    hid = 200
+    for tok in x_fill + y_fill:  # every filler df=2 -> rank by name
+        rows.append((hid, tok))
+        hid += 1
+    common = [f"c{i:02d}" for i in range(11)]
+    rows.append((13, " ".join(common + ["only13"])))
+    rows.append((14, " ".join(common + ["only14"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with_f = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_candidates(
+            docs, 500_000, 1, positional_filter=True
+        ).collect()
+    }
+    without_f = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_candidates(
+            docs, 500_000, 1, positional_filter=False
+        ).collect()
+    }
+    assert (11, 12) in without_f
+    assert (11, 12) not in with_f  # the earliest-row bound (12 >= 8) kept it
+    assert (13, 14) in with_f
+    got_with = {
+        tuple(r)
+        for r in jaccard_prefix_join(
+            docs, 500_000, 1, positional_filter=True
+        ).collect()
+    }
+    got_without = {
+        tuple(r)
+        for r in jaccard_prefix_join(
+            docs, 500_000, 1, positional_filter=False
+        ).collect()
+    }
+    assert got_with == got_without  # lossless
+
+
 def test_oph_signature_matches_python_recurrence(spark):
     """OPH signature vs a pure-Python replay of the same rules (md5
     portable hash, bucket = h mod k, per-bucket min, cyclic-right
