@@ -494,12 +494,46 @@ def semantic_dedup_sql(
     """
 
 
+def _kmeans_multiprobe(
+    vecs: DataFrame, centers: DataFrame, nprobe: int, id_col: str
+) -> DataFrame:
+    """Each normalized vector's ``nprobe`` nearest KMeans centroids:
+    rows ``(id, vn, kbucket, prb)`` with prb = 1 the primary (argmin
+    squared euclidean) assignment. Ranking is deterministic (dist²
+    asc, kbucket asc on seeded centroids). For unit ``vn``,
+    ``dist² = 1 − 2·v·c + ‖c‖²``.
+
+    Scale shape: broadcast of k centroid rows against the corpus (k·N
+    intermediate rows) then a per-ID window over k rows — the IVF
+    coarse-assignment step. At paper scale (k = 50,000) this becomes
+    a batched Arrow matmul like cosine_topk_ivf's quantizer; at the
+    k ≤ tens used here the declarative form is one broadcast join."""
+    return (
+        vecs.crossJoin(F.broadcast(centers))
+        .withColumn(
+            "_dist2",
+            F.lit(1.0)
+            - 2.0 * dot(F.col("vn"), F.col("center"))
+            + dot(F.col("center"), F.col("center")),
+        )
+        .withColumn(
+            "prb",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_dist2", "kbucket")
+            ),
+        )
+        .where(F.col("prb") <= nprobe)
+        .drop("_dist2", "center")
+    )
+
+
 def semdedup_kmeans(
     emb: DataFrame,
     n_clusters: int = 8,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): the
     clustering-bucketed semantic-dedup recipe large pipelines cite —
@@ -519,9 +553,19 @@ def semdedup_kmeans(
     graph and verdict agreement vs :func:`semantic_dedup`'s
     LSH-bucketed form.
 
+    ``nprobe`` (r7): each vector joins its ``nprobe`` nearest
+    centroids' comparison pools (multi-probe, the IVF recall knob),
+    so a pair split across a cluster BOUNDARY is still compared when
+    either end's second-closest centroid is the other end's primary.
+    Costs nprobe× the pair-join input (per-cluster blocks of
+    ~(nprobe·N/k)²); the reported ``kbucket`` stays the primary
+    assignment, so downstream per-cluster logic is unchanged. Measured
+    at sf0.01/8 clusters: pair recall 0.57 → ≥0.75 at nprobe=2 (floor
+    pinned; cost delta recorded in SCALING.md).
+
     Scale shape: one KMeans fit over the (normalized) vectors (MLlib,
-    sampled init, seed pinned), one shuffle on cluster id for the
-    within-cluster self-join, then the bounded component propagation
+    sampled init, seed pinned), one shuffle on probe-cluster id for
+    the within-pool self-join, then the bounded component propagation
     of ext/dedup.py. Returns one row per vector:
     ``(id, kbucket, cluster_id, cluster_size, keep)``. Rows-only in
     the registry: MLlib KMeans has no cross-engine oracle (the LSH
@@ -537,18 +581,26 @@ def semdedup_kmeans(
     )
     ml_input = vecs.withColumn("features", array_to_vector("vn"))
     model = KMeans(k=n_clusters, seed=42, maxIter=20).fit(ml_input)
-    assigned = model.transform(ml_input).select(
-        id_col, "vn", F.col("prediction").alias("kbucket")
+    centers = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "kbucket int, center array<double>",
     )
-    a = assigned.select(
+    probed = _kmeans_multiprobe(
+        vecs.select(id_col, "vn"), centers, nprobe, id_col
+    )
+    assigned = probed.where(F.col("prb") == 1).select(id_col, "kbucket")
+    a = probed.select(
         F.col(id_col).alias("id_a"), F.col("vn").alias("va"), "kbucket"
     )
-    b = assigned.select(
+    b = probed.select(
         F.col(id_col).alias("id_b"), F.col("vn").alias("vb"), "kbucket"
     )
     pairs = (
         a.join(b, "kbucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        # a pair sharing several probe pools must score once
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b")
@@ -557,7 +609,7 @@ def semdedup_kmeans(
         emb.select(id_col), pairs, id_col=id_col, rank_col=None
     )
     return (
-        comp.join(assigned.select(id_col, "kbucket"), id_col)
+        comp.join(assigned, id_col)
         .select(id_col, "kbucket", "cluster_id", "cluster_size", "keep")
         .orderBy(id_col)
     )
@@ -570,6 +622,7 @@ def d4_prune(
     prune_frac: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 2,
 ) -> DataFrame:
     """D4 (Tirumala et al. 2023, arXiv:2308.12284): SemDeDup followed
     by SSL-prototype DIVERSIFICATION — after near-duplicate epsilon-
@@ -580,8 +633,10 @@ def d4_prune(
     The paper shows dedup-then-diversify beats either alone for LLM
     pretraining selection.
 
-    One KMeans fit serves both stages (the same seeded quantizer as
-    semdedup_kmeans); prototype ranking is a PARTITIONED window over
+    One KMeans fit serves both stages (the same seeded quantizer and
+    ``nprobe`` multi-probe pair pools as semdedup_kmeans, so the two
+    functions' dup sets coincide exactly — pinned by test); prototype
+    ranking is a PARTITIONED window over
     each cluster (cosine desc, id asc — deterministic); the per-cluster
     drop count is ``floor(prune_frac * survivors)``, so tiny clusters
     lose nothing and the realized prune fraction is always <= the
@@ -603,25 +658,28 @@ def d4_prune(
     )
     ml_input = vecs.withColumn("features", array_to_vector("vn"))
     model = KMeans(k=n_clusters, seed=42, maxIter=20).fit(ml_input)
-    assigned = model.transform(ml_input).select(
-        id_col, "vn", F.col("prediction").alias("kbucket")
-    )
     centers = emb.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "kbucket int, center array<double>",
     )
+    probed = _kmeans_multiprobe(vecs.select(id_col, "vn"), centers, nprobe, id_col)
+    assigned = probed.where(F.col("prb") == 1).select(id_col, "vn", "kbucket")
+    # prototype score vs the PRIMARY centroid (the paper's stage 2)
     scored = assigned.join(F.broadcast(centers), "kbucket").select(
         id_col,
         "kbucket",
         "vn",
         F.round(cosine(F.col("vn"), F.col("center")), 6).alias("centroid_cos"),
     )
-    # stage 1: SemDeDup within the same clusters
-    a = scored.select(F.col(id_col).alias("id_a"), F.col("vn").alias("va"), "kbucket")
-    b = scored.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vb"), "kbucket")
+    # stage 1: SemDeDup within the multi-probe pools — identical to
+    # semdedup_kmeans(nprobe=...) so the dup sets coincide exactly
+    a = probed.select(F.col(id_col).alias("id_a"), F.col("vn").alias("va"), "kbucket")
+    b = probed.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vb"), "kbucket")
     pairs = (
         a.join(b, "kbucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .where(F.col("cos") >= dedup_threshold)
         .select("id_a", "id_b")

@@ -502,13 +502,15 @@ def test_semantic_dedup_invariants(spark, emb):
 
 
 def test_semdedup_kmeans_recall_and_agreement_floors(spark, emb):
-    """SemDeDup's clustering-bucketed pair stage must find >= 50% of the
-    brute-force epsilon-ball pairs at threshold 0.45 (measured 0.57-0.71
-    on this corpus; misses are pairs split across KMeans boundaries —
-    the paper's documented recall/cost knob), its keep verdicts must
-    agree with the oracled LSH form on >= 95% of vectors (measured
-    0.98+), and the component invariants hold (one min-id keeper per
-    cluster). Deterministic: seeded KMeans on fixed data."""
+    """SemDeDup's clustering-bucketed pair stage at nprobe=2 (r7
+    multi-probe: each vector joins its two nearest centroids' pools)
+    must find >= 75% of the brute-force epsilon-ball pairs at
+    threshold 0.45 (r6 single-probe measured 0.57-0.71; the misses are
+    pairs split across KMeans boundaries — multi-probe is the paper's
+    recall/cost knob), its keep verdicts must agree with the oracled
+    LSH form on >= 95% of vectors (measured 0.98+), and the component
+    invariants hold (one min-id keeper per cluster). Deterministic:
+    seeded KMeans on fixed data."""
     from pyspark.sql import functions as F
 
     from dvmax_spark.ext.similarity import (
@@ -549,7 +551,7 @@ def test_semdedup_kmeans_recall_and_agreement_floors(spark, emb):
     lab = {r.vec_id: r.cluster_id for r in res.collect()}
     found = sum(1 for x, y in bf if lab[x] == lab[y])
     assert bf, "corpus lost its planted near-dups"
-    assert found / len(bf) >= 0.5, (found, len(bf))
+    assert found / len(bf) >= 0.75, (found, len(bf))
 
     # keep-verdict agreement with the LSH-bucketed oracled form
     lsh = {
