@@ -144,6 +144,7 @@ def train_bpe(
     num_merges: int = 16,
     min_count: int = 2,
     eow: str = "</w>",
+    checkpoint_mode: str = "local",
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges from a corpus.
 
@@ -154,11 +155,18 @@ def train_bpe(
     user persists and feeds to :func:`bpe_encode`.
 
     Each iteration: dict-sized pair count -> 1-row argmax collect ->
-    Catalyst fold applying the merge -> eager ``localCheckpoint`` (the
+    Catalyst fold applying the merge -> eager lineage cut (the
     dict is Heaps-law small, so re-materializing it per iteration is
-    cheap and keeps both lineage and codegen expression depth O(1)).
+    cheap and keeps both lineage and codegen expression depth O(1));
+    ``checkpoint_mode='reliable'`` puts the per-iteration cut on shared
+    storage so an executor loss resumes instead of failing the train
+    (operators/lineage.py).
     """
-    dict_df = word_symbol_dict(df, text_col, eow).localCheckpoint(eager=True)
+    from dvmax_spark.operators.lineage import cut_lineage
+
+    dict_df = cut_lineage(
+        word_symbol_dict(df, text_col, eow), mode=checkpoint_mode, eager=True
+    )
     merges: list[dict] = []
     for rank in range(num_merges):
         top = (
@@ -174,9 +182,13 @@ def train_bpe(
         merges.append(
             {"rank": rank, "left": left, "right": right, "merged": merged, "cnt": cnt}
         )
-        dict_df = dict_df.withColumn(
-            "symbols", _merge_fold(F.col("symbols"), left, right, merged)
-        ).localCheckpoint(eager=True)
+        dict_df = cut_lineage(
+            dict_df.withColumn(
+                "symbols", _merge_fold(F.col("symbols"), left, right, merged)
+            ),
+            mode=checkpoint_mode,
+            eager=True,
+        )
     return merges
 
 

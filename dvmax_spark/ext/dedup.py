@@ -426,6 +426,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     rank_col: str | None = None,
     max_iter: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Near-dup CLUSTER assignment + canonical selection — the step
     that turns pairwise near-dup evidence (from any of the pair
@@ -442,8 +443,10 @@ def dedup_clusters(
     (edges × labels, keyed on vertex id) + one min-aggregate, and only
     the pair graph's VERTICES iterate (singleton docs — the bulk of a
     real corpus — skip the loop entirely and rejoin at the end);
-    labels are ``localCheckpoint``-ed once per round so the plan
-    doesn't grow with iterations. At 100 TB,
+    labels are lineage-cut once per round so the plan
+    doesn't grow with iterations (``checkpoint_mode='reliable'`` puts
+    the per-round cut on shared storage so an executor loss mid-loop
+    resumes instead of failing — operators/lineage.py). At 100 TB,
     the same two primitives compose into the alternating
     large-star/small-star algorithm (Kiveris et al., "Connected
     Components in MapReduce and Beyond") for O(log n) worst-case
@@ -456,11 +459,13 @@ def dedup_clusters(
     Returns one row per input doc: (id, cluster_id, cluster_size,
     keep) — singletons are their own cluster with keep=true.
     """
-    edges = (
+    from dvmax_spark.operators.lineage import cut_lineage
+
+    edges = cut_lineage(
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .unionAll(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        mode=checkpoint_mode,
     )
     # Iterate ONLY over the pair graph's vertices: near-dup graphs are
     # sparse (most docs are singletons with no edges), and a singleton's
@@ -498,7 +503,7 @@ def dedup_clusters(
         # steps halves the job-submission + checkpoint overhead that
         # dominates each round's wall at the typical 2-4 round
         # convergence of star-like dup families.
-        stepped = _step(_step(labels)).localCheckpoint(eager=False)
+        stepped = cut_lineage(_step(_step(labels)), mode=checkpoint_mode)
         cur_sum = _label_sum(stepped)
         labels = stepped
         if cur_sum == prev_sum:
@@ -1484,6 +1489,7 @@ def pagerank_centrality(
     iters: int = 5,
     scale: int = 10**12,
     top_k: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Fixed-point PageRank over the undirected near-dup pair graph —
     the principled upgrade of :func:`canonical_by_degree`'s degree
@@ -1509,14 +1515,18 @@ def pagerank_centrality(
     Scale shape: each iteration is one join of the rank vector with the
     edge list (both partitioned by src after the first shuffle) plus
     one aggregation by dst — the canonical distributed PageRank step.
-    ``localCheckpoint`` per iteration truncates lineage, exactly as
-    :func:`dedup_clusters` does; at cluster scale the edge list would
-    be persisted once and reused across all iterations.
+    A lineage cut per iteration truncates the plan, exactly as
+    :func:`dedup_clusters` does (``checkpoint_mode='reliable'`` for
+    executor-loss-tolerant cuts on shared storage); at cluster scale
+    the edge list would be persisted once and reused across all
+    iterations.
     """
+    from dvmax_spark.operators.lineage import cut_lineage
+
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=False)
+    edges = cut_lineage(edges, mode=checkpoint_mode)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_row = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     # 1-row broadcast: N reaches every node without a driver collect
@@ -1549,8 +1559,8 @@ def pagerank_centrality(
                     " + (85 * coalesce(mass, 0L)) div 100"
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = cut_lineage(ranks, mode=checkpoint_mode)
     return (
         ranks.orderBy(F.desc("rank"), F.asc("src"))
         .limit(top_k)

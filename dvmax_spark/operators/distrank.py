@@ -44,10 +44,15 @@ def with_global_rank(
     order_by: Sequence[Column],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Add exact 1-based global ``row_number`` over ``order_by`` —
     which MUST be a total order (include a unique tie-break) — without
-    any unpartitioned window. See module docstring for the recipe."""
+    any unpartitioned window. See module docstring for the recipe.
+    ``checkpoint_mode='reliable'`` pins the ranged layout on shared
+    storage instead of executor memory (operators/lineage.py)."""
+    from dvmax_spark.operators.lineage import cut_lineage
+
     order_by = list(order_by)
     spark = df.sparkSession
     if num_partitions is None:
@@ -55,7 +60,11 @@ def with_global_rank(
             num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
             num_partitions = 32
-    ranged = df.repartitionByRange(num_partitions, *order_by).localCheckpoint()
+    ranged = cut_lineage(
+        df.repartitionByRange(num_partitions, *order_by),
+        mode=checkpoint_mode,
+        eager=True,
+    )
     pid = ranged.withColumn("_gr_pid", F.spark_partition_id())
     # Bounded collect: one row per physical partition (== num_partitions).
     counts = {
@@ -113,12 +122,19 @@ def with_exact_ntile(
     n: int,
     out_col: str = "bucket",
     num_partitions: int | None = None,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY ...)`` via :func:`with_global_rank`
     plus ntile's published arithmetic (first ``N mod n`` buckets take
     ``ceil(N/n)`` rows, the rest ``floor(N/n)``) — bit-identical to the
     single-window form for a total order, no unpartitioned window."""
-    ranked = with_global_rank(df, order_by, out_col="_gr_rn", num_partitions=num_partitions)
+    ranked = with_global_rank(
+        df,
+        order_by,
+        out_col="_gr_rn",
+        num_partitions=num_partitions,
+        checkpoint_mode=checkpoint_mode,
+    )
     total = ranked.agg(F.count(F.lit(1)).alias("_gr_n"))
     # All arithmetic in bigint `div`/`%` — double division is only exact
     # while N < 2^53, which would break the module's bit-exactness
