@@ -507,14 +507,18 @@ def _kmeans_multiprobe(
     intermediate rows) then a per-ID window over k rows — the IVF
     coarse-assignment step. At paper scale (k = 50,000) this becomes
     a batched Arrow matmul like cosine_topk_ivf's quantizer; at the
-    k ≤ tens used here the declarative form is one broadcast join."""
+    k ≤ tens used here the declarative form is one broadcast join.
+    ‖c‖² is computed once per centroid on the (materialized) broadcast
+    side, and the OUTPUT is lineage-cut: the interpreted fold
+    expressions (normalize, dot) would otherwise re-inline into every
+    downstream reference — the documented higher-order-lambda hazard —
+    and callers reference the probe table several times."""
+    centers2 = centers.withColumn("_c2", dot(F.col("center"), F.col("center")))
     return (
-        vecs.crossJoin(F.broadcast(centers))
+        vecs.crossJoin(F.broadcast(centers2))
         .withColumn(
             "_dist2",
-            F.lit(1.0)
-            - 2.0 * dot(F.col("vn"), F.col("center"))
-            + dot(F.col("center"), F.col("center")),
+            F.lit(1.0) - 2.0 * dot(F.col("vn"), F.col("center")) + F.col("_c2"),
         )
         .withColumn(
             "prb",
@@ -523,7 +527,8 @@ def _kmeans_multiprobe(
             ),
         )
         .where(F.col("prb") <= nprobe)
-        .drop("_dist2", "center")
+        .drop("_dist2", "_c2", "center")
+        .localCheckpoint(eager=False)
     )
 
 
@@ -576,8 +581,14 @@ def semdedup_kmeans(
 
     from dvmax_spark.ext.dedup import dedup_clusters
 
-    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
-        "vn", F.transform("v", lambda x: x / norm(F.col("v")))
+    # lineage-cut the normalized projection: the per-element normalize
+    # fold would otherwise re-inline into the KMeans features AND every
+    # probe/pair reference (HOF-inlining hazard, see _kmeans_multiprobe)
+    vecs = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("vn", F.transform("v", lambda x: x / norm(F.col("v"))))
+        .select(id_col, "vn")
+        .localCheckpoint(eager=False)
     )
     ml_input = vecs.withColumn("features", array_to_vector("vn"))
     model = KMeans(k=n_clusters, seed=42, maxIter=20).fit(ml_input)
@@ -585,9 +596,7 @@ def semdedup_kmeans(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "kbucket int, center array<double>",
     )
-    probed = _kmeans_multiprobe(
-        vecs.select(id_col, "vn"), centers, nprobe, id_col
-    )
+    probed = _kmeans_multiprobe(vecs, centers, nprobe, id_col)
     assigned = probed.where(F.col("prb") == 1).select(id_col, "kbucket")
     a = probed.select(
         F.col(id_col).alias("id_a"), F.col("vn").alias("va"), "kbucket"
@@ -601,7 +610,9 @@ def semdedup_kmeans(
         .select("id_a", "id_b", "va", "vb")
         # a pair sharing several probe pools must score once
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        # va/vb are unit-norm, so the dot product IS the cosine —
+        # skipping the two redundant norm folds per pair row
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 4))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
@@ -653,8 +664,12 @@ def d4_prune(
 
     from dvmax_spark.ext.dedup import dedup_clusters
 
-    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
-        "vn", F.transform("v", lambda x: x / norm(F.col("v")))
+    # same HOF-inlining guard as semdedup_kmeans (see there)
+    vecs = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("vn", F.transform("v", lambda x: x / norm(F.col("v"))))
+        .select(id_col, "vn")
+        .localCheckpoint(eager=False)
     )
     ml_input = vecs.withColumn("features", array_to_vector("vn"))
     model = KMeans(k=n_clusters, seed=42, maxIter=20).fit(ml_input)
@@ -662,7 +677,7 @@ def d4_prune(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "kbucket int, center array<double>",
     )
-    probed = _kmeans_multiprobe(vecs.select(id_col, "vn"), centers, nprobe, id_col)
+    probed = _kmeans_multiprobe(vecs, centers, nprobe, id_col)
     assigned = probed.where(F.col("prb") == 1).select(id_col, "vn", "kbucket")
     # prototype score vs the PRIMARY centroid (the paper's stage 2)
     scored = assigned.join(F.broadcast(centers), "kbucket").select(
@@ -680,7 +695,9 @@ def d4_prune(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "va", "vb")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        # va/vb are unit-norm, so the dot product IS the cosine —
+        # skipping the two redundant norm folds per pair row
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 4))
         .where(F.col("cos") >= dedup_threshold)
         .select("id_a", "id_b")
     )
