@@ -1529,8 +1529,13 @@ def pagerank_centrality(
     edges = cut_lineage(edges, mode=checkpoint_mode)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_row = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    # 1-row broadcast: N reaches every node without a driver collect
-    nodes = deg.crossJoin(F.broadcast(n_row))
+    # 1-row broadcast: N reaches every node without a driver collect.
+    # nodes is STATIC across iterations — cut its lineage once so the
+    # per-iteration materialization doesn't re-aggregate the edge list
+    # every round (one degree groupBy total instead of one per round)
+    nodes = cut_lineage(
+        deg.crossJoin(F.broadcast(n_row)), mode=checkpoint_mode
+    )
     ranks = nodes.select(
         "src", "outdeg", "n_nodes", F.expr(f"{scale} div n_nodes").alias("rank")
     )
