@@ -134,6 +134,87 @@ def unigram_logprob_sql(table: str = "documents") -> str:
     """
 
 
+def ccnet_buckets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC 2020): per LANGUAGE, order documents best-first by LM
+    score and split at one-third / two-thirds of the CUMULATIVE
+    CHARACTER MASS — the paper buckets by corpus volume, not document
+    count, so a few long fluent documents can fill `head` on their own.
+
+    The LM is the order-0 corpus unigram model (:func:`unigram_logprob`
+    — CCNet's Kneser-Ney LM reduced to the in-repo exact form); higher
+    ``avg_logprob`` = lower perplexity = better. The per-language
+    running mass uses the distributed exact per-group cumsum
+    (operators/distrank.py:with_group_cumsum) — no per-language window
+    pool, so a corpus that is 95% English never bottlenecks on one
+    task. Boundaries compare ``3·cum ≤ total`` / ``3·cum ≤ 2·total`` in
+    bigint, so bucket assignment is exact at any corpus size.
+
+    Returns one row per (lang, bucket): document count, character
+    mass, and the score range the bucket spans.
+    """
+    from dvmax_spark.operators.distrank import with_group_cumsum
+
+    scored = unigram_logprob(df, id_col=id_col).select(id_col, "avg_logprob")
+    j = df.select(
+        id_col, "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).join(scored, id_col)
+    cum = with_group_cumsum(
+        j,
+        ["lang"],
+        [F.col("avg_logprob").desc(), F.col(id_col).asc()],
+        "n_chars",
+        out_col="cum",
+    )
+    totals = j.groupBy("lang").agg(F.sum("n_chars").alias("total"))
+    bucket = (
+        F.when(F.col("cum") * 3 <= F.col("total"), F.lit("head"))
+        .when(F.col("cum") * 3 <= F.col("total") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        cum.join(F.broadcast(totals), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def ccnet_buckets_sql(table: str = "documents") -> str:
+    return f"""
+    WITH scored AS ({unigram_logprob_sql(table)}),
+    j AS (
+      SELECT s.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+             s.avg_logprob
+      FROM scored s JOIN {table} d USING (doc_id)
+    ), c AS (
+      SELECT lang, n_chars, avg_logprob,
+             sum(n_chars) OVER (PARTITION BY lang
+                                ORDER BY avg_logprob DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+             sum(n_chars) OVER (PARTITION BY lang) AS total
+      FROM j
+    )
+    SELECT lang,
+           CASE WHEN cum * 3 <= total THEN 'head'
+                WHEN cum * 3 <= total * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           min(avg_logprob) AS min_lp,
+           max(avg_logprob) AS max_lp
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language stopword-hit counts (with multiplicity) + predicted
     language (argmax, ties broken by LANG_STOPWORDS key order)."""

@@ -116,6 +116,85 @@ def with_hash_slice(
     )
 
 
+def with_group_cumsum(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Exact per-group running sum — ``sum(value) OVER (PARTITION BY
+    group ORDER BY order ROWS UNBOUNDED PRECEDING)`` — without ever
+    forming a per-GROUP window pool (a hot group = one giant pool = the
+    same single-task bottleneck :func:`with_global_rank` exists to
+    avoid). Recipe:
+
+      1. range-shuffle on (group, order) — groups land CONTIGUOUS
+         across partition boundaries, so a hot group spreads over many
+         partitions instead of pooling in one;
+      2. pin the layout (lineage cut) so steps 3-4 see the same
+         physical partitioning;
+      3. per-(partition, group) sums (map-side combine collapses each
+         task to its distinct groups before a tiny shuffle), then
+         per-group cross-partition offsets via a window whose pool is
+         provably ≤ ``num_partitions`` rows. Only groups that SPAN a
+         partition boundary have a non-null offset, and range
+         partitioning crosses each of the ``num_partitions - 1``
+         boundaries with at most one group — so the offset table is
+         ≤ ``num_partitions - 1`` rows: always broadcastable;
+      4. per-(partition, group) running sum (pool bounded by the
+         physical partition size, never by group size) + the broadcast
+         offset.
+
+    Exactness: bit-identical to the single-window form for integral /
+    decimal ``value_col`` (float sums inherit the usual associativity
+    caveat — the offset regroups additions) given a TOTAL ``order_by``
+    within each group (include a unique tie-break). ``group_by=[]``
+    degenerates to an exact GLOBAL cumsum (the offset window keys on a
+    constant; its pool is the ≤ ``num_partitions``-row sums table, not
+    the input)."""
+    from dvmax_spark.operators.lineage import cut_lineage
+
+    group_by = list(group_by)
+    order_by = list(order_by)
+    spark = df.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_partitions = 32
+    range_keys = [F.col(g) for g in group_by] + order_by
+    ranged = cut_lineage(
+        df.repartitionByRange(num_partitions, *range_keys),
+        mode=checkpoint_mode,
+        eager=True,
+    )
+    pid = ranged.withColumn("_gc_pid", F.spark_partition_id())
+    psums = pid.groupBy("_gc_pid", *group_by).agg(F.sum(value_col).alias("_gc_s"))
+    off_part = [F.col(g) for g in group_by] or [F.lit(0)]
+    w_off = (
+        Window.partitionBy(*off_part)
+        .orderBy("_gc_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = psums.select(
+        "_gc_pid", *group_by, F.sum("_gc_s").over(w_off).alias("_gc_off")
+    ).where(F.col("_gc_off").isNotNull())
+    w_run = (
+        Window.partitionBy("_gc_pid", *group_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pid.withColumn("_gc_run", F.sum(value_col).over(w_run))
+    return (
+        run.join(F.broadcast(offs), ["_gc_pid", *group_by], "left")
+        .withColumn(out_col, F.col("_gc_run") + F.coalesce(F.col("_gc_off"), F.lit(0)))
+        .drop("_gc_pid", "_gc_run", "_gc_off")
+    )
+
+
 def with_exact_ntile(
     df: DataFrame,
     order_by: Sequence[Column],

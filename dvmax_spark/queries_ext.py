@@ -659,6 +659,26 @@ def x_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+@query(
+    "x_ccnet_buckets",
+    ids=("X8",),
+    sql=__import__(
+        "dvmax_spark.ext.textstats", fromlist=["ccnet_buckets_sql"]
+    ).ccnet_buckets_sql(),
+)
+def x_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail partition (Wenzek et al., LREC 2020):
+    per language, docs ordered best-first by corpus-unigram LM score,
+    split at 1/3 and 2/3 of the cumulative CHARACTER mass — the
+    paper's by-volume bucketing, exact in bigint. The per-language
+    running mass runs on the distributed exact per-group cumsum
+    (operators/distrank.py:with_group_cumsum), so a 95%-one-language
+    corpus never pools in a single window task."""
+    from dvmax_spark.ext.textstats import ccnet_buckets
+
+    return ccnet_buckets(load_table(spark, "documents", sf))
+
+
 @query("x_lang_id", ids=("X9",), sql=lang_id_sql())
 def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-heuristic language ID: per-language hit counts +

@@ -400,6 +400,57 @@ def test_distributed_ntile_matches_single_window(spark):
         assert got.join(exp, "id").where(got["b"] != exp["b"]).count() == 0, n
 
 
+def test_distributed_group_cumsum_matches_single_window(spark):
+    """with_group_cumsum equals the per-group windowed running sum
+    exactly on a skewed corpus (one group holds ~80% of rows — the
+    shape the operator exists for), equals the GLOBAL running sum when
+    group_by=[], survives empty input, and its big-table window
+    partitions by physical partition id, never by group."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dvmax_spark.operators.distrank import with_group_cumsum
+
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            "hot" if rng.random() < 0.8 else f"g{rng.randint(0, 40)}",
+            rng.randint(1, 100),
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long").repartition(11)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = with_group_cumsum(df, ["g"], order, "v", out_col="c")
+    exp = df.withColumn(
+        "c",
+        F.sum("v").over(
+            Window.partitionBy("g")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert got.join(exp, "id").where(got["c"] != exp["c"]).count() == 0
+    # the running-sum window (the one over the full table) must key on
+    # the physical partition id — group-sized pools never form
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    run_lines = [l for l in plan.splitlines() if "Window [" in l and "_gc_run" in l]
+    assert run_lines and all("_gc_pid" in l for l in run_lines), plan
+    # group_by=[] degenerates to the exact global cumsum
+    gg = with_group_cumsum(df, [], [F.col("id").asc()], "v", out_col="c")
+    ge = df.withColumn(
+        "c",
+        F.sum("v").over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert gg.join(ge, "id").where(gg["c"] != ge["c"]).count() == 0
+    # empty input survives (offset table empty)
+    assert with_group_cumsum(df.where(F.lit(False)), ["g"], order, "v").count() == 0
+
+
 def test_distributed_rank_fuzz_vs_single_window(spark):
     """Differential fuzz: random data shapes (duplicated order-key
     values, nulls, skewed distributions, tiny and odd-sized inputs,
