@@ -825,6 +825,99 @@ def token_budget_plan_sql(
     """
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int = 2_000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXECUTE a per-source token budget — the selection step after
+    :func:`token_budget_plan`'s spreadsheet step: within each source,
+    take documents best-first by quality until the next document would
+    push the source's cumulative token mass past ``budget`` (greedy
+    prefix: a doc is kept iff its own running total still fits). This
+    is the "give me N tokens per domain, best first" primitive a
+    mixture schedule compiles down to.
+
+    Quality is the X8 heuristic rounded to 4dp BEFORE ordering (the
+    verify-skill float-rank rule); token mass and the budget gate are
+    bigint, so the cut is exact at any corpus size. The per-source
+    running mass uses the distributed exact per-group cumsum
+    (operators/distrank.py:with_group_cumsum) — no per-source window
+    pool, so one whale domain cannot serialize the selection.
+
+    Returns per source: docs seen/kept, kept token mass, and the
+    quality floor the budget implies (min kept q — the effective
+    quality bar the budget buys).
+    """
+    from dvmax_spark.ext.textstats import quality_score
+    from dvmax_spark.operators.distrank import with_group_cumsum
+
+    q = quality_score(df).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.round("quality", 4).alias("q"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_toks"),
+    )
+    cum = with_group_cumsum(
+        q,
+        [source_col],
+        [F.col("q").desc(), F.col(id_col).asc()],
+        "n_toks",
+        out_col="cum_toks",
+    )
+    kept = F.col("cum_toks") <= int(budget)
+    return (
+        cum.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("int")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+            F.min(F.when(kept, F.col("q"))).alias("min_kept_q"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def token_budget_select_sql(budget: int = 2_000, table: str = "documents") -> str:
+    """DuckDB twin of :func:`token_budget_select` (same X8 quality
+    expression and 4dp pre-order rounding as the x_quality_score and
+    x_source_quota oracles; window cumsum replaces the distributed
+    form)."""
+    b = int(budget)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, str_split(text, ' ') AS toks FROM {table}
+    ), s AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             len(toks)::DOUBLE AS n,
+             len(list_distinct(toks))::DOUBLE AS nd,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is')))::DOUBLE AS ns
+      FROM t
+    ), q AS (
+      SELECT doc_id, source, n_toks,
+             round(0.4 * least(n / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN n > 0 THEN nd / n ELSE 0 END)
+                 + 0.3 * least((CASE WHEN n > 0 THEN ns / n ELSE 0 END) * 4.0, 1.0), 4) AS q
+      FROM s
+    ), c AS (
+      SELECT *, sum(n_toks) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum_toks
+      FROM q
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN cum_toks <= {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cum_toks <= {b} THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+           min(CASE WHEN cum_toks <= {b} THEN q END) AS min_kept_q
+    FROM c GROUP BY source ORDER BY source
+    """
+
+
 def mixture_schedule(
     df: DataFrame,
     n_bands: int = 5,

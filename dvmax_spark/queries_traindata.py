@@ -247,6 +247,8 @@ from dvmax_spark.ext.traindata import (
     source_quota_sql,
     token_budget_plan,
     token_budget_plan_sql,
+    token_budget_select,
+    token_budget_select_sql,
 )
 
 
@@ -270,6 +272,21 @@ def x_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
     return token_budget_plan(
         load_table(spark, "documents", sf), budget=50_000, boost_source="src0"
     )
+
+
+@query(
+    "x_token_budget_select",
+    ids=("X21", "X8"),
+    sql=token_budget_select_sql(budget=2_000),
+)
+def x_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Execute a per-source token budget: within each source keep docs
+    best-first by the X8 quality heuristic while the running token
+    mass stays within 2k tokens — the greedy selection that realizes
+    a mixture plan's allocation. Exact bigint gate; per-source running
+    mass on the distributed exact per-group cumsum (no per-source
+    window pool)."""
+    return token_budget_select(load_table(spark, "documents", sf), budget=2_000)
 
 
 from dvmax_spark.ext.textstats import feature_hash, feature_hash_sql
