@@ -151,10 +151,13 @@ def with_group_cumsum(
     Exactness: bit-identical to the single-window form for integral /
     decimal ``value_col`` (float sums inherit the usual associativity
     caveat — the offset regroups additions) given a TOTAL ``order_by``
-    within each group (include a unique tie-break). ``group_by=[]``
-    degenerates to an exact GLOBAL cumsum (the offset window keys on a
-    constant; its pool is the ≤ ``num_partitions``-row sums table, not
-    the input)."""
+    within each group (include a unique tie-break). Null semantics
+    match the window form too: a null GROUP key is one group (the
+    offset re-join is null-safe), and null VALUES follow SQL's
+    null-skipping sum (the running value is null only while the group
+    has seen no non-null value yet). ``group_by=[]`` degenerates to an
+    exact GLOBAL cumsum (the offset window keys on a constant; its
+    pool is the ≤ ``num_partitions``-row sums table, not the input)."""
     from dvmax_spark.operators.lineage import cut_lineage
 
     group_by = list(group_by)
@@ -180,7 +183,9 @@ def with_group_cumsum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = psums.select(
-        "_gc_pid", *group_by, F.sum("_gc_s").over(w_off).alias("_gc_off")
+        F.col("_gc_pid").alias("_gc_opid"),
+        *[F.col(g).alias(f"_gc_g{i}") for i, g in enumerate(group_by)],
+        F.sum("_gc_s").over(w_off).alias("_gc_off"),
     ).where(F.col("_gc_off").isNotNull())
     w_run = (
         Window.partitionBy("_gc_pid", *group_by)
@@ -188,11 +193,57 @@ def with_group_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     run = pid.withColumn("_gc_run", F.sum(value_col).over(w_run))
+    # null-SAFE offset join: a null group key is one group to the
+    # window/groupBy above, so the re-join must treat it as one group
+    # too (a plain equi-join would drop a null-keyed group's offsets)
+    cond = F.col("_gc_pid") == F.col("_gc_opid")
+    for i, g in enumerate(group_by):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_gc_g{i}"))
+    # null-skipping sum semantics, exactly as the single window: null
+    # only while NO non-null value has been seen in the group so far
+    # (offset rows exist iff an earlier partition saw one)
+    cum = F.when(
+        F.col("_gc_run").isNull() & F.col("_gc_off").isNull(), F.lit(None)
+    ).otherwise(F.coalesce(F.col("_gc_run"), F.lit(0)) + F.coalesce(F.col("_gc_off"), F.lit(0)))
     return (
-        run.join(F.broadcast(offs), ["_gc_pid", *group_by], "left")
-        .withColumn(out_col, F.col("_gc_run") + F.coalesce(F.col("_gc_off"), F.lit(0)))
-        .drop("_gc_pid", "_gc_run", "_gc_off")
+        run.join(F.broadcast(offs), cond, "left")
+        .withColumn(out_col, cum)
+        .drop(
+            "_gc_pid",
+            "_gc_run",
+            "_gc_off",
+            "_gc_opid",
+            *[f"_gc_g{i}" for i in range(len(group_by))],
+        )
     )
+
+
+def with_group_rank(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Exact 1-based per-group ``row_number`` — ``row_number() OVER
+    (PARTITION BY group ORDER BY order)`` — without a per-GROUP window
+    pool: :func:`with_group_cumsum` over a constant 1 (``order_by``
+    must be total within each group). Use when a group can be a whale
+    (per-domain ranking on a crawl where one domain is half the
+    corpus); for groups bounded by construction the plain partitioned
+    window is cheaper."""
+    marked = df.withColumn("_gr_one", F.lit(1).cast("long"))
+    out = with_group_cumsum(
+        marked,
+        group_by,
+        order_by,
+        "_gr_one",
+        out_col=out_col,
+        num_partitions=num_partitions,
+        checkpoint_mode=checkpoint_mode,
+    )
+    return out.drop("_gr_one")
 
 
 def with_exact_ntile(

@@ -451,6 +451,70 @@ def test_distributed_group_cumsum_matches_single_window(spark):
     assert with_group_cumsum(df.where(F.lit(False)), ["g"], order, "v").count() == 0
 
 
+def test_distributed_group_cumsum_null_semantics(spark):
+    """Null EDGE parity with the single-window form: a null group key
+    is one group (the offset re-join is null-safe — a plain equi-join
+    would silently drop its cross-partition offsets), and null values
+    follow SQL's null-skipping sum (running value null only while the
+    group has seen no non-null value yet). Forced to span partitions
+    via num_partitions > distinct keys."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dvmax_spark.operators.distrank import with_group_cumsum
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(600):
+        g = None if rng.random() < 0.5 else f"g{rng.randint(0, 2)}"
+        # long null runs at the FRONT of the order so some partition's
+        # whole prefix (and some whole partitions) are null-valued
+        v = None if i % 600 < 200 and rng.random() < 0.9 else rng.randint(0, 5)
+        rows.append((i, g, v))
+    df = spark.createDataFrame(rows, "id long, g string, v long").repartition(5)
+    order = [F.col("id").asc()]
+    got = with_group_cumsum(df, ["g"], order, "v", out_col="c", num_partitions=16)
+    exp = df.withColumn(
+        "c",
+        F.sum("v").over(
+            Window.partitionBy("g")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    bad = (
+        got.select("id", "c")
+        .join(exp.select("id", F.col("c").alias("c2")), "id")
+        .where(~F.col("c").eqNullSafe(F.col("c2")))
+    )
+    assert bad.count() == 0, bad.orderBy("id").limit(5).collect()
+
+
+def test_distributed_group_rank_matches_single_window(spark):
+    """with_group_rank equals the per-group row_number exactly on a
+    skewed layout (hot group spans many partitions)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dvmax_spark.operators.distrank import with_group_rank
+
+    rng = random.Random(57)
+    rows = [
+        (i, "hot" if rng.random() < 0.7 else f"g{rng.randint(0, 9)}", rng.random())
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(9)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = with_group_rank(df, ["g"], order, "rn", num_partitions=16)
+    exp = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy(*order))
+    )
+    assert got.join(exp, "id").where(got["rn"] != exp["rn"]).count() == 0
+    assert "_gr_one" not in got.columns
+
+
 def test_distributed_rank_fuzz_vs_single_window(spark):
     """Differential fuzz: random data shapes (duplicated order-key
     values, nulls, skewed distributions, tiny and odd-sized inputs,
