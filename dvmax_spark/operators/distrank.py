@@ -246,6 +246,60 @@ def with_group_rank(
     return out.drop("_gr_one")
 
 
+def with_group_ntile(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (PARTITION BY group ORDER BY ...)``
+    without per-group window pools: :func:`with_group_rank` for the
+    in-group position, a per-group count (one aggregate row per group,
+    partial-agg'd), and ntile's published arithmetic in bigint — the
+    grouped completion of :func:`with_exact_ntile`. The count re-join
+    keys on the group (null-safe, matching the rank's grouping); it is
+    a plain shuffle join so a billion tiny groups work as well as five
+    whale groups."""
+    ranked = with_group_rank(
+        df,
+        group_by,
+        order_by,
+        out_col="_gn_rn",
+        num_partitions=num_partitions,
+        checkpoint_mode=checkpoint_mode,
+    )
+    group_by = list(group_by)
+    counts = ranked.groupBy(*[F.col(g).alias(f"_gn_g{i}") for i, g in enumerate(group_by)]).agg(
+        F.count(F.lit(1)).alias("_gn_n")
+    )
+    cond = F.lit(True)
+    for i, g in enumerate(group_by):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_gn_g{i}"))
+    joined = (
+        ranked.join(counts, cond, "inner")
+        .withColumn("_gn_small", F.greatest(F.expr(f"_gn_n div {n}"), F.lit(1)))
+        .withColumn("_gn_big", F.expr(f"_gn_n div {n}") + 1)
+        .withColumn("_gn_cut", (F.col("_gn_n") % n) * F.col("_gn_big"))
+    )
+    bucket = F.when(
+        F.col("_gn_rn") <= F.col("_gn_cut"),
+        F.expr("(_gn_rn - 1) div _gn_big") + 1,
+    ).otherwise(
+        F.col("_gn_n") % n + F.expr("(_gn_rn - 1 - _gn_cut) div _gn_small") + 1
+    )
+    return joined.withColumn(out_col, bucket.cast("int")).drop(
+        "_gn_rn",
+        "_gn_n",
+        "_gn_small",
+        "_gn_big",
+        "_gn_cut",
+        *[f"_gn_g{i}" for i in range(len(group_by))],
+    )
+
+
 def with_exact_ntile(
     df: DataFrame,
     order_by: Sequence[Column],

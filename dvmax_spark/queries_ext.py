@@ -679,6 +679,60 @@ def x_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return ccnet_buckets(load_table(spark, "documents", sf))
 
 
+@query(
+    "x_ppl_quartiles",
+    ids=("X8",),
+    sql="""
+    WITH scored AS ({inner}),
+    j AS (
+      SELECT s.doc_id, d.lang, s.avg_logprob
+      FROM scored s JOIN documents d USING (doc_id)
+    ), q AS (
+      SELECT lang, avg_logprob,
+             ntile(4) OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id) AS quartile
+      FROM j
+    )
+    SELECT lang, quartile, count(*) AS n_docs,
+           min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+    FROM q GROUP BY 1, 2 ORDER BY 1, 2
+    """.format(
+        inner=__import__(
+            "dvmax_spark.ext.textstats", fromlist=["unigram_logprob_sql"]
+        ).unigram_logprob_sql()
+    ),
+)
+def x_ppl_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language perplexity quartiles over the corpus-unigram LM
+    score (best-first, doc_id tie-break): the doc-count-balanced
+    sibling of x_ccnet_buckets' by-mass split, used to pick per-band
+    sampling rates. Quartile assignment runs on the distributed exact
+    grouped ntile (operators/distrank.py:with_group_ntile) — ntile's
+    published arithmetic in bigint, no per-language window pool."""
+    from dvmax_spark.ext.textstats import unigram_logprob
+    from dvmax_spark.operators.distrank import with_group_ntile
+
+    docs = load_table(spark, "documents", sf)
+    scored = unigram_logprob(docs).select("doc_id", "avg_logprob")
+    j = docs.select("doc_id", "lang").join(scored, "doc_id")
+    q = with_group_ntile(
+        j,
+        ["lang"],
+        [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
+        4,
+        out_col="quartile",
+    )
+    return (
+        q.groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+        )
+        .orderBy("lang", "quartile")
+    )
+
+
 @query("x_lang_id", ids=("X9",), sql=lang_id_sql())
 def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-heuristic language ID: per-language hit counts +

@@ -515,6 +515,34 @@ def test_distributed_group_rank_matches_single_window(spark):
     assert "_gr_one" not in got.columns
 
 
+def test_distributed_group_ntile_matches_single_window(spark):
+    """with_group_ntile reproduces ntile's arithmetic per group: even
+    and ragged splits, n larger than a group, null group keys, and a
+    hot group spanning many partitions."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dvmax_spark.operators.distrank import with_group_ntile
+
+    rng = random.Random(73)
+    rows = []
+    for i in range(2500):
+        r = rng.random()
+        g = "hot" if r < 0.6 else (None if r < 0.7 else f"g{rng.randint(0, 6)}")
+        rows.append((i, g, rng.random()))
+    # one singleton group (n >> group size)
+    rows.append((99999, "solo", 0.5))
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(9)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    for n in (3, 4, 7, 500):
+        got = with_group_ntile(df, ["g"], order, n, "b", num_partitions=16)
+        exp = df.withColumn(
+            "b", F.ntile(n).over(Window.partitionBy("g").orderBy(*order))
+        )
+        assert got.join(exp, "id").where(got["b"] != exp["b"]).count() == 0, n
+
+
 def test_distributed_rank_fuzz_vs_single_window(spark):
     """Differential fuzz: random data shapes (duplicated order-key
     values, nulls, skewed distributions, tiny and odd-sized inputs,
