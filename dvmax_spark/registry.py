@@ -130,6 +130,11 @@ PRIORITY: tuple[str, ...] = (
     "x_frame_sample",
     "x_ml_walk_forward",
     "x_score_portfolio",
+    # r8 rotation candidates (new in r7, value-exact in PARITY.md but
+    # no driver row yet): x_ccnet_buckets, x_token_budget_select,
+    # x_ppl_quartiles — each covers X8/X21, already covered in-cap, so
+    # they wait for slots rather than displace this round's heavy-
+    # family evidence.
     # --- everything below is redundant-coverage / variant evidence ---
     # r7 rotation: displaced from the evidence window (IDs still
     # covered in-cap); each has a green r6 driver row + PARITY.md
