@@ -300,6 +300,68 @@ def with_group_ntile(
     )
 
 
+def group_median_exact(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    tiebreak: Sequence[Column],
+    out_col: str = "median",
+    num_partitions: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """EXACT median per group, whale-group-safe: rank each group's
+    values with :func:`with_group_rank` (no per-group pool), then keep
+    the middle rank(s) and average them. The parity trick makes one
+    filter serve both cases: ``2·rank ∈ {n, n+1, n+2}`` matches exactly
+    the single middle rank when n is odd (only n+1 is even) and exactly
+    the two middle ranks when n is even (n and n+2 are) — so the final
+    per-group aggregate averages one or two rows and equals SQL's
+    interpolated ``median()`` / ``quantile_cont(0.5)`` whenever the
+    midpoint arithmetic is exact (integral-valued doubles, decimals).
+
+    ``tiebreak`` must make (value, tiebreak) total per group — ties in
+    VALUE don't change which values occupy the middle ranks, but the
+    rank substrate requires a total order. Contrast with the built-in
+    ``percentile``/``median`` aggregates, which pool each group's
+    values into one task's OpenHashMap: this form's largest single
+    pool is a physical partition, at any group skew.
+
+    Returns one row per group: (group..., n_rows, out_col).
+    """
+    ranked = with_group_rank(
+        df,
+        group_by,
+        [F.col(value_col).asc(), *tiebreak],
+        out_col="_gm_rk",
+        num_partitions=num_partitions,
+        checkpoint_mode=checkpoint_mode,
+    )
+    group_by = list(group_by)
+    counts = ranked.groupBy(
+        *[F.col(g).alias(f"_gm_g{i}") for i, g in enumerate(group_by)]
+    ).agg(F.count(F.lit(1)).alias("_gm_n"))
+    cond = F.lit(True)
+    for i, g in enumerate(group_by):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_gm_g{i}"))
+    two_rk = F.col("_gm_rk") * 2
+    mid = (
+        ranked.join(counts, cond, "inner")
+        .where(
+            (two_rk == F.col("_gm_n"))
+            | (two_rk == F.col("_gm_n") + 1)
+            | (two_rk == F.col("_gm_n") + 2)
+        )
+    )
+    return (
+        mid.groupBy(*group_by)
+        .agg(
+            F.max("_gm_n").alias("n_rows"),
+            F.avg(value_col).alias(out_col),
+        )
+        .orderBy(*group_by)
+    )
+
+
 def with_exact_ntile(
     df: DataFrame,
     order_by: Sequence[Column],

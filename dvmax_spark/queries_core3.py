@@ -17,6 +17,39 @@ from dvmax_spark.registry import query
 
 
 @query(
+    "a_median_distributed",
+    ids=("A5",),
+    sql="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           median(l_quantity) AS med_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a_median_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT per-group median with NO per-group pool — the A5 scale
+    path for whale groups (the built-in percentile/median aggregates
+    buffer each group's values inside one task): distributed group
+    rank, keep the middle rank(s) by the 2·rank parity filter, average
+    them (operators/distrank.py:group_median_exact). l_returnflag has
+    3 groups of ~n/3 rows each — exactly the shape where a grouped
+    buffer aggregate concentrates the corpus into 3 tasks. Values are
+    integral doubles, so the even-n midpoint is bit-exact vs DuckDB's
+    interpolated median()."""
+    from dvmax_spark.operators.distrank import group_median_exact
+
+    li = load_table(spark, "lineitem", sf).select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return group_median_exact(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        out_col="med_qty",
+    ).select("l_returnflag", "n_rows", "med_qty")
+
+
+@query(
     "p8_f7_flags_and_finiteness",
     ids=("P8", "F7", "F8", "P9", "F6"),
     sql="""

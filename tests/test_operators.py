@@ -543,6 +543,35 @@ def test_distributed_group_ntile_matches_single_window(spark):
         assert got.join(exp, "id").where(got["b"] != exp["b"]).count() == 0, n
 
 
+def test_group_median_exact_matches_builtin(spark):
+    """group_median_exact equals the built-in (pooled) median per
+    group: odd and even group sizes, duplicated values, a singleton
+    group, and a null group key."""
+    import random
+
+    from dvmax_spark.operators.distrank import group_median_exact
+
+    rng = random.Random(83)
+    rows = []
+    for i in range(3001):
+        g = None if rng.random() < 0.2 else f"g{rng.randint(0, 4)}"
+        rows.append((i, g, float(rng.randint(0, 50))))
+    rows.append((99999, "solo", 7.0))
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(7)
+    got = group_median_exact(
+        df, ["g"], "v", [F.col("id").asc()], out_col="med", num_partitions=16
+    )
+    exp = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.median("v").alias("med")
+    )
+    bad = (
+        got.join(exp.withColumnRenamed("med", "med2").withColumnRenamed("n_rows", "n2"),
+                 got["g"].eqNullSafe(exp["g"]))
+        .where((F.col("med") != F.col("med2")) | (F.col("n_rows") != F.col("n2")))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
 def test_distributed_rank_fuzz_vs_single_window(spark):
     """Differential fuzz: random data shapes (duplicated order-key
     values, nulls, skewed distributions, tiny and odd-sized inputs,
