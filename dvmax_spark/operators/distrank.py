@@ -300,6 +300,79 @@ def with_group_ntile(
     )
 
 
+def group_quantiles_exact(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    tiebreak: Sequence[Column],
+    qs: Sequence[tuple[int, int]],
+    out_cols: Sequence[str],
+    num_partitions: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """EXACT continuous quantiles per group, whale-group-safe: rank
+    each group's values ONCE with :func:`with_group_rank` (no per-group
+    pool), gather only the bracketing rank(s) per requested quantile,
+    and interpolate — the R-7 convention both Spark ``percentile`` and
+    DuckDB ``quantile_cont`` implement: position ``p = 1 + (n-1)·q``,
+    result ``v[⌊p⌋] + (v[⌊p⌋+1] - v[⌊p⌋])·frac``.
+
+    Each quantile is a RATIONAL ``(k, m)`` (0 ≤ k ≤ m), so the bracket
+    position and remainder are bigint: ``lo = 1 + ((n-1)·k) div m``,
+    ``rem = ((n-1)·k) mod m`` — exact at any group size (a double
+    ``(n-1)*q`` is only exact below 2^53 and for dyadic q). The single
+    float op is the final interpolation; for integral-valued data and
+    dyadic rationals (quartiles, medians) it is bit-identical across
+    engines.
+
+    ``tiebreak`` must make (value, tiebreak) total per group — value
+    ties can't change which VALUES bracket a position, but the rank
+    substrate requires a total order. Contrast with the built-in
+    percentile/median aggregates, which buffer each whole group inside
+    one task: here the largest single pool is a physical partition.
+
+    Returns one row per group: (group..., n_rows, *out_cols).
+    """
+    if len(qs) != len(out_cols):
+        raise ValueError("qs and out_cols must align")
+    for k, m in qs:
+        if not (0 <= k <= m) or m <= 0:
+            raise ValueError(f"quantile {k}/{m} outside [0, 1]")
+    ranked = with_group_rank(
+        df,
+        group_by,
+        [F.col(value_col).asc(), *tiebreak],
+        out_col="_gq_rk",
+        num_partitions=num_partitions,
+        checkpoint_mode=checkpoint_mode,
+    )
+    group_by = list(group_by)
+    counts = ranked.groupBy(
+        *[F.col(g).alias(f"_gq_g{i}") for i, g in enumerate(group_by)]
+    ).agg(F.count(F.lit(1)).alias("_gq_n"))
+    cond = F.lit(True)
+    for i, g in enumerate(group_by):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_gq_g{i}"))
+    joined = ranked.join(counts, cond, "inner")
+    keep = F.lit(False)
+    los, rems = [], []
+    for k, m in qs:
+        lo = F.expr(f"1 + ((_gq_n - 1) * {k}) div {m}")
+        rem = F.expr(f"((_gq_n - 1) * {k}) % {m}")
+        los.append(lo)
+        rems.append(rem)
+        keep = keep | (F.col("_gq_rk") == lo) | ((rem > 0) & (F.col("_gq_rk") == lo + 1))
+    aggs = [F.max("_gq_n").alias("n_rows")]
+    for (k, m), out, lo, rem in zip(qs, out_cols, los, rems):
+        v_lo = F.min(F.when(F.col("_gq_rk") == lo, F.col(value_col)))
+        v_hi = F.min(F.when((rem > 0) & (F.col("_gq_rk") == lo + 1), F.col(value_col)))
+        # rem is constant within a group (a function of _gq_n); max()
+        # carries it through the aggregate
+        frac = F.max(rem).cast("double") / m
+        aggs.append((v_lo + F.coalesce((v_hi - v_lo) * frac, F.lit(0.0))).alias(out))
+    return joined.where(keep).groupBy(*group_by).agg(*aggs).orderBy(*group_by)
+
+
 def group_median_exact(
     df: DataFrame,
     group_by: Sequence[str],
@@ -309,56 +382,18 @@ def group_median_exact(
     num_partitions: int | None = None,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
-    """EXACT median per group, whale-group-safe: rank each group's
-    values with :func:`with_group_rank` (no per-group pool), then keep
-    the middle rank(s) and average them. The parity trick makes one
-    filter serve both cases: ``2·rank ∈ {n, n+1, n+2}`` matches exactly
-    the single middle rank when n is odd (only n+1 is even) and exactly
-    the two middle ranks when n is even (n and n+2 are) — so the final
-    per-group aggregate averages one or two rows and equals SQL's
-    interpolated ``median()`` / ``quantile_cont(0.5)`` whenever the
-    midpoint arithmetic is exact (integral-valued doubles, decimals).
-
-    ``tiebreak`` must make (value, tiebreak) total per group — ties in
-    VALUE don't change which values occupy the middle ranks, but the
-    rank substrate requires a total order. Contrast with the built-in
-    ``percentile``/``median`` aggregates, which pool each group's
-    values into one task's OpenHashMap: this form's largest single
-    pool is a physical partition, at any group skew.
-
-    Returns one row per group: (group..., n_rows, out_col).
-    """
-    ranked = with_group_rank(
+    """EXACT median per group, whale-group-safe —
+    :func:`group_quantiles_exact` at the rational 1/2. Returns one row
+    per group: (group..., n_rows, out_col)."""
+    return group_quantiles_exact(
         df,
         group_by,
-        [F.col(value_col).asc(), *tiebreak],
-        out_col="_gm_rk",
+        value_col,
+        tiebreak,
+        [(1, 2)],
+        [out_col],
         num_partitions=num_partitions,
         checkpoint_mode=checkpoint_mode,
-    )
-    group_by = list(group_by)
-    counts = ranked.groupBy(
-        *[F.col(g).alias(f"_gm_g{i}") for i, g in enumerate(group_by)]
-    ).agg(F.count(F.lit(1)).alias("_gm_n"))
-    cond = F.lit(True)
-    for i, g in enumerate(group_by):
-        cond = cond & F.col(g).eqNullSafe(F.col(f"_gm_g{i}"))
-    two_rk = F.col("_gm_rk") * 2
-    mid = (
-        ranked.join(counts, cond, "inner")
-        .where(
-            (two_rk == F.col("_gm_n"))
-            | (two_rk == F.col("_gm_n") + 1)
-            | (two_rk == F.col("_gm_n") + 2)
-        )
-    )
-    return (
-        mid.groupBy(*group_by)
-        .agg(
-            F.max("_gm_n").alias("n_rows"),
-            F.avg(value_col).alias(out_col),
-        )
-        .orderBy(*group_by)
     )
 
 

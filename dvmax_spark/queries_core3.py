@@ -50,6 +50,39 @@ def a_median_distributed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a_quartiles_distributed",
+    ids=("A5",),
+    sql="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a_quartiles_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group quartiles from ONE distributed rank pass
+    (operators/distrank.py:group_quantiles_exact): R-7 interpolation
+    with bigint bracket positions (rational 1/4, 1/2, 3/4), so the
+    quartile spread per return flag is bit-exact vs DuckDB's
+    quantile_cont at any group size — without buffering a whole group
+    in one task the way the built-in percentile aggregate does."""
+    from dvmax_spark.operators.distrank import group_quantiles_exact
+
+    li = load_table(spark, "lineitem", sf).select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return group_quantiles_exact(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        [(1, 4), (1, 2), (3, 4)],
+        ["p25", "p50", "p75"],
+    ).select("l_returnflag", "n_rows", "p25", "p50", "p75")
+
+
+@query(
     "p8_f7_flags_and_finiteness",
     ids=("P8", "F7", "F8", "P9", "F6"),
     sql="""

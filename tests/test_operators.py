@@ -572,6 +572,47 @@ def test_group_median_exact_matches_builtin(spark):
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+def test_group_quantiles_exact_matches_builtin(spark):
+    """group_quantiles_exact equals the built-in percentile at the
+    same rationals (R-7 interpolation), across ragged group sizes and
+    the q=0 / q=1 edges, from one rank pass."""
+    import random
+
+    from dvmax_spark.operators.distrank import group_quantiles_exact
+
+    rng = random.Random(91)
+    rows = [
+        (i, f"g{rng.randint(0, 6)}", float(rng.randint(0, 40))) for i in range(2003)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(7)
+    got = group_quantiles_exact(
+        df,
+        ["g"],
+        "v",
+        [F.col("id").asc()],
+        [(0, 1), (1, 4), (1, 2), (3, 4), (1, 1)],
+        ["p0", "p25", "p50", "p75", "p100"],
+        num_partitions=16,
+    )
+    exp = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.expr("percentile(v, 0.0)").alias("e0"),
+        F.expr("percentile(v, 0.25)").alias("e25"),
+        F.expr("percentile(v, 0.5)").alias("e50"),
+        F.expr("percentile(v, 0.75)").alias("e75"),
+        F.expr("percentile(v, 1.0)").alias("e100"),
+    )
+    bad = got.join(exp, "g").where(
+        (F.col("n_rows") != F.col("n2"))
+        | (F.col("p0") != F.col("e0"))
+        | (F.col("p25") != F.col("e25"))
+        | (F.col("p50") != F.col("e50"))
+        | (F.col("p75") != F.col("e75"))
+        | (F.col("p100") != F.col("e100"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
 def test_distributed_rank_fuzz_vs_single_window(spark):
     """Differential fuzz: random data shapes (duplicated order-key
     values, nulls, skewed distributions, tiny and odd-sized inputs,
