@@ -1920,6 +1920,116 @@ def jaccard_prefix_join_sql(
     """
 
 
+def edit_distance_join(
+    df: DataFrame,
+    k: int = 5,
+    q: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join (Ed-Join, Xiao/Wang/
+    Lin VLDB'08): all pairs with ``levenshtein ≤ k``, found without an
+    all-pairs scan — the edit-METRIC sibling of
+    :func:`jaccard_prefix_join`'s set-overlap join.
+
+    Filter chain (each step provably lossless):
+      1. positional char q-gram MULTISET per doc, expanded to set
+         elements ``(gram, occurrence#)`` — so multiset overlap
+         Σ_g min(cnt_a, cnt_b) is plain set intersection and the
+         standard prefix-filter theorem applies verbatim;
+      2. ed ≤ k destroys at most k·q grams, so the multiset overlap is
+         ≥ max(|Ga|,|Gb|) − k·q ⇒ the rarity-ordered PREFIX of length
+         ``k·q + 1`` of each doc must intersect the other's (global
+         element order: df asc, gram, occurrence) — candidates come
+         from one equi-join on prefix elements, never the n² space;
+      3. length filter ``| |a| − |b| | ≤ k`` (each edit changes length
+         by at most 1) at candidate time;
+      4. verify with the built-in ``levenshtein`` (JVM-side; identical
+         integer semantics in DuckDB, so the whole operator oracles).
+
+    Docs shorter than ``q + k·q`` chars are excluded on BOTH sides
+    (and in the oracle): below that, two docs can sit within ed ≤ k
+    while sharing zero q-grams, so no gram-based index can see the
+    pair — the documented applicability bound of every q-gram method.
+
+    Scale: the gram/prefix stages are the same shuffle shapes as the
+    Jaccard prefix join (explode → df join → per-doc rank window, a
+    bounded doc-length pool); verification cost is candidate-
+    proportional, and candidates are prefix-RARE gram buckets.
+    """
+    min_len = q + k * q
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    ).where(F.length("txt") >= min_len)
+    grams = base.select(
+        "id",
+        F.length("txt").alias("len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(txt) - {q - 1}),"
+                f" i -> substring(txt, i, {q}))"
+            )
+        ).alias("pos", "g"),
+    )
+    # occurrence ordinal inside the doc's multiset (per-doc pool,
+    # bounded by doc length) — (g, occ) is the set element
+    occ = grams.withColumn(
+        "occ", F.row_number().over(Window.partitionBy("id", "g").orderBy("pos"))
+    ).select("id", "len", "g", "occ")
+    dfreq = occ.groupBy("g", "occ").agg(F.count(F.lit(1)).alias("df"))
+    ranked = occ.join(dfreq, ["g", "occ"]).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "g", "occ")
+        ),
+    )
+    pre = ranked.where(F.col("rk") <= k * q + 1)
+    a = pre.select(
+        F.col("id").alias("id_a"), "g", "occ", F.col("len").alias("la")
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"), "g", "occ", F.col("len").alias("lb")
+    )
+    cand = (
+        a.join(b, ["g", "occ"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.abs(F.col("la") - F.col("lb")) <= k)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # banded verification: levenshtein's threshold form computes only
+    # the 2k+1 diagonal band — O(k·len) per pair instead of O(len²),
+    # the difference between seconds and minutes at 10× corpus (it
+    # returns -1 past the threshold, never a wrong distance)
+    verified = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b")), "id_b")
+        .withColumn("ed", F.levenshtein("txt_a", "txt_b", k).cast("long"))
+        .where(F.col("ed") >= 0)
+    )
+    return verified.select("id_a", "id_b", "ed")
+
+
+def edit_distance_join_sql(k: int = 5, q: int = 3, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`edit_distance_join` — deliberately the
+    BRUTE-FORCE all-pairs scan (length filter only, then levenshtein):
+    a hash match proves the prefix-filtered distributed form is
+    lossless, not that the same pruning ran twice."""
+    min_len = q + k * q
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L FROM {table}
+      WHERE length(text) >= {min_len}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= {k}
+    WHERE levenshtein(a.text, b.text) <= {k}
+    ORDER BY id_a, id_b
+    """
+
+
 def minhash_signature_oph(
     df: DataFrame,
     text_col: str = "text",

@@ -1977,6 +1977,23 @@ def x_jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_prefix_join(load_table(spark, "documents", sf))
 
 
+from dvmax_spark.ext.dedup import edit_distance_join, edit_distance_join_sql
+
+
+@query("x_edit_distance_join", ids=("X2", "X17"), sql=edit_distance_join_sql(k=5, q=3))
+def x_edit_distance_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT edit-distance similarity self-join (Ed-Join, Xiao/Wang/
+    Lin VLDB'08): all pairs with levenshtein <= 5, via positional
+    char-trigram multisets expanded to (gram, occurrence) set
+    elements, rarity-ordered k*q+1 prefix filter, length filter, and
+    built-in levenshtein verification — the edit-METRIC sibling of
+    x_jaccard_prefix_join. Oracle is the brute-force all-pairs scan,
+    so a hash match proves the prefix pruning lossless."""
+    return edit_distance_join(
+        load_table(spark, "documents", sf), k=5, q=3
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------- one-permutation minhash
 from dvmax_spark.ext.dedup import minhash_oph_pairs, minhash_oph_sql
 

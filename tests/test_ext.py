@@ -1311,6 +1311,57 @@ def test_jaccard_prefix_join_lossless_vs_bruteforce(spark):
     assert want, "fixture must actually produce pairs"
 
 
+def test_edit_distance_join_lossless_vs_bruteforce(spark):
+    """The Ed-Join prefix filter must be LOSSLESS: compare against a
+    pure-Python Levenshtein over every eligible pair. Stress shapes:
+    a pair at EXACTLY ed=k, repeated-gram docs (multiset occurrence
+    elements carry the overlap), docs sharing only the corpus's most
+    common grams (they sort last in rarity order), and a doc below the
+    q+k*q applicability bound that must be excluded from BOTH sides."""
+    from itertools import combinations
+
+    from dvmax_spark.ext.dedup import edit_distance_join
+
+    k, q = 3, 2
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, base),
+        (2, base[:-3] + "abc"),          # ed = 3 == k exactly
+        (3, base.replace("quick", "quack")),  # ed = 1
+        (4, "ab ab ab ab ab ab ab ab ab ab ab ab"),  # repeated grams
+        (5, "ab ab ab ab ab ab ab ab ab ab ab ac"),  # ed small vs 4
+        (6, "completely different content here that matches nothing"),
+        (7, "tiny"),                      # below q + k*q = 8 chars
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    got = {
+        (r.id_a, r.id_b): r.ed
+        for r in edit_distance_join(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=k, q=q
+        ).collect()
+    }
+    eligible = {i: t for i, t in rows if len(t) >= q + k * q}
+    want = {
+        (a, b): lev(eligible[a], eligible[b])
+        for a, b in combinations(sorted(eligible), 2)
+        if lev(eligible[a], eligible[b]) <= k
+    }
+    assert got == want
+    assert (1, 2) in want and want[(1, 2)] == k, "exact-boundary pair must survive"
+    assert (4, 5) in want, "repeated-gram pair must survive"
+    assert not any(7 in p for p in got), "below-bound doc must be excluded"
+
+
 def test_jaccard_prefix_join_prunes_candidates(spark):
     """The candidate space the prefix join verifies must be strictly
     smaller than all-pairs on a corpus with distinctive tails — the
