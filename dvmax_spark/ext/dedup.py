@@ -2030,6 +2030,46 @@ def edit_distance_join_sql(k: int = 5, q: int = 3, table: str = "documents") -> 
     """
 
 
+def edit_dedup_clusters_sql(k: int = 5, q: int = 3, table: str = "documents") -> str:
+    """DuckDB oracle for edit-distance dedup clustering: brute-force
+    levenshtein ≤ k pairs → recursive reachability components →
+    canonical-doc selection, mirroring :func:`dedup_clusters` over
+    :func:`edit_distance_join` output (same universe filter: docs
+    shorter than q + k·q are outside any q-gram method's reach)."""
+    min_len = q + k * q
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, n_chars, length(text) AS L FROM {table}
+      WHERE length(text) >= {min_len}
+    ),
+    ed_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= {k}
+      WHERE levenshtein(a.text, b.text) <= {k}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS dd FROM ed_pairs
+      UNION
+      SELECT id_b AS s, id_a AS dd FROM ed_pairs
+    ),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT r.src, e.dd FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+           (row_number() OVER (
+              PARTITION BY c.cluster_id
+              ORDER BY d.n_chars DESC, d.doc_id ASC) = 1) AS keep
+    FROM d JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
 def minhash_signature_oph(
     df: DataFrame,
     text_col: str = "text",

@@ -1994,6 +1994,29 @@ def x_edit_distance_join(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+from dvmax_spark.ext.dedup import edit_dedup_clusters_sql
+
+
+@query(
+    "x_edit_dedup_clusters",
+    ids=("X17", "X2"),
+    sql=edit_dedup_clusters_sql(k=5, q=3),
+)
+def x_edit_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Typo-level dedup verdicts: edit-distance pairs (Ed-Join, k=5)
+    fed into the SAME connected-components + canonical-selection
+    operator the MinHash pipeline uses (ext/dedup.py:dedup_clusters) —
+    pair generators and the clustering step compose freely. Oracle is
+    brute-force levenshtein pairs + recursive reachability, so the
+    match proves both the pruned join AND the distributed components
+    lossless in one shot."""
+    from dvmax_spark.ext.dedup import dedup_clusters
+
+    docs = load_table(spark, "documents", sf).where(F.length("text") >= 18)
+    pairs = edit_distance_join(docs, k=5, q=3).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs, rank_col="n_chars").orderBy("doc_id")
+
+
 # ---------------------------------------------- one-permutation minhash
 from dvmax_spark.ext.dedup import minhash_oph_pairs, minhash_oph_sql
 
