@@ -1362,6 +1362,55 @@ def test_edit_distance_join_lossless_vs_bruteforce(spark):
     assert not any(7 in p for p in got), "below-bound doc must be excluded"
 
 
+def test_edit_distance_join_fuzz_vs_bruteforce(spark):
+    """Differential fuzz for the Ed-Join filter chain: random strings
+    over a tiny alphabet (maximizing q-gram collisions AND true
+    near-pairs), random lengths around the applicability bound, three
+    (k, q) regimes — results must equal a pure-Python Levenshtein
+    brute force over every eligible pair, exactly."""
+    import random
+    from itertools import combinations
+
+    from dvmax_spark.ext.dedup import edit_distance_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(137)
+    for seed_round, (k, q) in enumerate([(1, 2), (2, 3), (3, 2)]):
+        min_len = q + k * q
+        rows = []
+        for i in range(60):
+            L = rng.randint(max(1, min_len - 3), min_len + 25)
+            s = "".join(rng.choice("abc ") for _ in range(L))
+            rows.append((i, s))
+            # planted near-dups: mutate few chars so true pairs exist
+            if rng.random() < 0.4:
+                t = list(s)
+                for _ in range(rng.randint(1, k)):
+                    t[rng.randrange(len(t))] = rng.choice("abc ")
+                rows.append((1000 + i, "".join(t)))
+        got = {
+            (r.id_a, r.id_b): r.ed
+            for r in edit_distance_join(
+                spark.createDataFrame(rows, "doc_id long, text string"), k=k, q=q
+            ).collect()
+        }
+        eligible = {i: t for i, t in rows if len(t) >= min_len}
+        want = {}
+        for a, b in combinations(sorted(eligible), 2):
+            d = lev(eligible[a], eligible[b])
+            if d <= k:
+                want[(a, b)] = d
+        assert got == want, (k, q, len(got), len(want))
+        assert want, f"fixture must produce pairs for k={k}, q={q}"
+
+
 def test_jaccard_prefix_join_prunes_candidates(spark):
     """The candidate space the prefix join verifies must be strictly
     smaller than all-pairs on a corpus with distinctive tails — the
