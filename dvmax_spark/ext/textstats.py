@@ -215,6 +215,70 @@ def ccnet_buckets_sql(table: str = "documents") -> str:
     """
 
 
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lo_ppm: int = 300_000,
+    hi_ppm: int = 900_000,
+) -> DataFrame:
+    """zlib compression-ratio quality gate (the RefinedWeb/Dolma-class
+    heuristic the pure-SQL stats can't express): highly repetitive or
+    templated text compresses far below normal prose, random gibberish
+    barely compresses at all — keep documents whose
+    ``compressed/raw`` ratio (integer parts-per-million) falls inside
+    (lo_ppm, hi_ppm).
+
+    Python is unavoidable here (no zlib in either engine's SQL), so
+    the implementation is the sanctioned slow-path shape: Arrow-batched
+    ``mapInPandas``, looping only within a batch — never a row-at-a-
+    time UDF. Deterministic for a fixed zlib build (level pinned), so
+    results are stable within an environment but NOT cross-engine
+    oracleable — registered rows-only; the test instead pins
+    bit-equality against a driver-side zlib call on the same strings.
+
+    Returns (id, n_bytes, z_bytes, ratio_ppm, keep); empty text yields
+    null ratio and keep=false.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_name, text_name = id_col, text_col
+
+    def _batches(it):
+        import zlib
+
+        for pdf in it:
+            rows = []
+            for i, txt in zip(pdf[id_name], pdf[text_name]):
+                raw = (txt or "").encode("utf-8")
+                if raw:
+                    z = len(zlib.compress(raw, 6))
+                    ppm = z * 1_000_000 // len(raw)
+                    keep = lo_ppm < ppm < hi_ppm
+                    rows.append((int(i), len(raw), z, ppm, keep))
+                else:
+                    rows.append((int(i), 0, None, None, False))
+            yield pd.DataFrame(
+                rows, columns=["_id", "n_bytes", "z_bytes", "ratio_ppm", "keep"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("z_bytes", T.LongType()),
+            T.StructField("ratio_ppm", T.LongType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(_batches, schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language stopword-hit counts (with multiplicity) + predicted
     language (argmax, ties broken by LANG_STOPWORDS key order)."""

@@ -733,6 +733,18 @@ def x_ppl_quartiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("x_compression_ratio", ids=("X8",), sql=None)
+def x_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compression-ratio quality gate (RefinedWeb/Dolma-class):
+    repetitive text compresses too well, gibberish too little — keep
+    the middle band. Arrow-batched mapInPandas (zlib has no SQL twin
+    in either engine, so this is rows-only; bit-equality vs a
+    driver-side zlib pass is pinned in tests/test_ext.py)."""
+    from dvmax_spark.ext.textstats import compression_ratio
+
+    return compression_ratio(load_table(spark, "documents", sf)).orderBy("doc_id")
+
+
 @query("x_lang_id", ids=("X9",), sql=lang_id_sql())
 def x_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-heuristic language ID: per-language hit counts +

@@ -1411,6 +1411,44 @@ def test_edit_distance_join_fuzz_vs_bruteforce(spark):
         assert want, f"fixture must produce pairs for k={k}, q={q}"
 
 
+def test_compression_ratio_bit_equal_to_local_zlib(spark):
+    """The distributed compression-ratio gate must be bit-identical to
+    a driver-side zlib pass over the same strings (same library, same
+    pinned level) — including the repetitive-text low band, the
+    incompressible high band, the keep gate, and the empty-text null
+    row."""
+    import zlib
+
+    from dvmax_spark.ext.textstats import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),                      # hyper-repetitive -> low ppm
+        (
+            2,
+            "It was a bright cold day in April and the clocks were striking"
+            " thirteen as Winston slipped quickly through the glass doors"
+            " though not quickly enough to stop the swirl of gritty dust",
+        ),
+        (3, "9f8a7b6c5d4e3f2a1b0c9d8e7f6a5b4c3d2e1f0a" * 4),  # high ppm
+        (4, ""),                                  # empty -> null ratio
+    ]
+    got = {
+        r.doc_id: (r.n_bytes, r.z_bytes, r.ratio_ppm, r.keep)
+        for r in compression_ratio(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i, txt in rows:
+        raw = txt.encode("utf-8")
+        if raw:
+            z = len(zlib.compress(raw, 6))
+            ppm = z * 1_000_000 // len(raw)
+            assert got[i] == (len(raw), z, ppm, 300_000 < ppm < 900_000), i
+        else:
+            assert got[i] == (0, None, None, False)
+    assert got[1][3] is False and got[2][3] is True, "bands must separate"
+
+
 def test_jaccard_prefix_join_prunes_candidates(spark):
     """The candidate space the prefix join verifies must be strictly
     smaller than all-pairs on a corpus with distinctive tails — the
