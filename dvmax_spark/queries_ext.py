@@ -662,6 +662,7 @@ def x_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x_ccnet_buckets",
     ids=("X8",),
+    bench=True,
     sql=__import__(
         "dvmax_spark.ext.textstats", fromlist=["ccnet_buckets_sql"]
     ).ccnet_buckets_sql(),
@@ -733,7 +734,7 @@ def x_ppl_quartiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("x_compression_ratio", ids=("X8",), sql=None)
+@query("x_compression_ratio", ids=("X8",), bench=True, sql=None)
 def x_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib compression-ratio quality gate (RefinedWeb/Dolma-class):
     repetitive text compresses too well, gibberish too little — keep
