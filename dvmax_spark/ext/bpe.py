@@ -138,6 +138,51 @@ def _merge_fold(symbols: Column, left: str, right: str, merged: str) -> Column:
     return F.when(F.array_contains(symbols, left), folded).otherwise(symbols)
 
 
+def _batch_prefix(top: list, min_count: int, limit: int) -> list[dict]:
+    """Maximal SEQUENTIALLY-EQUIVALENT prefix of the global pair
+    ranking (job-fusion core; see :func:`train_bpe`).
+
+    Candidate ``c`` is accepted iff, versus EVERY already-accepted
+    merge ``m``:
+
+      (a) ``{c.left, c.right}`` is disjoint from
+          ``{m.left, m.right, m.merged}`` — then applying ``m`` can
+          neither change ``c``'s count (adjacency of untouched symbols
+          is invariant) nor let ``c`` consume/feed ``m``'s sites; and
+      (b) ``m.merged > c.left`` in string order — pairs CREATED by
+          ``m`` all carry ``m.merged`` (or an untouched symbol whose
+          destroyed twin ranks above ``c`` and triggers the stop), so
+          at equal counts ``c`` still wins the (cnt desc, left asc,
+          right asc) tie-break against every created pair.
+
+    Iteration STOPS at the first violator rather than skipping it: a
+    conflicting pair ranked between accepted merges may have had its
+    count changed, and every overtaking-created-pair proof above leans
+    on "a higher-ranked conflicting pair would have stopped us first".
+    The stop-not-skip rule is what makes the fused batch bit-identical
+    to the one-merge-per-job sequential trainer.
+    """
+    accepted: list[dict] = []
+    for row in top:
+        if len(accepted) >= limit or row["cnt"] < min_count:
+            break
+        cand = {
+            "left": row["left"],
+            "right": row["right"],
+            "merged": row["left"] + row["right"],
+            "cnt": int(row["cnt"]),
+        }
+        ok = all(
+            not ({cand["left"], cand["right"]} & {m["left"], m["right"], m["merged"]})
+            and m["merged"] > cand["left"]
+            for m in accepted
+        )
+        if not ok:
+            break
+        accepted.append(cand)
+    return accepted
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -145,6 +190,7 @@ def train_bpe(
     min_count: int = 2,
     eow: str = "</w>",
     checkpoint_mode: str = "local",
+    batch_k: int = 8,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges from a corpus.
 
@@ -154,11 +200,21 @@ def train_bpe(
     construction (one row per merge) — it is the tokenizer artifact a
     user persists and feeds to :func:`bpe_encode`.
 
-    Each iteration: dict-sized pair count -> 1-row argmax collect ->
-    Catalyst fold applying the merge -> eager lineage cut (the
-    dict is Heaps-law small, so re-materializing it per iteration is
-    cheap and keeps both lineage and codegen expression depth O(1));
-    ``checkpoint_mode='reliable'`` puts the per-iteration cut on shared
+    **Job fusion (r8):** each round collects the top ``batch_k`` pairs
+    in one TakeOrdered job and applies the maximal prefix that is
+    PROVABLY sequentially-equivalent (:func:`_batch_prefix`) in one
+    fold chain + one lineage cut — cutting per-merge Spark jobs from 2
+    to 2/|batch|. The equivalence conditions are exact, so the merge
+    list stays bit-identical to the k=1 trainer (golden-pinned in
+    tests/test_bpe.py); ``batch_k=1`` recovers the old loop verbatim.
+    Expected batch length on natural text is the left-to-right-minima
+    count of the top-K lefts (~ln K), a 2-4x job reduction.
+
+    Each round: dict-sized pair count -> top-k collect -> Catalyst
+    folds applying the batch -> eager lineage cut (the dict is
+    Heaps-law small, so re-materializing it per round is cheap and
+    keeps both lineage and codegen expression depth O(1));
+    ``checkpoint_mode='reliable'`` puts the per-round cut on shared
     storage so an executor loss resumes instead of failing the train
     (operators/lineage.py).
     """
@@ -168,27 +224,31 @@ def train_bpe(
         word_symbol_dict(df, text_col, eow), mode=checkpoint_mode, eager=True
     )
     merges: list[dict] = []
-    for rank in range(num_merges):
+    while len(merges) < num_merges:
         top = (
             _pair_counts(dict_df)
             .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
+            .limit(max(1, batch_k))
             .collect()
         )
+        # training ends only when the CURRENT argmax is below
+        # min_count — later candidates below it merely end the batch
+        # (merges applied this round may create new pairs above it)
         if not top or top[0]["cnt"] < min_count:
             break
-        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
-        merged = left + right
-        merges.append(
-            {"rank": rank, "left": left, "right": right, "merged": merged, "cnt": cnt}
-        )
-        dict_df = cut_lineage(
-            dict_df.withColumn(
-                "symbols", _merge_fold(F.col("symbols"), left, right, merged)
-            ),
-            mode=checkpoint_mode,
-            eager=True,
-        )
+        batch = _batch_prefix(top, min_count, num_merges - len(merges))
+        for m in batch:
+            m["rank"] = len(merges)
+            merges.append(m)
+            # one withColumn PER merge, not one chained expression: the
+            # fold's array_contains guard references its input 3x, so
+            # chaining inside a single expression grows 3^|batch| — the
+            # project barrier keeps each fold's input a plain attribute
+            # (CollapseProject leaves non-cheap multi-ref aliases alone)
+            dict_df = dict_df.withColumn(
+                "symbols", _merge_fold(F.col("symbols"), m["left"], m["right"], m["merged"])
+            )
+        dict_df = cut_lineage(dict_df, mode=checkpoint_mode, eager=True)
     return merges
 
 

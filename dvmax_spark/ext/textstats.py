@@ -173,8 +173,15 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .when(F.col("cum") * 3 <= F.col("total") * 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
+    # null-safe re-join: with_group_cumsum groups NULL lang as its own
+    # group (as does the oracle's PARTITION BY lang) — a plain equi-join
+    # here would silently drop null-lang docs from the output
     return (
-        cum.join(F.broadcast(totals), "lang")
+        cum.join(
+            F.broadcast(totals.withColumnRenamed("lang", "_tlang")),
+            F.col("lang").eqNullSafe(F.col("_tlang")),
+        )
+        .drop("_tlang")
         .withColumn("bucket", bucket)
         .groupBy("lang", "bucket")
         .agg(

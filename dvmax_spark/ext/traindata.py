@@ -1218,16 +1218,25 @@ def bloom_decontam_stats_sql(
 def _spfhp_strategy(
     hist: list[tuple[int, int]], ctx_len: int
 ) -> tuple[list[tuple[int, int, int, int]], int]:
-    """Shortest-pack-first histogram-packing (Krell & Kersting,
+    """Shortest-pack-first histogram-packing (after Krell & Kersting,
     Graphcore 'Packing: Towards 2x NLP BERT Acceleration', 2021) on a
     length histogram — the packing STRATEGY is computed here, exactly,
     on <= ctx_len histogram rows (driver-scale by construction: the
     histogram is bounded by the context length, NOT the corpus).
 
-    Processes lengths longest-first; each document goes into the open
-    pack with the SMALLEST remaining space that still fits (packs with
-    equal remaining space are interchangeable, so they are tracked as
-    groups). Returns (slots, n_packs) where each slot row is
+    Rule (group-batch SPF): lengths longest-first; while docs of a
+    length remain, pick the tightest remaining-capacity class that
+    fits, hand ONE doc to each pack of its oldest group (FIFO), and
+    re-queue those packs under their new remaining capacity. Note the
+    deliberate deviation from per-doc tightest-fit: a pack that just
+    took a doc is strictly tighter than its old group-mates, so a
+    per-doc rule would refill it before touching them; the batch rule
+    spreads over the (previously) equal-remaining group first. That
+    keeps the strategy O(histogram) with a flat rank->pack slot table
+    (rb+i -> pb+i) — the price is a packing that can differ from
+    sequential SPF, not its capacity/coverage guarantees
+    (property-tested in tests/test_traindata.py). Returns
+    (slots, n_packs) where each slot row is
     (length, rank_base, count, pack_base): the docs of ``length`` with
     within-class ranks [rank_base, rank_base+count) go to packs
     [pack_base, pack_base+count), one per pack — an exact, replayable

@@ -2023,9 +2023,14 @@ def x_edit_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     brute-force levenshtein pairs + recursive reachability, so the
     match proves both the pruned join AND the distributed components
     lossless in one shot."""
-    from dvmax_spark.ext.dedup import dedup_clusters
+    from dvmax_spark.ext.dedup import dedup_clusters, edit_join_min_len
 
-    docs = load_table(spark, "documents", sf).where(F.length("text") >= 18)
+    # universe bound derived from (k, q), never a literal: it must stay
+    # in lock-step with edit_distance_join's internal exclusion and the
+    # edit_dedup_clusters_sql oracle (ADVICE r7)
+    docs = load_table(spark, "documents", sf).where(
+        F.length("text") >= edit_join_min_len(k=5, q=3)
+    )
     pairs = edit_distance_join(docs, k=5, q=3).select("id_a", "id_b")
     return dedup_clusters(docs, pairs, rank_col="n_chars").orderBy("doc_id")
 

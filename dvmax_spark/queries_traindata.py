@@ -409,17 +409,52 @@ def t_stream_decontam(spark: SparkSession, sf: str) -> DataFrame:
 from dvmax_spark.ext.bpe import bpe_encode, merges_to_df, train_bpe
 
 
-@query("x_bpe_train", ids=("X7",), bench=True)
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_golden_sql() -> str:
+    """Literal-VALUES oracle from the checked-in golden fixture
+    (tools/gen_bpe_golden.py): the expected 12-merge table computed by
+    an independent pure-Python sequential trainer over the sf0.01
+    corpus. Promotes x_bpe_train from rows-only to value-exact — the
+    driver's hash compare now pins the distributed trainer against a
+    second implementation (fixture pinned to the driver's correctness
+    scale, sf0.01 per the driver contract)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "bpe_merges_sf0.01.json"
+    )
+    with open(path) as fh:
+        merges = json.load(fh)["merges"]
+    rows = ",\n      ".join(
+        f"({m['rank']}, {_sql_str(m['left'])}, {_sql_str(m['right'])},"
+        f" {_sql_str(m['merged'])}, {m['cnt']})"
+        for m in merges
+    )
+    return f"""
+    SELECT CAST(rank AS INT) AS rank, "left", "right", merged,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM (VALUES {rows}) AS t(rank, "left", "right", merged, cnt)
+    ORDER BY rank
+    """
+
+
+@query("x_bpe_train", ids=("X7",), bench=True, sql=_bpe_golden_sql())
 def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Full distributed BPE tokenizer training (Sennrich et al. 2016):
     12 merge iterations over the Heaps-law word dict — the iterative
-    completion of x_bpe_pair_counts' single inner-loop step. Rows-only
-    by design (iterative algorithm, SURVEY §2.12): the sequential
-    golden reference in tests/test_bpe.py must match the merge list
-    BIT-exactly, and determinism across partitionings is tested. The
-    corpus is touched once (word-count pass); every iteration is a
-    dict-sized pair count + a lazy Catalyst merge fold, checkpointed
-    so lineage stays O(1) at any merge count."""
+    completion of x_bpe_pair_counts' single inner-loop step.
+    Value-exact (r8): the oracle is the golden merge table from an
+    INDEPENDENT sequential reference trainer (tools/gen_bpe_golden.py
+    fixture, sf0.01), replayed by DuckDB as literals; the same
+    sequential semantics are also pinned in-suite (tests/test_bpe.py)
+    plus determinism across partitionings. The corpus is touched once
+    (word-count pass); every round is a dict-sized pair count + fused
+    Catalyst merge folds (ext/bpe.py:_batch_prefix), checkpointed so
+    lineage stays O(1) at any merge count."""
     docs = load_table(spark, "documents", sf)
     return merges_to_df(spark, train_bpe(docs, num_merges=12)).orderBy("rank")
 
@@ -624,15 +659,61 @@ def x_bloom_decontam(spark: SparkSession, sf: str) -> DataFrame:
 from dvmax_spark.ext.traindata import pack_spfhp
 
 
-@query("x_pack_spfhp", ids=("X20",), sql=None)
+def _spfhp_oracle_sql() -> str:
+    """Oracle for x_pack_spfhp: DuckDB re-derives each doc's token
+    count and within-length rank IN SQL and replays the assignment
+    arithmetic against the checked-in slot table
+    (tools/gen_spfhp_oracle.py fixture, sf0.01) — the distributed
+    window, broadcast-join arithmetic, and per-pack aggregation are
+    value-checked; the strategy table itself is pinned by the
+    generator + the property tests (the solver rule is group-level,
+    so it has no SQL twin)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "spfhp_slots_sf0.01.json"
+    )
+    with open(path) as fh:
+        fx = json.load(fh)
+    ctx = int(fx["ctx_len"])
+    rows = ",\n      ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in fx["slots"])
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             least(coalesce(len(string_split(text, ' ')), 1), {ctx}) AS n_tok
+      FROM documents
+    ),
+    r AS (
+      SELECT n_tok,
+             row_number() OVER (PARTITION BY n_tok ORDER BY doc_id) - 1 AS rk
+      FROM t
+    ),
+    s(n_tok, rank_base, cnt, pack_base) AS (VALUES {rows}),
+    a AS (
+      SELECT r.n_tok, s.pack_base + r.rk - s.rank_base AS pack_id
+      FROM r JOIN s ON r.n_tok = s.n_tok
+       AND r.rk >= s.rank_base AND r.rk < s.rank_base + s.cnt
+    )
+    SELECT CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           CAST({ctx} - sum(n_tok) AS BIGINT) AS padding
+    FROM a GROUP BY pack_id ORDER BY pack_id
+    """
+
+
+@query("x_pack_spfhp", ids=("X20",), sql=_spfhp_oracle_sql())
 def x_pack_spfhp(spark: SparkSession, sf: str) -> DataFrame:
     """No-split SPFHP sequence packing (Graphcore packed-BERT
     histogram packing): docs land whole in minimal-padding packs. The
     strategy is solved EXACTLY on the <= ctx_len-row length histogram
     (bounded driver data no matter the corpus size); application is
-    one length-class window + a broadcast slot-table join. No SQL
-    oracle — the packing algorithm isn't SQL-expressible — so the
-    contract is property-tested instead: exact slot coverage, capacity,
+    one length-class window + a broadcast slot-table join.
+    Value-exact (r8): the DuckDB oracle replays n_tok derivation,
+    within-class ranking, and slot-table assignment against the
+    checked-in strategy fixture (_spfhp_oracle_sql); strategy
+    invariants stay property-tested: exact slot coverage, capacity,
     beats-next-fit, and rerun determinism
     (tests/test_traindata.py:test_spfhp_strategy_invariants...)."""
     return pack_spfhp(load_table(spark, "documents", sf), ctx_len=128)

@@ -70,11 +70,15 @@ PRIORITY: tuple[str, ...] = (
     # windows/aggregates
     "w1_lag_returns",
     "a3_sma_trailing",
-    "a_weighted_median_udaf",  # r6 rotation: was a5_yield_vs_median
     "a7_cumprod",
     "a9_group_year_first",
     "w5_topk_per_group",
     "w2_jump_check",
+    # r8 rotation: distributed exact median (distrank.group_quantiles_
+    # exact) takes a_weighted_median_udaf's A5 slot — the UDAF variant
+    # has green r6+r7 driver rows; the distributed-rank path is the
+    # 100TB-scale answer and deserves driver evidence
+    "a_median_distributed",
     # unions/pivot/scalars
     "u1_union_align",
     "u3_pivot",
@@ -108,34 +112,43 @@ PRIORITY: tuple[str, ...] = (
     # (which runs the native-gap semantics through the stateful op),
     # while S13 has no other covering query.
     "s13_format_matrix",
-    # LLM-data-pipeline operators — r7 rotation swaps the heavy
-    # families (graph/PageRank, soft-dedup, BPE, DSIR, incremental
-    # join-MV, OPH, span-clean, TF-IDF pairs, group split) into the
-    # driver evidence window; the r6 occupants each have a green
-    # driver row already and keep full ID cover from the newcomers
+    # LLM-data-pipeline operators — r8 rotation: the r7-new value-exact
+    # queries (CCNet-style bucketing, token-budget selection, perplexity
+    # quartiles, Ed-Join + its clustering) displace six r7 occupants
+    # that each already earned a green driver row (a_weighted_median_
+    # udaf, x_dup_pagerank, x_soft_dedup_mass, x_dsir_select,
+    # j_incremental_join_mv, x_group_split). x_minhash_oph STAYS — it
+    # is the only remaining in-cap X3 anchor.
     "x_span_dedup_clean",  # r7: was x_exact_dedup (X1 covered here)
     "x_tfidf_cosine_pairs",  # r7: was x_jaccard_prefix_join
-    "x_minhash_oph",  # r7: was x_dedup_threshold_curve
+    "x_minhash_oph",  # in-cap X3 anchor (see r8 note above)
     "x_simhash_pairs",
-    "x_dup_pagerank",  # r7: was x_incremental_components
-    "x_soft_dedup_mass",  # r7: was x_hard_negatives
+    "x_edit_distance_join",  # r8: was x_dup_pagerank
+    "x_edit_dedup_clusters",  # r8: was x_soft_dedup_mass
     "x_cosine_topk_lsh",
     "x_bpe_pair_counts",  # r7: was x_text_stats
-    "x_dsir_select",  # r7: was x_unigram_logprob
+    "x_ccnet_buckets",  # r8: was x_dsir_select
     "x_lang_id",
-    "j_incremental_join_mv",  # r7: was x_exact_substr_dedup
-    "x_group_split",  # r7: was x_gopher_repetition
+    "x_token_budget_select",  # r8: was j_incremental_join_mv
+    "x_ppl_quartiles",  # r8: was x_group_split
     "x_pseudonymize",
     "x_image_features",
     "x_frame_sample",
     "x_ml_walk_forward",
     "x_score_portfolio",
-    # r8 rotation candidates (new in r7, value-exact in PARITY.md but
-    # no driver row yet): x_ccnet_buckets, x_token_budget_select,
-    # x_ppl_quartiles — each covers X8/X21, already covered in-cap, so
-    # they wait for slots rather than displace this round's heavy-
-    # family evidence.
+    # r9 rotation candidates (value-exact in PARITY.md, no driver row
+    # yet): a_quartiles_distributed (A5 twin of a_median_distributed),
+    # plus ~115 past-cap queries — keep the cadence.
     # --- everything below is redundant-coverage / variant evidence ---
+    # r8 rotation: displaced from the evidence window (IDs still
+    # covered in-cap); each has a green r7 driver row + PARITY.md
+    "a_weighted_median_udaf",
+    "a_quartiles_distributed",
+    "x_dup_pagerank",
+    "x_soft_dedup_mass",
+    "x_dsir_select",
+    "j_incremental_join_mv",
+    "x_group_split",
     # r7 rotation: displaced from the evidence window (IDs still
     # covered in-cap); each has a green r6 driver row + PARITY.md
     "x_exact_dedup",

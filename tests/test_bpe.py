@@ -238,3 +238,52 @@ def test_save_load_merges_roundtrip(spark, docs, tmp_path):
     a = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, loaded).collect()}
     b = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, merges).collect()}
     assert a == b
+
+
+# ------------------------------------------------- r8 job-fusion batching
+def test_batched_equals_sequential_trainer(docs):
+    """batch_k>1 must be bit-identical to the one-merge-per-job loop
+    (the fused batch is only applied where provably sequential-
+    equivalent; see ext/bpe.py:_batch_prefix)."""
+    seq = train_bpe(docs, num_merges=12, batch_k=1)
+    for k in (2, 4, 8, 32):
+        assert train_bpe(docs, num_merges=12, batch_k=k) == seq
+
+
+def test_batch_prefix_stops_on_created_pair_tie(spark):
+    """Adversarial corpus for the fusion rules: after merge (a,z) the
+    CREATED pair (az,n) ties (b,c) at cnt=50 and wins the left-asc
+    tie-break ('az' < 'b'). A batcher that accepted any non-
+    interacting candidate would emit (b,c) second; the m.merged >
+    cand.left guard must stop the batch instead."""
+    df = spark.createDataFrame(
+        [(i, "azn bc") for i in range(50)], "doc_id BIGINT, text STRING"
+    )
+    got = train_bpe(df, num_merges=3, batch_k=8)
+    want = ref_train(["azn bc"] * 50, 3)
+    assert got == want
+    assert (got[0]["left"], got[0]["right"]) == ("a", "z")
+    assert (got[1]["left"], got[1]["right"]) == ("az", "n")
+
+
+def test_batched_trainer_randomized_tie_stress(spark):
+    """Tiny alphabets maximize count ties and merge interactions — the
+    regime where an unsound fusion rule diverges from sequential."""
+    import random
+
+    rng = random.Random(80808)
+    for trial in range(4):
+        alpha = "ab" if trial % 2 == 0 else "abc"
+        corpus = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(1, 6))
+            )
+            for _ in range(30)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id BIGINT, text STRING"
+        )
+        got = train_bpe(df, num_merges=10, batch_k=8, min_count=1)
+        want = ref_train(corpus, 10, min_count=1)
+        assert got == want, f"trial {trial} diverged: {got} vs {want}"

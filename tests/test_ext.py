@@ -1395,19 +1395,24 @@ def test_edit_distance_join_fuzz_vs_bruteforce(spark):
                 for _ in range(rng.randint(1, k)):
                     t[rng.randrange(len(t))] = rng.choice("abc ")
                 rows.append((1000 + i, "".join(t)))
-        got = {
-            (r.id_a, r.id_b): r.ed
-            for r in edit_distance_join(
-                spark.createDataFrame(rows, "doc_id long, text string"), k=k, q=q
-            ).collect()
-        }
         eligible = {i: t for i, t in rows if len(t) >= min_len}
         want = {}
         for a, b in combinations(sorted(eligible), 2):
             d = lev(eligible[a], eligible[b])
             if d <= k:
                 want[(a, b)] = d
-        assert got == want, (k, q, len(got), len(want))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # both the default path and the optional location-based filter
+        # must be lossless (the filter's first, per-element form WAS
+        # lossy under occurrence renumbering — caught right here)
+        for loc in (False, True):
+            got = {
+                (r.id_a, r.id_b): r.ed
+                for r in edit_distance_join(
+                    df, k=k, q=q, location_filter=loc
+                ).collect()
+            }
+            assert got == want, (k, q, loc, len(got), len(want))
         assert want, f"fixture must produce pairs for k={k}, q={q}"
 
 
