@@ -138,29 +138,47 @@ def _merge_fold(symbols: Column, left: str, right: str, merged: str) -> Column:
     return F.when(F.array_contains(symbols, left), folded).otherwise(symbols)
 
 
-def _batch_prefix(top: list, min_count: int, limit: int) -> list[dict]:
+def _batch_prefix(top: list, min_count: int, limit: int, fetch_k: int) -> list[dict]:
     """Maximal SEQUENTIALLY-EQUIVALENT prefix of the global pair
     ranking (job-fusion core; see :func:`train_bpe`).
 
-    Candidate ``c`` is accepted iff, versus EVERY already-accepted
-    merge ``m``:
+    Soundness skeleton (``top`` is the true global top-``fetch_k`` by
+    (cnt desc, left asc, right asc); iteration STOPS at the first
+    violator rather than skipping it — every argument below leans on
+    "a higher-ranked conflicting pair would have stopped us first"):
 
-      (a) ``{c.left, c.right}`` is disjoint from
-          ``{m.left, m.right, m.merged}`` — then applying ``m`` can
-          neither change ``c``'s count (adjacency of untouched symbols
-          is invariant) nor let ``c`` consume/feed ``m``'s sites; and
-      (b) ``m.merged > c.left`` in string order — pairs CREATED by
-          ``m`` all carry ``m.merged`` (or an untouched symbol whose
-          destroyed twin ranks above ``c`` and triggers the stop), so
-          at equal counts ``c`` still wins the (cnt desc, left asc,
-          right asc) tie-break against every created pair.
+    * (a) symbol disjointness vs every accepted merge's
+      ``{left, right, merged}``: applying the accepted batch then
+      neither changes the candidate's count (adjacency of untouched
+      symbols is invariant) nor lets it consume/feed merge sites.
+    * A pair CREATED by the accepted merges can beat the candidate at
+      its sequential turn only by count >= cand.cnt. Every created
+      occurrence sits at a destroyed original boundary, so its
+      original TWIN pair (e.g. (m.right, next) for (m.merged, next))
+      has cnt_orig >= the created count and CONFLICTS with an accepted
+      merge. A twin with cnt > cand.cnt sorts strictly before the
+      candidate, is therefore inside the visible top-k, and already
+      stopped the batch. So only count-TIES remain:
+      - if the stream is COMPLETE at the candidate's count level
+        (last visible row's cnt below it, or fewer than ``fetch_k``
+        rows returned), every possible tying twin is visible: for
+        each visible pair v with v.cnt == cand.cnt, construct its
+        created partners ((m.merged, v.right) when v.left == m.right;
+        (v.left, m.merged) when v.right == m.left — compound sites
+        reduce to these with a lexicographically smaller-or-equal
+        right, so the check is conservative) and reject the candidate
+        if any partner would win the tie-break against it;
+      - otherwise fall back to the blanket guard
+        ``m.merged > cand.left`` for every accepted m (at equal
+        counts every created pair then loses the left-asc tie-break;
+        left-form partners with prev < cand.left are impossible —
+        their twin (prev, m.left) would precede the candidate and
+        stop the batch).
 
-    Iteration STOPS at the first violator rather than skipping it: a
-    conflicting pair ranked between accepted merges may have had its
-    count changed, and every overtaking-created-pair proof above leans
-    on "a higher-ranked conflicting pair would have stopped us first".
-    The stop-not-skip rule is what makes the fused batch bit-identical
-    to the one-merge-per-job sequential trainer.
+    The stop-not-skip rule plus these guards make the fused batch
+    bit-identical to the one-merge-per-job sequential trainer
+    (constructed counterexamples + randomized stress in
+    tests/test_bpe.py).
     """
     accepted: list[dict] = []
     for row in top:
@@ -172,13 +190,28 @@ def _batch_prefix(top: list, min_count: int, limit: int) -> list[dict]:
             "merged": row["left"] + row["right"],
             "cnt": int(row["cnt"]),
         }
-        ok = all(
-            not ({cand["left"], cand["right"]} & {m["left"], m["right"], m["merged"]})
-            and m["merged"] > cand["left"]
+        if any(
+            {cand["left"], cand["right"]} & {m["left"], m["right"], m["merged"]}
             for m in accepted
-        )
-        if not ok:
+        ):
             break
+        if accepted:
+            level_complete = len(top) < fetch_k or top[-1]["cnt"] < cand["cnt"]
+            if level_complete:
+                ck = (cand["left"], cand["right"])
+                unsafe = False
+                for v in top:
+                    if v["cnt"] != cand["cnt"]:
+                        continue
+                    for m in accepted:
+                        if v["left"] == m["right"] and (m["merged"], v["right"]) < ck:
+                            unsafe = True
+                        if v["right"] == m["left"] and (v["left"], m["merged"]) < ck:
+                            unsafe = True
+            else:
+                unsafe = not all(m["merged"] > cand["left"] for m in accepted)
+            if unsafe:
+                break
         accepted.append(cand)
     return accepted
 
@@ -207,8 +240,9 @@ def train_bpe(
     to 2/|batch|. The equivalence conditions are exact, so the merge
     list stays bit-identical to the k=1 trainer (golden-pinned in
     tests/test_bpe.py); ``batch_k=1`` recovers the old loop verbatim.
-    Expected batch length on natural text is the left-to-right-minima
-    count of the top-K lefts (~ln K), a 2-4x job reduction.
+    Measured at sf0.1: 12 merges in 7 rounds, same-session A/B 1.5x
+    (SCALING.md r8) — and on a cluster the fused rounds are whole job
+    launches saved, not just local wall.
 
     Each round: dict-sized pair count -> top-k collect -> Catalyst
     folds applying the batch -> eager lineage cut (the dict is
@@ -236,7 +270,9 @@ def train_bpe(
         # (merges applied this round may create new pairs above it)
         if not top or top[0]["cnt"] < min_count:
             break
-        batch = _batch_prefix(top, min_count, num_merges - len(merges))
+        batch = _batch_prefix(
+            top, min_count, num_merges - len(merges), max(1, batch_k)
+        )
         for m in batch:
             m["rank"] = len(merges)
             merges.append(m)

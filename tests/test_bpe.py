@@ -272,14 +272,16 @@ def test_batched_trainer_randomized_tie_stress(spark):
     import random
 
     rng = random.Random(80808)
-    for trial in range(4):
-        alpha = "ab" if trial % 2 == 0 else "abc"
+    # tiny alphabets tie counts constantly (stressing the blanket
+    # fallback guard); wider alphabets separate counts (stressing the
+    # level-complete created-partner check)
+    for trial, alpha in enumerate(["ab", "abc", "ab", "abc", "abcdefgh", "abcdefgh"]):
         corpus = [
             " ".join(
                 "".join(rng.choice(alpha) for _ in range(rng.randint(1, 5)))
                 for _ in range(rng.randint(1, 6))
             )
-            for _ in range(30)
+            for _ in range(30 if len(alpha) < 4 else 80)
         ]
         df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(corpus)], "doc_id BIGINT, text STRING"
