@@ -111,6 +111,40 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(shingle_seq(text, n))
 
 
+def shingle_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    cols: tuple[str, ...] = ("doc_id",),
+    gpos_col: str | None = "gpos",
+    g_col: str = "g",
+) -> DataFrame:
+    """Exploded word n-gram stream ``(*cols[, gpos], g)`` — the
+    whole-stage-codegen form of ``posexplode(shingle_seq(...))``.
+
+    Exploding the START INDEX and building each gram with plain
+    ``slice`` + ``concat_ws`` keeps the corpus-proportional stage out
+    of the interpreted higher-order evaluator that ``shingle_seq``'s
+    zip-of-slices array construction pays when consumed via explode —
+    measured 3.3x at sf0.1 (0.32 s vs 1.07 s for the n=8 stream),
+    hash-identical output (r8). Short docs (< n tokens) contribute no
+    rows, matching shingle_seq's empty-array convention; use
+    ``shingle_seq`` itself when the ARRAY form is needed (signatures,
+    set ops — array_distinct dedups without a shuffle there).
+    """
+    sel = [F.col(c) for c in cols]
+    pos1 = F.explode(F.expr(f"sequence(1, size(_tk) - {n - 1})")).alias("_p1")
+    out = [F.expr(f"concat_ws(' ', slice(_tk, _p1, {n}))").alias(g_col)]
+    if gpos_col is not None:
+        out.insert(0, (F.col("_p1") - 1).alias(gpos_col))
+    return (
+        df.withColumn("_tk", F.split(F.col(text_col), " "))
+        .where(F.size("_tk") >= n)
+        .select(*sel, "_tk", pos1)
+        .select(*sel, *out)
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",

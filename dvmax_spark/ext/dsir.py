@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dvmax_spark.ext.dedup import _portable_hash, shingle_seq
+from dvmax_spark.ext.dedup import _portable_hash, shingle_stream
 from dvmax_spark.ext.traindata import _DUCK_HASH
 
 __all__ = [
@@ -63,8 +63,8 @@ def _gram_buckets(
     the gram hashed into ``[0, buckets)`` by the engine-portable md5
     hash. Multiplicity is kept (bag-of-n-grams, per the paper)."""
     cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
-    return df.select(
-        *cols, F.explode(shingle_seq(text_col, n)).alias("_g")
+    return shingle_stream(
+        df, text_col, n, cols=(id_col, *extra_cols), gpos_col=None, g_col="_g"
     ).select(*cols, (_portable_hash(F.col("_g")) % buckets).alias("b"))
 
 

@@ -47,7 +47,12 @@ __all__ = [
 # statistics here count positions; dedup takes array_distinct on top) —
 # one implementation, so the byte-compatibility the SQL oracles depend
 # on can't drift between the modules.
-from dvmax_spark.ext.dedup import _portable_hash, shingle_seq, shingles  # noqa: E402,F401
+from dvmax_spark.ext.dedup import (  # noqa: E402,F401
+    _portable_hash,
+    shingle_seq,
+    shingle_stream,
+    shingles,
+)
 
 
 # ---------------------------------------------------------------- vocabulary
@@ -575,9 +580,7 @@ def span_dedup_clean(
     toks = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
     )
-    occ = df.select(
-        F.col(id_col), F.posexplode(shingle_seq(text_col, n)).alias("gpos", "g")
-    )
+    occ = shingle_stream(df, text_col, n, cols=(id_col,))
     # materialize the gram-occurrence stream once (lazy localCheckpoint,
     # same contract as dup_span_stats): its two consumers — the
     # cross-doc gram counts and the covered-position expansion — would
@@ -723,9 +726,7 @@ def exact_substr_dedup(
     toks = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
     )
-    occ = df.select(
-        F.col(id_col), F.posexplode(shingle_seq(text_col, n)).alias("gpos", "g")
-    )
+    occ = shingle_stream(df, text_col, n, cols=(id_col,))
     # one materialization for the two consumers (count + expansion) —
     # the dup_span_stats/span_dedup_clean ReuseExchange contract
     occ = occ.localCheckpoint(eager=False)
@@ -840,8 +841,8 @@ def exact_substr_clean_vs(
     n-bounded expansion on matched starts, and the per-doc islands
     window. Nothing scales with reference text size at query time
     except the gram-set join."""
-    ref_grams = ref_docs.select(
-        F.explode(shingle_seq(text_col, n)).alias("g")
+    ref_grams = shingle_stream(
+        ref_docs, text_col, n, cols=(), gpos_col=None
     ).distinct()
     return exact_substr_clean_vs_grams(
         new_docs, ref_grams, n=n, min_len=min_len, id_col=id_col, text_col=text_col
@@ -864,9 +865,7 @@ def exact_substr_clean_vs_grams(
     toks = new_docs.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
     )
-    occ = new_docs.select(
-        F.col(id_col), F.posexplode(shingle_seq(text_col, n)).alias("gpos", "g")
-    )
+    occ = shingle_stream(new_docs, text_col, n, cols=(id_col,))
     covered = (
         occ.join(ref_grams.select("g"), "g", "left_semi")
         .select(
@@ -900,8 +899,8 @@ class GramIndex:
         self.text_col = text_col
 
     def _grams(self, docs: DataFrame) -> DataFrame:
-        return docs.select(
-            F.explode(shingle_seq(self.text_col, self.n)).alias("g")
+        return shingle_stream(
+            docs, self.text_col, self.n, cols=(), gpos_col=None
         ).distinct()
 
     def build(self, docs: DataFrame, batch_key: int | str | None = None) -> None:
@@ -1552,12 +1551,14 @@ def winnow_fingerprints(
     fingerprints (index size), and how many of a doc's distinct
     fingerprint values also occur in ANOTHER document (the dup
     signal). All counts exact integers — value-exact cross-engine."""
-    grams = df.select(
-        F.col(id_col),
-        F.col(group_col).alias("grp"),
-        F.posexplode(shingle_seq(text_col, k)).alias("pos", "g"),
-    ).select(
-        id_col, "grp", "pos", _portable_hash(F.col("g")).alias("h")
+    grams = (
+        df.withColumn("grp", F.col(group_col))
+        .transform(
+            lambda d: shingle_stream(
+                d, text_col, k, cols=(id_col, "grp"), gpos_col="pos"
+            )
+        )
+        .select(id_col, "grp", "pos", _portable_hash(F.col("g")).alias("h"))
     )
     fwd = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
