@@ -163,18 +163,26 @@ def minhash_signature(
     ~10× slower: interpreted lambda eval per shingle per permutation.)
 
     A doc whose shingle set is empty keeps a row with an all-null
-    signature (explode_outer), matching ``array_min([]) = null``.
+    signature (left join back to the doc list), matching
+    ``array_min([]) = null``.
+
+    r8: the shingle stream and the md5 hash both run as plain codegen
+    projections (shingle_stream + hash-as-column) instead of a
+    ``transform`` lambda over the shingle array — and the per-doc
+    ``array_distinct`` is dropped entirely: min-hash minima are
+    idempotent to duplicate shingles, so the multiset stream gives
+    bit-identical signatures without the array construction.
     """
-    sh = shingles(text_col, shingle_n)
-    hashed = F.transform(sh, lambda s: _portable_hash(s) % _HASH_MOD)
-    exploded = df.select(F.col(id_col), F.explode_outer(hashed).alias("_h"))
+    exploded = shingle_stream(
+        df, text_col, shingle_n, cols=(id_col,), gpos_col=None
+    ).select(F.col(id_col), (_portable_hash(F.col("g")) % _HASH_MOD).alias("_h"))
     aggs = [
         F.min((F.col("_h") * ((a % _HASH_MOD)) + (b % _HASH_MOD)) % _HASH_MOD).alias(f"_s{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes))
     ]
     return (
-        exploded.groupBy(id_col)
-        .agg(*aggs)
+        df.select(F.col(id_col))
+        .join(exploded.groupBy(id_col).agg(*aggs), id_col, "left")
         .select(
             F.col(id_col),
             F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("signature"),
@@ -376,7 +384,7 @@ def _minhash_lsh_ctes(
     ), hashed AS (
       SELECT doc_id, list_transform(gs, g -> {hash_expr}) AS hs
       FROM grams WHERE len(gs) > 0
-    ), sig AS (
+    ), sig AS MATERIALIZED (
       SELECT doc_id,
              {sig_exprs}
       FROM hashed
@@ -386,7 +394,7 @@ def _minhash_lsh_ctes(
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), lsh_pairs AS (
+    ), lsh_pairs AS MATERIALIZED (
       SELECT p.id_a, p.id_b,
              ({eq_terms})::DOUBLE / {float(num_hashes)} AS est_jaccard
       FROM cand p
@@ -431,7 +439,7 @@ def dedup_clusters_sql(
     ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
     return f"""
     WITH RECURSIVE {ctes},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS s, id_b AS d FROM lsh_pairs
       UNION
       SELECT id_b AS s, id_a AS d FROM lsh_pairs
@@ -1482,7 +1490,7 @@ def canonical_by_degree_sql(
     ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
     return f"""
     WITH RECURSIVE {ctes},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS s, id_b AS d FROM lsh_pairs
       UNION
       SELECT id_b AS s, id_a AS d FROM lsh_pairs
@@ -1629,9 +1637,13 @@ def pagerank_centrality_sql(
     ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
     step_ctes = []
     prev = "r0"
+    # every step CTE reads its predecessor TWICE (rank vector + mass
+    # subquery); DuckDB inlines plain CTEs, so without MATERIALIZED the
+    # whole LSH-pair chain re-evaluates 2^iters times — measured 381 s
+    # vs ~1 s at sf0.01 (r8), identical rows
     for i in range(1, iters + 1):
         step_ctes.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
       SELECT n.src, n.outdeg, n.n_nodes,
              (15 * ({scale} // n.n_nodes)) // 100
              + (85 * COALESCE(s.mass, 0)) // 100 AS rank
@@ -1645,14 +1657,14 @@ def pagerank_centrality_sql(
     steps = ",\n    ".join(step_ctes)
     return f"""
     WITH {ctes},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM lsh_pairs
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM lsh_pairs
     ),
-    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
     meta AS (SELECT count(*) AS n_nodes FROM deg),
-    r0 AS (
+    r0 AS MATERIALIZED (
       SELECT d.src, d.outdeg, m.n_nodes, {scale} // m.n_nodes AS rank
       FROM deg d CROSS JOIN meta m
     ),
@@ -2249,9 +2261,12 @@ def minhash_signature_oph(
     are both exact integer rules on the portable md5 hash, so DuckDB
     reproduces the signature bit-for-bit (:func:`minhash_oph_sql`).
     """
-    sh = shingles(text_col, shingle_n)
-    hashed = F.transform(sh, lambda s: _portable_hash(s) % _HASH_MOD)
-    exploded = df.select(F.col(id_col), F.explode(hashed).alias("_h"))
+    # r8: codegen shingle stream + hash projection (see
+    # minhash_signature) — per-bin minima are duplicate-idempotent, so
+    # skipping the distinct array construction is bit-identical
+    exploded = shingle_stream(
+        df, text_col, shingle_n, cols=(id_col,), gpos_col=None
+    ).select(F.col(id_col), (_portable_hash(F.col("g")) % _HASH_MOD).alias("_h"))
     sparse = (
         exploded.withColumn("_b", F.pmod(F.col("_h"), F.lit(num_buckets)))
         .groupBy(id_col, "_b")

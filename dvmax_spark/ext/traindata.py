@@ -646,7 +646,7 @@ def group_split_sql(pct_train: int = 80, pct_val: int = 10) -> str:
     b = _duck_bucket("c.cluster_id::VARCHAR", 100)
     return f"""
     WITH RECURSIVE {ctes},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS s, id_b AS d FROM lsh_pairs
       UNION
       SELECT id_b AS s, id_a AS d FROM lsh_pairs
