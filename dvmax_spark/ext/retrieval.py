@@ -277,8 +277,10 @@ def dup_span_stats(
     than recovering lineage — the standard trade for truncating a
     twice-consumed heavy subtree.
     """
-    grams = df.select(F.col(id_col), shingle_seq(text_col, n).alias("gs"))
-    occ = grams.select(id_col, F.explode("gs").alias("g"))
+    # codegen gram stream (r8): explode the start index + slice/concat
+    # projection instead of exploding the zip-of-slices ARRAY — see
+    # dedup.shingle_stream
+    occ = shingle_stream(df, text_col, n, cols=(id_col,), gpos_col=None)
     # Aggregate to per-(gram, doc) position counts FIRST: both
     # downstream consumers (gram-level doc counts; the per-doc dup sum)
     # then hang off the IDENTICAL Exchange(hash(g, id)) subtree, so
