@@ -46,6 +46,28 @@ import statistics
 import time
 
 
+def select_stdout_line(
+    summary: dict, timings: dict, subset: tuple, budget: int
+) -> str:
+    """The stdout payload ladder (module doc: STDOUT SIZE BUDGET):
+    full per-query min dict if the whole line fits ``budget``, else
+    the baseline subset's dict, else scalars alone. Unit-tested in
+    tests/test_bench_stdout.py so roster growth can never push the
+    driver artifact back into the unparseable state BENCH_r07 hit."""
+    for queries in (
+        timings,
+        {q: timings[q] for q in subset if q in timings},
+        None,
+    ):
+        candidate = dict(summary)
+        if queries is not None:
+            candidate["queries"] = queries
+        line = json.dumps(candidate)
+        if len(line) <= budget:
+            break
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dvmax_spark.registry import all_queries
@@ -170,18 +192,7 @@ def main() -> None:
         "detail_path": detail_path,
     }
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BUDGET", "1800"))
-    for queries in (
-        timings,  # full per-query min dict, if it fits
-        {q: timings[q] for q in baseline_subset if q in timings},  # 17-query subset
-        None,  # scalars only — always fits
-    ):
-        candidate = dict(summary)
-        if queries is not None:
-            candidate["queries"] = queries
-        line = json.dumps(candidate)
-        if len(line) <= budget:
-            break
-    print(line)
+    print(select_stdout_line(summary, timings, baseline_subset, budget))
     spark.stop()
 
 
