@@ -132,6 +132,11 @@ def shingle_stream(
     ``shingle_seq`` itself when the ARRAY form is needed (signatures,
     set ops — array_distinct dedups without a shuffle there).
     """
+    clash = {"_tk", "_p1"} & (set(df.columns) | set(cols) | {g_col, gpos_col})
+    assert not clash, (
+        f"shingle_stream uses internal columns {sorted(clash)}; rename the "
+        "caller's columns (they would be silently clobbered)"
+    )
     sel = [F.col(c) for c in cols]
     pos1 = F.explode(F.expr(f"sequence(1, size(_tk) - {n - 1})")).alias("_p1")
     out = [F.expr(f"concat_ws(' ', slice(_tk, _p1, {n}))").alias(g_col)]
@@ -164,7 +169,8 @@ def minhash_signature(
 
     A doc whose shingle set is empty keeps a row with an all-null
     signature (left join back to the doc list), matching
-    ``array_min([]) = null``.
+    ``array_min([]) = null``; a NULL ``id_col`` that has shingles gets
+    its real signature (the re-join is eqNullSafe).
 
     r8: the shingle stream and the md5 hash both run as plain codegen
     projections (shingle_stream + hash-as-column) instead of a
@@ -180,9 +186,15 @@ def minhash_signature(
         F.min((F.col("_h") * ((a % _HASH_MOD)) + (b % _HASH_MOD)) % _HASH_MOD).alias(f"_s{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes))
     ]
+    # null-safe re-join: a NULL doc_id that HAS shingles groups as its
+    # own key above; a plain equi-join would hand it an all-null
+    # signature (null keys never equi-match), silently diverging from
+    # the earlier explode_outer+groupBy path that aggregated the
+    # null-id group normally (r8 ADVICE).
+    sigs = exploded.groupBy(id_col).agg(*aggs).withColumnRenamed(id_col, "_sig_id")
     return (
         df.select(F.col(id_col))
-        .join(exploded.groupBy(id_col).agg(*aggs), id_col, "left")
+        .join(sigs, F.col(id_col).eqNullSafe(F.col("_sig_id")), "left")
         .select(
             F.col(id_col),
             F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("signature"),

@@ -64,7 +64,10 @@ PRIORITY: tuple[str, ...] = (
     # joins
     "j6_anti_join",
     "j2_asof_backward",
-    "j4_grace_window_lookup",
+    # r9 rotation: the binned interval join (J4's scale answer) takes
+    # j4_grace_window_lookup's slot — j4 earned green rows r1-r8 and
+    # its J4/A6 stay covered (j_range_join: J4; j8: A6).
+    "j_range_join",
     "j5_upsert_keep_last",
     "j8_benchmark_relative",
     # windows/aggregates
@@ -74,11 +77,11 @@ PRIORITY: tuple[str, ...] = (
     "a9_group_year_first",
     "w5_topk_per_group",
     "w2_jump_check",
-    # r8 rotation: distributed exact median (distrank.group_quantiles_
-    # exact) takes a_weighted_median_udaf's A5 slot — the UDAF variant
-    # has green r6+r7 driver rows; the distributed-rank path is the
-    # 100TB-scale answer and deserves driver evidence
-    "a_median_distributed",
+    # r9 rotation: a_quartiles_distributed (multi-quantile twin over
+    # the same operators/distrank.py exact path) takes
+    # a_median_distributed's A5 slot — the median variant earned its
+    # green driver row in r8.
+    "a_quartiles_distributed",
     # unions/pivot/scalars
     "u1_union_align",
     "u3_pivot",
@@ -98,52 +101,79 @@ PRIORITY: tuple[str, ...] = (
     "v3_nullify_unstable",
     "v5_consistency_check",
     "v8_min_history_gate",
-    # composite + SQL-API
+    # composite + SQL-API — r9 rotation: the TPC-H family had exactly
+    # one driver row (q3); q1/q6/q19 rotate in so the identical-SQL-
+    # text contract (queries_core4) gets direct driver evidence.
     "fx_price_features",
     "sql_api_q3",
+    "sql_api_q1",
+    "sql_api_q6",
+    "sql_api_q19",
     # sinks + infra sources (rows-only by design)
     "s2_parquet_sink_roundtrip",
     "s5_rest_ingest_fixture",
     "s4_pipeline_infra",
-    # streaming-semantics windows
-    "t_tumbling_window",
+    # streaming-semantics windows — r9 rotation: t_sliding_window
+    # (overlapping panes) replaces t_tumbling_window (green r1-r8; T1
+    # stays covered by the sliding variant), and t_stream_join_mv adds
+    # a REAL readStream->writeStream run (stream-static join + exactly-
+    # once MV maintenance) — the streaming family's first driver row.
+    "t_sliding_window",
+    "t_stream_join_mv",
     # S13 cross-format matrix took t_session_window's slot:
     # t_session_window's T2 stays covered in-cap by t_stateful_session
     # (which runs the native-gap semantics through the stateful op),
     # while S13 has no other covering query.
     "s13_format_matrix",
-    # LLM-data-pipeline operators — r8 rotation: the r7-new value-exact
-    # queries (CCNet-style bucketing, token-budget selection, perplexity
-    # quartiles, Ed-Join + its clustering) displace six r7 occupants
-    # that each already earned a green driver row (a_weighted_median_
-    # udaf, x_dup_pagerank, x_soft_dedup_mass, x_dsir_select,
-    # j_incremental_join_mv, x_group_split). x_minhash_oph STAYS — it
-    # is the only remaining in-cap X3 anchor.
+    # LLM-data-pipeline operators — r9 rotation: the multimodal family
+    # (zero driver rows beyond the two feature extractors) rotates in
+    # x_image_phash_near (banded-hamming near-dup, X11+X3) and
+    # x_multimodal_funnel (decode->quality->dedup composite), replacing
+    # x_image_features / x_frame_sample (green r1-r8; X11/X12 stay
+    # covered by the incoming pair). x_pack_spfhp — promoted to
+    # value-exact in r8 — takes a displaced r8 occupant's slot, and the
+    # five r8-rotated queries (edit-join pair, ccnet, token-budget,
+    # ppl-quartiles) step out after earning their green r8 rows (X2 on
+    # x_tfidf_cosine_pairs, X17 on x_minhash_oph, X8 on
+    # x_multimodal_funnel, X21 on x_traindata_funnel, X20 on
+    # x_pack_spfhp). x_minhash_oph STAYS — in-cap X3/X17 anchor.
     "x_span_dedup_clean",  # r7: was x_exact_dedup (X1 covered here)
     "x_tfidf_cosine_pairs",  # r7: was x_jaccard_prefix_join
-    "x_minhash_oph",  # in-cap X3 anchor (see r8 note above)
+    "x_minhash_oph",  # in-cap X3/X17 anchor (see r9 note above)
     "x_simhash_pairs",
-    "x_edit_distance_join",  # r8: was x_dup_pagerank
-    "x_edit_dedup_clusters",  # r8: was x_soft_dedup_mass
+    "x_image_phash_near",  # r9: was x_edit_distance_join
+    "x_multimodal_funnel",  # r9: was x_edit_dedup_clusters
     "x_cosine_topk_lsh",
     "x_bpe_pair_counts",  # r7: was x_text_stats
-    "x_ccnet_buckets",  # r8: was x_dsir_select
+    "x_pack_spfhp",  # r9: was x_ccnet_buckets
     "x_lang_id",
-    "x_token_budget_select",  # r8: was j_incremental_join_mv
-    "x_ppl_quartiles",  # r8: was x_group_split
     "x_pseudonymize",
-    "x_image_features",
-    "x_frame_sample",
     "x_ml_walk_forward",
     "x_score_portfolio",
-    # r9 rotation candidates (value-exact in PARITY.md, no driver row
-    # yet): a_quartiles_distributed (A5 twin of a_median_distributed),
-    # plus ~115 past-cap queries — keep the cadence.
+    # r10 rotation candidates (value-exact in PARITY.md, no driver row
+    # yet): sql_api_q4/q5/q13, t_session_window, s_corrupt_json_recovery,
+    # x_audio_fp_dedup, a_approx_percentile (bounds-oracled in r9),
+    # x_bpe_fertility (golden-encode-oracled in r9) — keep the cadence.
     # --- everything below is redundant-coverage / variant evidence ---
+    # r9 rotation: displaced from the evidence window (IDs still
+    # covered in-cap); each has at least one green driver row
+    # (j4/a_median/t_tumbling/image/frame: r8 or earlier; the other
+    # five: green on first exposure in r8) + PARITY.md
+    "j4_grace_window_lookup",
+    "a_median_distributed",
+    "t_tumbling_window",
+    "x_edit_distance_join",
+    "x_edit_dedup_clusters",
+    "x_ccnet_buckets",
+    "x_token_budget_select",
+    "x_ppl_quartiles",
+    "x_image_features",
+    "x_frame_sample",
     # r8 rotation: displaced from the evidence window (IDs still
-    # covered in-cap); each has a green r7 driver row + PARITY.md
+    # covered in-cap); each has a green r7 driver row + PARITY.md —
+    # except a_quartiles_distributed, which had no driver row until it
+    # rotated back in-cap in r9 (see A5 note above)
     "a_weighted_median_udaf",
-    "a_quartiles_distributed",
     "x_dup_pagerank",
     "x_soft_dedup_mass",
     "x_dsir_select",
@@ -173,7 +203,6 @@ PRIORITY: tuple[str, ...] = (
     "a5_yield_vs_median",
     "p2_filter_predicates",
     "a_rollup",
-    "t_sliding_window",
     "x_bpe_token_count",
     "j1_inner_join_agg",
     "j7_dim_enrichment",
@@ -218,7 +247,6 @@ PRIORITY: tuple[str, ...] = (
     "sql_api_q4",
     "sql_api_q13",
     "sql_api_q15",
-    "sql_api_q19",
     "sql_api_q22",
 )
 

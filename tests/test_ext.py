@@ -1741,3 +1741,32 @@ def test_gopher_repetition_battery_hand_computed(spark):
     assert out[4]["rep_top2_ppm"] == 40_000 and out[4]["rep_top4_ppm"] == 80_000
     assert out[4]["rep_dup5_ppm"] == 0
     assert out[4]["passes_repetition_battery"] is True
+
+
+def test_minhash_signature_null_id_gets_real_signature(spark):
+    """r8 ADVICE: the re-join to the doc list is eqNullSafe, so a NULL
+    doc_id that HAS shingles keeps its real signature (the pre-r8
+    explode_outer path's behavior), while a too-short doc still gets
+    the all-null signature."""
+    from dvmax_spark.ext.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [(None, "a b c d e"), (1, "a b c d e"), (2, "x")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r["signature"] for r in minhash_signature(df, num_hashes=8).collect()}
+    assert rows[None] == rows[1]  # same text => same signature, null id included
+    assert all(v is not None for v in rows[1])
+    assert all(v is None for v in rows[2])  # shingle-less doc: all-null
+
+
+def test_shingle_stream_rejects_internal_column_clash(spark):
+    """r8 ADVICE: a caller column named _tk or _p1 would be silently
+    clobbered; assert loudly instead."""
+    import pytest
+
+    from dvmax_spark.ext.dedup import shingle_stream
+
+    df = spark.createDataFrame([(1, "a b c", 9)], "doc_id long, text string, _tk int")
+    with pytest.raises(AssertionError, match="_tk"):
+        shingle_stream(df, "text", 3, cols=("doc_id",))
