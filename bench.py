@@ -158,6 +158,11 @@ def main() -> None:
         "ndg_built": ndg_built,
         "sf": sf_val,
         "n": n_passes,
+        # which measurement protocol produced baseline_subset_wall:
+        # r1-r7 figures were measured under full-roster interleaving;
+        # "two-phase-r8" isolates the subset first (r8 ADVICE — don't
+        # let downstream consumers silently mix the two protocols)
+        "schedule": "two-phase-r8",
         # full per-query record: min (plan comparator), median (env
         # health), raw interleaved samples
         "queries": timings,
@@ -189,6 +194,10 @@ def main() -> None:
         "ndg_built": ndg_built,
         "sf": sf_val,
         "n": n_passes,
+        # protocol tag: baseline_subset_wall measured under the
+        # isolated-first two-phase schedule (not r1-r7's full-roster
+        # interleaving) — see the phase comment above
+        "schedule": "two-phase-r8",
         "detail_path": detail_path,
     }
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BUDGET", "1800"))

@@ -413,6 +413,29 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _fixture_sf_guard_cte(fx: dict, name: str) -> str:
+    """``_sfguard`` CTE for fixture-backed oracles (r8 ADVICE): the
+    golden fixtures are computed over the sf0.01 corpus, so an oracle
+    built from them is only valid when the bound ``documents`` view IS
+    that corpus. The guard pins the corpus stats recorded at fixture
+    generation time and raises a NAMED DuckDB error at any other scale
+    factor — a loud 'regenerate the fixture or run at sf0.01' instead
+    of a spurious value mismatch. Consumers must keep a
+    ``WHERE _sfguard._ok = 1`` reference or DuckDB prunes the unused
+    guard column (and the check with it)."""
+    n, chars, sf = fx["corpus_n_docs"], fx["corpus_n_chars"], fx["sf"]
+    msg = (
+        f"{name} oracle fixture is pinned to sf{sf} ({n} docs / {chars} chars); "
+        f"the bound documents table differs - run at sf{sf} or regenerate the "
+        "fixture (tools/gen_bpe_golden.py / tools/gen_spfhp_oracle.py)"
+    )
+    return f"""_sfguard AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM documents) = {n}
+                  AND (SELECT COALESCE(SUM(LENGTH(text)), 0) FROM documents) = {chars}
+             THEN 1 ELSE error({_sql_str(msg)}) END AS _ok
+    )"""
+
+
 def _bpe_golden_sql() -> str:
     """Literal-VALUES oracle from the checked-in golden fixture
     (tools/gen_bpe_golden.py): the expected 12-merge table computed by
@@ -428,16 +451,18 @@ def _bpe_golden_sql() -> str:
         os.path.dirname(os.path.abspath(__file__)), "fixtures", "bpe_merges_sf0.01.json"
     )
     with open(path) as fh:
-        merges = json.load(fh)["merges"]
+        fx = json.load(fh)
     rows = ",\n      ".join(
         f"({m['rank']}, {_sql_str(m['left'])}, {_sql_str(m['right'])},"
         f" {_sql_str(m['merged'])}, {m['cnt']})"
-        for m in merges
+        for m in fx["merges"]
     )
     return f"""
+    WITH {_fixture_sf_guard_cte(fx, "x_bpe_train")}
     SELECT CAST(rank AS INT) AS rank, "left", "right", merged,
            CAST(cnt AS BIGINT) AS cnt
-    FROM (VALUES {rows}) AS t(rank, "left", "right", merged, cnt)
+    FROM (VALUES {rows}) AS t(rank, "left", "right", merged, cnt), _sfguard
+    WHERE _sfguard._ok = 1
     ORDER BY rank
     """
 
@@ -679,7 +704,8 @@ def _spfhp_oracle_sql() -> str:
     ctx = int(fx["ctx_len"])
     rows = ",\n      ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in fx["slots"])
     return f"""
-    WITH t AS (
+    WITH {_fixture_sf_guard_cte(fx, "x_pack_spfhp")},
+    t AS (
       SELECT doc_id,
              least(coalesce(len(string_split(text, ' ')), 1), {ctx}) AS n_tok
       FROM documents
@@ -699,7 +725,8 @@ def _spfhp_oracle_sql() -> str:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
            CAST({ctx} - sum(n_tok) AS BIGINT) AS padding
-    FROM a GROUP BY pack_id ORDER BY pack_id
+    FROM a, _sfguard WHERE _sfguard._ok = 1
+    GROUP BY pack_id ORDER BY pack_id
     """
 
 

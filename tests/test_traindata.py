@@ -414,3 +414,29 @@ def test_pack_spfhp_null_text_counts_as_one_token(spark):
     out = pack_spfhp(docs, ctx_len=8).collect()
     assert sum(r["n_docs"] for r in out) == 2
     assert sum(r["pack_tokens"] for r in out) == 4  # 1 (null) + 3
+
+
+def test_fixture_backed_oracles_fail_loudly_at_wrong_sf():
+    """r8 ADVICE: the bpe/spfhp golden fixtures are solved over the
+    sf0.01 corpus; run against any other corpus the oracle SQL must
+    raise a NAMED error ('pinned to sf0.01'), never a silent value
+    mismatch. At sf0.01 the guard is transparent (non-empty result)."""
+    import duckdb
+    import pytest
+
+    from dvmax_spark.queries_traindata import _bpe_golden_sql, _spfhp_oracle_sql
+
+    for sql in (_bpe_golden_sql(), _spfhp_oracle_sql()):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.1/documents.parquet'"
+        )
+        with pytest.raises(duckdb.Error, match="pinned to sf0.01"):
+            con.execute(sql).fetchall()
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.01/documents.parquet'"
+        )
+        assert len(con.execute(sql).fetchall()) > 0
+        con.close()

@@ -78,8 +78,23 @@ def main() -> None:
     ]
     merges = ref_train(texts, NUM_MERGES, MIN_COUNT)
     assert len(merges) == NUM_MERGES, f"corpus too small: {len(merges)} merges"
+    # corpus pin for the oracle's _sfguard CTE: the fixture is only
+    # valid against the exact corpus it was trained on
+    n_docs, n_chars = duckdb.sql(
+        f"SELECT COUNT(*), COALESCE(SUM(LENGTH(text)), 0) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()
     with open(OUT, "w") as fh:
-        json.dump({"sf": "0.01", "num_merges": NUM_MERGES, "merges": merges}, fh, indent=1)
+        json.dump(
+            {
+                "sf": "0.01",
+                "num_merges": NUM_MERGES,
+                "corpus_n_docs": int(n_docs),
+                "corpus_n_chars": int(n_chars),
+                "merges": merges,
+            },
+            fh,
+            indent=1,
+        )
     print(f"wrote {OUT}: {len(merges)} merges, top={merges[0]}")
 
 

@@ -124,8 +124,23 @@ def main() -> None:
     group_slots, n_packs = _spfhp_strategy(hist, CTX_LEN)
     a, b = expand(slots), expand([list(r) for r in group_slots])
     assert a == b, "independent per-pack sim diverges from group solver"
+    # corpus pin for the oracle's _sfguard CTE: the slot table is only
+    # valid against the exact corpus it was solved on
+    n_docs, n_chars = duckdb.sql(
+        f"SELECT COUNT(*), COALESCE(SUM(LENGTH(text)), 0) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()
     with open(OUT, "w") as fh:
-        json.dump({"sf": "0.01", "ctx_len": CTX_LEN, "slots": slots}, fh, indent=1)
+        json.dump(
+            {
+                "sf": "0.01",
+                "ctx_len": CTX_LEN,
+                "corpus_n_docs": int(n_docs),
+                "corpus_n_chars": int(n_chars),
+                "slots": slots,
+            },
+            fh,
+            indent=1,
+        )
     print(f"wrote {OUT}: {len(slots)} slot rows, {n_packs} packs, {len(a)} docs")
 
 
