@@ -240,7 +240,7 @@ def x_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(docs, pairs, rank_col="n_chars").orderBy("doc_id")
 
 
-@query("x_dedup_clusters_twophase", ids=("X17",), sql=dedup_clusters_sql())
+@query("x_dedup_clusters_twophase", ids=("X17",), bench=True, sql=dedup_clusters_sql())
 def x_dedup_clusters_twophase(spark: SparkSession, sf: str) -> DataFrame:
     """x_dedup_clusters with components computed by the ALTERNATING
     large-star/small-star algorithm (Kiveris et al., MAPREDUCE'14)
@@ -255,7 +255,7 @@ def x_dedup_clusters_twophase(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters_twophase(docs, _ndg_pairs(spark, sf), rank_col="n_chars").orderBy("doc_id")
 
 
-@query("x_incremental_components", ids=("X17",), sql=dedup_clusters_sql())
+@query("x_incremental_components", ids=("X17",), bench=True, sql=dedup_clusters_sql())
 def x_incremental_components(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT incremental connected components: src0's near-dup labels
     are treated as the maintained artifact; the other sources' pairs

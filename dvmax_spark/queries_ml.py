@@ -472,24 +472,70 @@ def a_hll_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("a_approx_percentile", ids=("A5",), sql=None)
+_APPROX_PCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+       TRUE AS p50_rank_ok,
+       TRUE AS p90_rank_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("a_approx_percentile", ids=("A5",), sql=_APPROX_PCT_SQL)
 def a_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile, Greenwald-Khanna
-    style): per-group p50/p90 estimates next to the exact percentiles.
-    At 100 TB the sketch is the only option — exact percentile needs a
-    per-group sort, the sketch merges map-side like any partial
-    aggregate. accuracy=10000 bounds rank error at 1/10000. No SQL
-    oracle (sketch internals are engine-specific); the exact values
-    ride along and tests assert the estimates' rank-error envelope."""
-    ev = load_table(spark, "events", sf)
-    return (
-        ev.groupBy("event_type")
+    style) with a DRIVER-CHECKED error bound. At 100 TB the sketch is
+    the only option — exact percentile needs a per-group sort, the
+    sketch merges map-side like any partial aggregate.
+
+    Value-exact-with-bounds (r9, was rows-only): sketch internals are
+    engine-specific, so instead of hashing the estimate we hash the
+    GUARANTEE — the query computes the approx element's exact rank
+    interval [cnt_lt+1, cnt_le] in a second distributed pass and emits
+    per-group flags asserting it intersects the target rank ± eps*n
+    (eps = 1/accuracy = 1e-4, +1 element of interpolation slack); the
+    oracle recomputes the exact percentiles and expects every flag
+    TRUE. If a sketch estimate ever leaves its documented envelope the
+    flag flips and the driver's hash compare goes red — stronger than
+    rows-only without faking cross-engine sketch equality."""
+    eps = 1.0 / 10000
+    ev = load_table(spark, "events", sf).select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("_a90"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+        F.count("value").alias("n"),
+    )
+    # rank audit: one more corpus pass, broadcast of the tiny per-group
+    # estimate table — counts how many values sit below/at the estimate
+    ranks = (
+        ev.join(F.broadcast(approx.select("event_type", "_a50", "_a90")), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50_approx"),
-            F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 6).alias("p90_approx"),
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
-            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("_a50"), 1).otherwise(0)).alias("_lt50"),
+            F.sum(F.when(F.col("value") <= F.col("_a50"), 1).otherwise(0)).alias("_le50"),
+            F.sum(F.when(F.col("value") < F.col("_a90"), 1).otherwise(0)).alias("_lt90"),
+            F.sum(F.when(F.col("value") <= F.col("_a90"), 1).otherwise(0)).alias("_le90"),
+        )
+    )
+
+    def ok(lt, le, p):
+        target = F.lit(p) * F.col("n")
+        slack = F.lit(eps) * F.col("n") + F.lit(1.0)
+        return (F.col(le) >= target - slack) & (F.col(lt) <= target + slack)
+
+    return (
+        approx.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "p50_exact",
+            "p90_exact",
+            ok("_lt50", "_le50", 0.5).alias("p50_rank_ok"),
+            ok("_lt90", "_le90", 0.9).alias("p90_rank_ok"),
         )
         .orderBy("event_type")
     )

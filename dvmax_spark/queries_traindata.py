@@ -484,15 +484,47 @@ def x_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return merges_to_df(spark, train_bpe(docs, num_merges=12)).orderBy("rank")
 
 
-@query("x_bpe_fertility", ids=("X7", "X8"))
+def _bpe_fertility_sql() -> str:
+    """Oracle for x_bpe_fertility (r9, rows-only -> value-exact): the
+    per-doc token counts come from an INDEPENDENT pure-Python encode of
+    the golden merge table (tools/gen_bpe_fertility_oracle.py fixture);
+    DuckDB recomputes the per-source fertility aggregates from the real
+    documents table joined to those counts. Guarded by _sfguard — the
+    fixture is pinned to the sf0.01 corpus."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "bpe_fertility_sf0.01.json"
+    )
+    with open(path) as fh:
+        fx = json.load(fh)
+    rows = ",\n      ".join(f"({d}, {t})" for d, t in fx["n_tokens"])
+    return f"""
+    WITH {_fixture_sf_guard_cte(fx, "x_bpe_fertility")},
+    nt(doc_id, n_tokens) AS (VALUES {rows})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt.n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND(CAST(SUM(d.n_chars) AS DOUBLE)
+                 / CAST(SUM(nt.n_tokens) AS DOUBLE), 4) AS chars_per_token
+    FROM documents d JOIN nt USING (doc_id), _sfguard
+    WHERE _sfguard._ok = 1
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@query("x_bpe_fertility", ids=("X7", "X8"), sql=_bpe_fertility_sql())
 def x_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer fertility audit: train 8 BPE merges, encode the corpus
     (distinct-word segmentation + one equi-join back — ext/bpe.py's
     Heaps-law encode path), and report per-source token totals and
     chars-per-token compression. The metric a data-mixture owner
     watches when a tokenizer change reprices every domain's token
-    budget. Rows-only by design (depends on the iterative trainer);
-    encode semantics are golden-tested in tests/test_bpe.py."""
+    budget. Value-exact (r9): the oracle replays the per-source
+    aggregates from an INDEPENDENT pure-Python encode of the golden
+    merge fixture (tools/gen_bpe_fertility_oracle.py) — the distributed
+    trainer+encoder must land on exactly those token counts."""
     docs = load_table(spark, "documents", sf)
     merges = train_bpe(docs, num_merges=8)
     enc = bpe_encode(docs, merges)

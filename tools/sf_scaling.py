@@ -4,7 +4,16 @@ the 10x-data cost ratio — the cheap local proxy for "would this plan
 survive a 100x scale-up" (SCALING.md's headline table is produced from
 this output).
 
-Usage: python tools/sf_scaling.py [name ...]   # default: all bench=True
+Usage: python tools/sf_scaling.py [--sfs dirA,dirB] [name ...]
+       # default queries: all bench=True; default sfs: sf0.01,sf0.1
+
+``--sfs`` measures a different decade — e.g. the generated sf1 corpus
+(tools/gen_sf1_corpus.py) for the documents/embeddings families:
+  python tools/gen_sf1_corpus.py
+  python tools/sf_scaling.py --sfs /root/testdata/sf0.1,.localdata/sf1 \
+      x_minhash_oph x_dedup_clusters ...
+Only pass queries whose tables exist in BOTH dirs (sf1 has documents +
+embeddings only).
 """
 
 from __future__ import annotations
@@ -24,7 +33,14 @@ def main() -> None:
     from dvmax_spark.session import get_spark
 
     spark = get_spark("sf_scaling", shuffle_partitions=16)
-    only = set(sys.argv[1:])
+    global SFS
+    argv = sys.argv[1:]
+    if "--sfs" in argv:
+        i = argv.index("--sfs")
+        SFS = tuple(os.path.abspath(p) for p in argv[i + 1].split(","))
+        assert len(SFS) == 2, "--sfs takes exactly two comma-separated dirs"
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
     specs = {
         n: s
         for n, s in all_queries().items()
@@ -52,7 +68,8 @@ def main() -> None:
                     best[k] = dt
         print(f"pass {p + 1}/3 done", file=sys.stderr)
 
-    print("| query | sf0.01 | sf0.1 | 10x |")
+    labels = [os.path.basename(p.rstrip("/")) for p in SFS]
+    print(f"| query | {labels[0]} | {labels[1]} | 10x |")
     print("|---|---|---|---|")
     for name in specs:
         a, b = best[(name, SFS[0])], best[(name, SFS[1])]
