@@ -440,3 +440,45 @@ def test_fixture_backed_oracles_fail_loudly_at_wrong_sf():
         )
         assert len(con.execute(sql).fetchall()) > 0
         con.close()
+
+
+def test_sf1_corpus_generator_deterministic_and_schema_compatible(tmp_path, monkeypatch):
+    """The second-decade corpus (tools/gen_sf1_corpus.py) must be
+    byte-stable for a fixed seed and schema-identical to the driver's
+    documents/embeddings tables — otherwise the 0.1->1 scaling table
+    isn't comparing like with like."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import gen_sf1_corpus as g
+
+    monkeypatch.setattr(g, "N_DOCS", 300)
+    monkeypatch.setattr(g, "N_EMB", 120)
+    vocab = g.real_vocab()
+    assert len(vocab) == 31  # constant across the testdata sfs
+
+    t1 = g.gen_documents(np.random.default_rng(g.SEED), vocab)
+    t2 = g.gen_documents(np.random.default_rng(g.SEED), vocab)
+    assert t1.equals(t2)
+    e1 = g.gen_embeddings(np.random.default_rng(g.SEED))
+    e2 = g.gen_embeddings(np.random.default_rng(g.SEED))
+    assert e1.equals(e2)
+
+    real_docs = pq.read_schema("/root/testdata/sf0.1/documents.parquet")
+    real_emb = pq.read_schema("/root/testdata/sf0.1/embeddings.parquet")
+    assert [(f.name, str(f.type)) for f in t1.schema] == [
+        (f.name, str(f.type)) for f in real_docs
+    ]
+    assert [(f.name, str(f.type)) for f in e1.schema] == [
+        (f.name, str(f.type)) for f in real_emb
+    ]
+    # n_chars really is len(text), langs/sources in-domain
+    rows = t1.to_pylist()
+    assert all(r["n_chars"] == len(r["text"]) for r in rows)
+    assert {r["lang"] for r in rows} <= set(g.LANGS)
+    norms = np.linalg.norm(np.array(e1["embedding"].to_pylist()), axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)

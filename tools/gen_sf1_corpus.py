@@ -99,7 +99,10 @@ def gen_embeddings(rng: np.random.Generator):
         {
             "vec_id": pa.array(np.arange(N_EMB), pa.int64()),
             "embedding": pa.array(
-                [v for v in vecs.astype(np.float32)], pa.list_(pa.float32())
+                [v for v in vecs.astype(np.float32)],
+                # match the driver tables' arrow type exactly, down to
+                # the list element field name ("element", parquet-style)
+                pa.list_(pa.field("element", pa.float32(), nullable=True)),
             ),
             "label": pa.array(labels.astype(np.int32), pa.int32()),
         }
