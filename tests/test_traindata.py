@@ -482,3 +482,46 @@ def test_sf1_corpus_generator_deterministic_and_schema_compatible(tmp_path, monk
     assert {r["lang"] for r in rows} <= set(g.LANGS)
     norms = np.linalg.norm(np.array(e1["embedding"].to_pylist()), axis=1)
     assert np.allclose(norms, 1.0, atol=1e-5)
+
+
+def test_sf1_star_schema_tables_match_driver_schemas(monkeypatch):
+    """Every generated sf1 table must be arrow-schema-identical to the
+    driver's sf0.1 parquet (including timestamp unit/NTZ-ness) so the
+    full-roster 0.1->1 decade compares like with like."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import gen_sf1_corpus as g
+
+    for attr, val in [
+        ("N_CUSTOMER", 50),
+        ("N_SUPPLIER", 20),
+        ("N_PART", 40),
+        ("N_ORDERS", 100),
+        ("N_EVENTS", 200),
+        ("N_USERS", 30),
+    ]:
+        monkeypatch.setattr(g, attr, val)
+    rng = np.random.default_rng(g.SEED)
+    orders, lineitem = g.gen_orders_lineitem(np.random.default_rng(g.SEED))
+    built = {
+        "customer": g.gen_customer(rng),
+        "supplier": g.gen_supplier(rng),
+        "part": g.gen_part(rng),
+        "orders": orders,
+        "lineitem": lineitem,
+        "events": g.gen_events(rng),
+    }
+    for name, tbl in built.items():
+        real = pq.read_schema(f"/root/testdata/sf0.1/{name}.parquet")
+        got = [(f.name, str(f.type)) for f in tbl.schema]
+        want = [(f.name, str(f.type)) for f in real]
+        assert got == want, (name, got, want)
+    # lineitem keys reference the generated orders, line numbers start at 1
+    lk = set(lineitem["l_orderkey"].to_pylist())
+    assert lk <= set(orders["o_orderkey"].to_pylist())
+    assert min(lineitem["l_linenumber"].to_pylist()) == 1

@@ -1,5 +1,13 @@
-"""Deterministic sf1-equivalent documents + embeddings generator —
-the SECOND scale decade for the heavy text/graph/LSH families.
+"""Deterministic sf1-equivalent testdata generator — the SECOND scale
+decade, FULL ROSTER: documents + embeddings for the heavy
+text/graph/LSH families plus the TPC-H-ish star schema (customer /
+supplier / part / orders / lineitem), events, and the scale-constant
+dims (region / nation, copied from sf0.1), all at 10x the sf0.1 row
+counts with distributions measured from the real sf0.1 parquet
+(key ranges, category marginals, lines-per-order ~ Poisson(4.0)
+including the observed ~1.8% zero-line orders, value ~ Exp(50) with
+the handful of exact zeros that exercise the ANSI divide guards,
+timestamps microsecond-NTZ like the driver's files).
 
 The driver-generated testdata stops at sf0.1 (5,000 documents / 2,000
 embeddings), so the sf-scaling table's decade ratios were measured on
@@ -109,6 +117,150 @@ def gen_embeddings(rng: np.random.Generator):
     )
 
 
+# --- TPC-H-ish star schema + events, 10x the sf0.1 row counts -------------
+N_CUSTOMER = 150_000
+N_SUPPLIER = 10_000
+N_PART = 200_000
+N_ORDERS = 1_500_000
+N_EVENTS = 1_000_000
+N_USERS = 15_000  # events user cardinality scales with sf (sf0.1: 1500)
+_US = "us"
+
+
+def _ts_us(arr_us: np.ndarray) -> pa.Array:
+    return pa.array(arr_us.astype("datetime64[us]"), pa.timestamp(_US))
+
+
+def _money(rng: np.random.Generator, lo: float, hi: float, n: int) -> np.ndarray:
+    return np.round(rng.uniform(lo, hi, size=n), 2)
+
+
+def gen_customer(rng: np.random.Generator):
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])
+    return pa.table(
+        {
+            "c_custkey": pa.array(np.arange(N_CUSTOMER), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUSTOMER)]),
+            "c_nationkey": pa.array(rng.integers(0, 25, N_CUSTOMER).astype(np.int32), pa.int32()),
+            "c_acctbal": pa.array(_money(rng, -1000, 10000, N_CUSTOMER)),
+            "c_mktsegment": pa.array(rng.choice(segs, N_CUSTOMER)),
+        }
+    )
+
+
+def gen_supplier(rng: np.random.Generator):
+    return pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(N_SUPPLIER), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPPLIER)]),
+            "s_nationkey": pa.array(rng.integers(0, 25, N_SUPPLIER).astype(np.int32), pa.int32()),
+            "s_acctbal": pa.array(_money(rng, 0, 10000, N_SUPPLIER)),
+        }
+    )
+
+
+def gen_part(rng: np.random.Generator):
+    import duckdb
+
+    adjs, nouns = [], []
+    for (name,) in duckdb.sql(
+        "SELECT DISTINCT p_name FROM '/root/testdata/sf0.1/part.parquet'"
+    ).fetchall():
+        a, b = name.split(" ", 1)
+        adjs.append(a)
+        nouns.append(b)
+    adjs, nouns = sorted(set(adjs)), sorted(set(nouns))
+    types = [
+        t
+        for (t,) in duckdb.sql(
+            "SELECT DISTINCT p_type FROM '/root/testdata/sf0.1/part.parquet' ORDER BY 1"
+        ).fetchall()
+    ]
+    names = [
+        f"{adjs[i]} {nouns[j]}"
+        for i, j in zip(
+            rng.integers(0, len(adjs), N_PART), rng.integers(0, len(nouns), N_PART)
+        )
+    ]
+    keys = np.arange(N_PART)
+    return pa.table(
+        {
+            "p_partkey": pa.array(keys, pa.int64()),
+            "p_name": pa.array(names),
+            "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(1, 26, N_PART)]),
+            "p_type": pa.array(rng.choice(np.array(types), N_PART)),
+            "p_size": pa.array(rng.integers(1, 51, N_PART).astype(np.int32), pa.int32()),
+            # observed sf0.1 pattern: 900 + (partkey % 1000) * 0.1
+            "p_retailprice": pa.array(np.round(900.0 + (keys % 1000) * 0.1, 1)),
+        }
+    )
+
+
+def gen_orders_lineitem(rng: np.random.Generator):
+    d0 = np.datetime64("1995-01-01", "us").astype("int64")
+    d1 = np.datetime64("2001-08-01", "us").astype("int64")
+    statuses = np.array(["F", "O", "P"])
+    prios = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    )
+    DAY = 86_400_000_000
+    odate = (rng.integers(0, (d1 - d0) // DAY + 1, N_ORDERS) * DAY) + d0
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(N_ORDERS), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, N_CUSTOMER, N_ORDERS), pa.int64()),
+            "o_orderstatus": pa.array(rng.choice(statuses, N_ORDERS)),
+            "o_totalprice": pa.array(_money(rng, 1000, 500000, N_ORDERS)),
+            "o_orderdate": _ts_us(odate),
+            "o_orderpriority": pa.array(rng.choice(prios, N_ORDERS)),
+        }
+    )
+    # lines per order ~ Poisson(4.0): matches sf0.1's mean 4.075 AND its
+    # ~1.8% zero-lineitem orders (e^-4); total ≈ 6M rows at sf1
+    nlines = rng.poisson(4.0, N_ORDERS)
+    okeys = np.repeat(np.arange(N_ORDERS), nlines)
+    oship = np.repeat(odate, nlines) + rng.integers(1, 96, okeys.size) * DAY
+    linenum = np.concatenate([np.arange(1, k + 1) for k in nlines if k > 0])
+    flags = np.array(["A", "N", "R"])
+    stats = np.array(["F", "O"])
+    n = okeys.size
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(okeys, pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, N_PART, n), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, N_SUPPLIER, n), pa.int64()),
+            "l_linenumber": pa.array(linenum.astype(np.int32), pa.int32()),
+            "l_quantity": pa.array(rng.integers(1, 51, n).astype(np.float64)),
+            "l_extendedprice": pa.array(_money(rng, 900, 105000, n)),
+            "l_discount": pa.array(np.round(rng.integers(0, 11, n) * 0.01, 2)),
+            "l_tax": pa.array(np.round(rng.integers(0, 9, n) * 0.01, 2)),
+            "l_returnflag": pa.array(rng.choice(flags, n)),
+            "l_linestatus": pa.array(rng.choice(stats, n)),
+            "l_shipdate": _ts_us(oship),
+        }
+    )
+    return orders, lineitem
+
+
+def gen_events(rng: np.random.Generator):
+    t0 = np.datetime64("2024-01-01", "us").astype("int64")
+    t1 = np.datetime64("2024-01-31", "us").astype("int64")
+    ts = np.sort(rng.integers(t0, t1, N_EVENTS))  # file ordered by ts, like sf0.1
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    value = np.round(np.minimum(rng.exponential(50.0, N_EVENTS), 560.0), 2)
+    value[rng.integers(0, N_EVENTS, 60)] = 0.0  # the div-guard class sf0.1 has
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(N_EVENTS), pa.int64()),
+            "ts": _ts_us(ts),
+            "user_id": pa.array(rng.integers(0, N_USERS, N_EVENTS), pa.int64()),
+            "event_type": pa.array(rng.choice(types, N_EVENTS)),
+            "value": pa.array(value),
+            "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, N_EVENTS)]),
+        }
+    )
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1"
@@ -119,6 +271,19 @@ def main() -> None:
     pq.write_table(docs, os.path.join(out, "documents.parquet"))
     emb = gen_embeddings(rng)
     pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+    pq.write_table(gen_customer(rng), os.path.join(out, "customer.parquet"))
+    pq.write_table(gen_supplier(rng), os.path.join(out, "supplier.parquet"))
+    pq.write_table(gen_part(rng), os.path.join(out, "part.parquet"))
+    orders, lineitem = gen_orders_lineitem(rng)
+    pq.write_table(orders, os.path.join(out, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(out, "lineitem.parquet"))
+    pq.write_table(gen_events(rng), os.path.join(out, "events.parquet"))
+    # region/nation are scale-constant dims: carry the sf0.1 values over
+    for dim in ("region", "nation"):
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.1/{dim}.parquet"),
+            os.path.join(out, f"{dim}.parquet"),
+        )
     import duckdb
 
     n, dup, nd = duckdb.sql(
@@ -127,7 +292,11 @@ def main() -> None:
              GROUP BY 1 HAVING COUNT(*)>1))
             FROM '{out}/documents.parquet'"""
     ).fetchone()
-    print(f"wrote {out}: {n} docs ({dup} exact-dup rows, {nd} prefix-share groups), {emb.num_rows} embeddings")
+    print(
+        f"wrote {out}: {n} docs ({dup} exact-dup rows, {nd} prefix-share groups), "
+        f"{emb.num_rows} embeddings, {orders.num_rows} orders, "
+        f"{lineitem.num_rows} lineitem, {N_EVENTS} events"
+    )
 
 
 if __name__ == "__main__":
