@@ -359,12 +359,16 @@ def _minhash_lsh_ctes(
     shingle_n: int = 2,
     threshold: float = 0.1,
     table: str = "documents",
+    max_bucket: int | None = 1000,
 ) -> str:
     """Shared CTE chain (shingle → signature → band → candidate pairs →
     thresholded ``lsh_pairs``) used by both :func:`minhash_lsh_sql` and
     :func:`dedup_clusters_sql`. Generated from the same
     ``_perm_constants`` the Spark side uses, so the two engines share
-    constants by construction."""
+    constants by construction. ``max_bucket`` mirrors the Spark
+    pipeline's cap_buckets mega-bucket drop (default 1000, same as
+    :func:`minhash_lsh_pairs`) — it never binds at sf≤0.1 but does on
+    the second-decade corpus (r9 sf1 parity finding)."""
     assert shingle_n == 2, "oracle generator covers the bigram case"
     rows = num_hashes // bands
     perms = _perm_constants(num_hashes)
@@ -400,8 +404,11 @@ def _minhash_lsh_ctes(
       SELECT doc_id,
              {sig_exprs}
       FROM hashed
-    ), banded AS (
+    ), banded0 AS (
 {band_selects}
+    ), banded AS (
+      SELECT doc_id, band, band_key FROM banded0
+      QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket if max_bucket is not None else "1e18"}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
@@ -828,12 +835,18 @@ def simhash_near_pairs(
     )
 
 
-def simhash_sql(max_hamming: int = 10, table: str = "documents") -> str:
+def simhash_sql(
+    max_hamming: int = 10, table: str = "documents", max_bucket: int | None = 1000
+) -> str:
     """DuckDB oracle for the FULL SimHash pipeline (fingerprint → 4×15-bit
     band bucketing → hamming filter) — possible because the token hash is
     portable (md5-derived, ext/dedup.py:_portable_hash), so both engines
     compute bit-identical fingerprints. Mirrors :func:`simhash` /
-    :func:`simhash_near_pairs` term for term."""
+    :func:`simhash_near_pairs` term for term — INCLUDING the
+    ``max_bucket`` mega-bucket drop (cap_buckets), which never binds at
+    sf≤0.1 but does on the 50k-doc second-decade corpus (caught by the
+    r9 sf1 parity sweep: 3.8M vs 6.7M pairs when the oracle omitted
+    the cap)."""
     hash_expr = "('0x' || substr(md5(x), 1, 15))::BIGINT"
     bit_terms = " + ".join(
         f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
@@ -852,8 +865,11 @@ def simhash_sql(max_hamming: int = 10, table: str = "documents") -> str:
       SELECT doc_id, list_transform(t, x -> {hash_expr}) AS hs FROM toks
     ), fp AS (
       SELECT doc_id, ({bit_terms}) AS simhash FROM hashed
-    ), banded AS (
+    ), banded0 AS (
 {band_selects}
+    ), banded AS (
+      SELECT doc_id, simhash, band, band_key FROM banded0
+      QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket if max_bucket is not None else "1e18"}
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS fp_a, b.simhash AS fp_b

@@ -1774,3 +1774,32 @@ def test_shingle_stream_rejects_internal_column_clash(spark):
     df = spark.createDataFrame([(1, "a b c", 9)], "doc_id long, text string, _tk int")
     with pytest.raises(AssertionError, match="_tk"):
         shingle_stream(df, "text", 3, cols=("doc_id",))
+
+
+def test_simhash_oracle_models_bucket_cap(spark):
+    """r9 sf1 parity finding: the Spark pipeline drops whole band
+    buckets over max_bucket (cap_buckets) but the oracle didn't model
+    it — invisible at sf<=0.1 where the cap never binds. Force the cap
+    to bind at toy scale and require both engines to agree exactly."""
+    import duckdb
+
+    from dvmax_spark.ext.dedup import simhash_near_pairs, simhash_sql
+
+    rows = [(i, "alpha beta gamma delta") for i in range(8)]  # mega-bucket
+    rows += [(100, "zeta eta theta iota"), (101, "zeta eta theta iota")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in simhash_near_pairs(df, max_hamming=10, max_bucket=5).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs_tbl", df.toPandas())
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            simhash_sql(max_hamming=10, table="docs_tbl", max_bucket=5)
+        ).fetchall()
+    )
+    assert got == exp
+    assert (100, 101, 0) in got  # small bucket survives
+    assert not [p for p in got if p[0] < 100]  # mega-bucket members dropped
