@@ -372,11 +372,17 @@ def _near_dup_ctes(
     dim: int,
     n_planes: int,
     n_tables: int,
+    max_bucket: int | None = 1000,
 ) -> str:
     """Shared CTE chain ``bk -> cand -> scored -> nd_pairs`` replaying
     the seeded-hyperplane LSH near-dup pipeline in DuckDB (same
     deterministic-constants + left-associated-sums argument as
-    :func:`cosine_topk_lsh_sql`)."""
+    :func:`cosine_topk_lsh_sql`). ``max_bucket`` mirrors the Spark
+    side's cap_buckets mega-bucket drop (default 1000, same as
+    :func:`embedding_near_dup_pairs`) — it never binds on the 2,000
+    sf0.1 vectors but does on the 20,000-vector second-decade corpus
+    (r9 sf1 parity finding: 1,796 vs 13,165 pairs with the cap
+    unmodeled)."""
     per_table = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed=42 + t)
@@ -392,8 +398,11 @@ def _near_dup_ctes(
     aa = _dot_vec_sql("a.embedding", "a.embedding", dim)
     bb = _dot_vec_sql("b.embedding", "b.embedding", dim)
     ab = _dot_vec_sql("a.embedding", "b.embedding", dim)
-    return f"""bk AS (
+    return f"""bk0 AS (
       {bk}
+    ), bk AS (
+      SELECT vec_id, embedding, tbl, bucket FROM bk0
+      QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= {max_bucket if max_bucket is not None else "1e18"}
     ), cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
@@ -416,8 +425,8 @@ def embedding_near_dup_sql(
     n_tables: int = 4,
 ) -> str:
     """DuckDB oracle for :func:`embedding_near_dup_pairs` — same
-    deterministic-constants argument as :func:`cosine_topk_lsh_sql`.
-    (Assumes no bucket exceeds max_bucket — true for the testdata.)"""
+    deterministic-constants argument as :func:`cosine_topk_lsh_sql`,
+    INCLUDING the max_bucket mega-bucket drop (r9 sf1 finding)."""
     ctes = _near_dup_ctes(threshold, dim, n_planes, n_tables)
     return f"""
     WITH {ctes}
