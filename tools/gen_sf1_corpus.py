@@ -27,10 +27,12 @@ decade with the SAME corpus shape, measured from the real sf0.1 tables:
     clusters (centroid + gaussian noise, normalized), matching the
     sf0.1 profile (unit norms, balanced labels, no exact-dup vectors).
 
-Output: .localdata/sf1/{documents,embeddings}.parquet (gitignored —
-regenerate with this script; seed fixed, output byte-stable for a given
-numpy version). Only these two tables exist at sf1: the heavy families
-measured by tools/sf_scaling.py --sfs read nothing else.
+Output: .localdata/sf1/*.parquet (gitignored — regenerate with this
+script; seed fixed, output byte-stable for a given numpy version).
+main() writes the FULL roster — documents, embeddings, customer,
+supplier, part, orders, lineitem, events, region, nation — so any
+bench/parity query can run against the sf1 dir via
+tools/sf_scaling.py --sfs or tools/check_parity.py --sf-dir.
 
 Usage: python tools/gen_sf1_corpus.py [out_dir]
 """

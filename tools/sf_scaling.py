@@ -12,8 +12,8 @@ Usage: python tools/sf_scaling.py [--sfs dirA,dirB] [name ...]
   python tools/gen_sf1_corpus.py
   python tools/sf_scaling.py --sfs /root/testdata/sf0.1,.localdata/sf1 \
       x_minhash_oph x_dedup_clusters ...
-Only pass queries whose tables exist in BOTH dirs (sf1 has documents +
-embeddings only).
+gen_sf1_corpus.py writes the FULL roster at sf1 (star schema + events +
+documents + embeddings), so any bench query can be measured there.
 """
 
 from __future__ import annotations
