@@ -429,12 +429,17 @@ def minhash_lsh_sql(
     shingle_n: int = 2,
     threshold: float = 0.1,
     table: str = "documents",
+    max_bucket: int | None = 1000,
 ) -> str:
     """DuckDB oracle for the FULL MinHash+LSH pipeline — possible only
     because every hash is portable (md5-derived, not engine-native).
     Docs shorter than ``shingle_n`` tokens are excluded on both sides
-    (their shingle set is empty ⇒ no signature)."""
-    ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
+    (their shingle set is empty ⇒ no signature). ``max_bucket`` must
+    match the Spark pipeline's cap_buckets cap (default 1000, same as
+    :func:`minhash_lsh_pairs`)."""
+    ctes = _minhash_lsh_ctes(
+        num_hashes, bands, shingle_n, threshold, table, max_bucket=max_bucket
+    )
     return f"""
     WITH {ctes}
     SELECT id_a, id_b, est_jaccard
@@ -450,12 +455,16 @@ def dedup_clusters_sql(
     threshold: float = 0.1,
     table: str = "documents",
     rank_col: str = "n_chars",
+    max_bucket: int | None = 1000,
 ) -> str:
     """DuckDB oracle for the FULL near-dup clustering pipeline: MinHash
     LSH pairs → connected components (recursive reachability; min id
     per component) → canonical-doc selection. Exactly mirrors
-    :func:`dedup_clusters` over :func:`minhash_lsh_pairs` output."""
-    ctes = _minhash_lsh_ctes(num_hashes, bands, shingle_n, threshold, table)
+    :func:`dedup_clusters` over :func:`minhash_lsh_pairs` output;
+    ``max_bucket`` must match the Spark side's cap_buckets cap."""
+    ctes = _minhash_lsh_ctes(
+        num_hashes, bands, shingle_n, threshold, table, max_bucket=max_bucket
+    )
     return f"""
     WITH RECURSIVE {ctes},
     edges AS MATERIALIZED (
@@ -1454,6 +1463,124 @@ class NearDupGraph:
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
         return self.pairs()
+
+
+class ComponentLabelStore:
+    """Persisted component-LABEL artifact — the maintained state of
+    :func:`incremental_components`, stored beside the
+    :class:`NearDupGraph` pair table. Production incremental
+    clustering never re-derives the previous labels: it reads them
+    from a label table that was written when the earlier data landed
+    and merges the new batch (r9 VERDICT: the benched maintenance
+    path was paying a from-scratch labels0 rebuild every run, which
+    made "maintain one batch" cost MORE than the full rebuild). This
+    class makes the read-labels shape benchable and crash-safe.
+
+    Layout mirrors NearDupGraph: ``path/`` is one zstd parquet table
+    ``(id, label)`` with ``_meta.json`` inside the dir. Validity is
+    DERIVED, not re-fingerprinted: the labels are a pure function of
+    (parent pair artifact, membership tag), so the meta embeds the
+    parent graph's ``_meta.json`` verbatim plus the tag — the labels
+    are fresh iff the parent meta is identical (the parent already
+    fingerprints the corpus, so a regenerated corpus invalidates the
+    labels transitively without a second corpus pass). Promote is the
+    shared fsops staging + atomic swap, same healing guarantees.
+    """
+
+    _SPEC = 1  # bump to invalidate all persisted label artifacts
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        graph: "NearDupGraph",
+        member_tag: str,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.graph = graph
+        self.member_tag = member_tag
+        # True iff the last ensure() actually recomputed labels (cold)
+        # vs only re-validated the parent meta (warm) — bench.py
+        # reports it next to the build wall.
+        self.last_ensure_built: bool | None = None
+
+    def _expected_meta(self) -> dict:
+        return {
+            "spec": self._SPEC,
+            "member_tag": self.member_tag,
+            "ndg_meta": self.graph.read_meta(),
+        }
+
+    def read_meta(self) -> dict | None:
+        import json
+        import os
+
+        try:
+            with open(os.path.join(self.path, "_meta.json")) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def build(self, labels: DataFrame) -> None:
+        """Materialize ``labels`` (id, label) via staging + atomic swap;
+        meta commits inside the staging dir so table and parent-meta
+        snapshot can never disagree."""
+        import json
+        import os
+        import shutil
+        import uuid
+
+        from dvmax_spark.fsops import swap_dir
+
+        staging = f"{self.path}.staging.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        try:
+            labels.select("id", "label").write.mode("overwrite").option(
+                "compression", "zstd"
+            ).parquet(staging)
+            with open(os.path.join(staging, "_meta.json"), "w") as fh:
+                json.dump(self._expected_meta(), fh)
+            retired = swap_dir(self.path, staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        if retired:
+            shutil.rmtree(retired, ignore_errors=True)
+
+    def labels(self) -> DataFrame:
+        """Read the persisted label table (heals a crashed promote)."""
+        from dvmax_spark.fsops import recover_swap
+
+        recover_swap(self.path)
+        return self.spark.read.parquet(self.path)
+
+    def ensure(self, compute) -> DataFrame:
+        """Return the label table, calling ``compute() -> DataFrame``
+        to (re)build iff the artifact is absent, from another spec, or
+        snapshots a different parent-graph meta. Same flock discipline
+        as NearDupGraph.ensure: check-then-build is exclusive, so
+        readers never see a half-promoted table under a valid meta.
+
+        The parent pair artifact must already be ensured (its meta is
+        what validity derives from); callers get that for free by
+        obtaining ``graph`` via NearDupGraph.ensure / _ndg_pairs."""
+        import fcntl
+        import os
+
+        from dvmax_spark.fsops import recover_swap
+
+        parent = os.path.dirname(self.path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(self.path + ".lock", "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                recover_swap(self.path)
+                self.last_ensure_built = self.read_meta() != self._expected_meta()
+                if self.last_ensure_built:
+                    self.build(compute())
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+        return self.labels()
 
 
 def canonical_by_degree(

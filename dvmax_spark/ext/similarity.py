@@ -423,11 +423,14 @@ def embedding_near_dup_sql(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 4,
+    max_bucket: int | None = 1000,
 ) -> str:
     """DuckDB oracle for :func:`embedding_near_dup_pairs` — same
     deterministic-constants argument as :func:`cosine_topk_lsh_sql`,
-    INCLUDING the max_bucket mega-bucket drop (r9 sf1 finding)."""
-    ctes = _near_dup_ctes(threshold, dim, n_planes, n_tables)
+    INCLUDING the max_bucket mega-bucket drop (r9 sf1 finding);
+    ``max_bucket`` must match the Spark side's cap (default 1000, same
+    as :func:`embedding_near_dup_pairs`)."""
+    ctes = _near_dup_ctes(threshold, dim, n_planes, n_tables, max_bucket=max_bucket)
     return f"""
     WITH {ctes}
     SELECT id_a, id_b, cosine FROM nd_pairs

@@ -61,21 +61,11 @@ def _ndg_pairs(spark: SparkSession, sf: str) -> DataFrame:
     graph consumers' calls is not the production read path — readers
     trust a validated artifact. A new process (the driver's per-query
     sessions, a fresh bench) always re-validates once."""
-    import hashlib
-    import os
-
-    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
-    root = os.environ.get("DVMAX_SPARK_CACHE") or os.path.join(
-        os.path.expanduser("~"), ".cache", "dvmax_spark"
-    )
-    path = os.path.join(root, f"ndg_{digest}")
-    ndg = NearDupGraph(
-        spark, path, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
-    )
+    ndg = _ndg_handle(spark, sf)
     # Keyed on applicationId, not id(spark): CPython can reuse id()
     # after a session is GC'd, which would false-positive a fresh
     # session as already-validated and skip the fingerprint check.
-    memo_key = (path, spark.sparkContext.applicationId)
+    memo_key = (ndg.path, spark.sparkContext.applicationId)
     if memo_key in _NDG_VALIDATED:
         return ndg.pairs()
     docs = load_table(spark, "documents", sf).where(
@@ -85,6 +75,81 @@ def _ndg_pairs(spark: SparkSession, sf: str) -> DataFrame:
     global _NDG_LAST_BUILT
     _NDG_LAST_BUILT = ndg.last_ensure_built
     _NDG_VALIDATED.add(memo_key)
+    return out
+
+
+def _ndg_handle(spark: SparkSession, sf: str) -> NearDupGraph:
+    """The graph family's artifact handle for ``sf``: deterministic
+    per-user cache path + the standard corpus recipe's parameters
+    (see :func:`_ndg_pairs` for why the cache root is user-owned)."""
+    import hashlib
+    import os
+
+    digest = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.environ.get("DVMAX_SPARK_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "dvmax_spark"
+    )
+    path = os.path.join(root, f"ndg_{digest}")
+    return NearDupGraph(
+        spark, path, num_hashes=32, bands=16, shingle_n=2, threshold=0.1
+    )
+
+
+# Mirror of _NDG_LAST_BUILT for the label artifact (bench.py reports
+# both so the pre-build walls are unambiguous cold-vs-warm).
+_NDG_LABELS_LAST_BUILT: bool | None = None
+
+
+# The maintained-labels fixture's "batch": the one source that "just
+# landed". The PRIOR corpus is every other source (19/20 of the docs),
+# so the persisted labels cover almost the whole graph and the merge
+# is batch-proportional — the production shape. (x_incremental_
+# components keeps the inverse src0-as-old framing: there the batch is
+# ~95% of the graph, which is the stress form, not the steady state.)
+_LABELS_NEW_SOURCE = "src19"
+
+
+def _ndg_labels_prior(spark: SparkSession, sf: str) -> DataFrame:
+    """The MAINTAINED label artifact: component labels of the PRIOR
+    corpus's subgraph (pairs whose BOTH endpoints predate
+    ``_LABELS_NEW_SOURCE``), persisted beside the NearDupGraph pair
+    table via :class:`~dvmax_spark.ext.dedup.ComponentLabelStore`.
+    Production incremental clustering reads this table — written as
+    earlier batches landed — and merges the new batch; it never
+    re-derives the old labels (the r9-benched x_incremental_components
+    deliberately does, as the oracle-verified end-to-end stress form).
+    Validity derives from the parent pair artifact's meta, so a
+    regenerated corpus or changed LSH params invalidates the labels
+    transitively without a second corpus pass."""
+    from dvmax_spark.ext.dedup import (
+        ComponentLabelStore,
+        connected_components_twophase,
+    )
+
+    _ndg_pairs(spark, sf)  # ensure + validate the parent pair artifact
+    ndg = _ndg_handle(spark, sf)
+    store = ComponentLabelStore(
+        spark,
+        ndg.path + "_labels_prior",
+        ndg,
+        member_tag=f"source<>{_LABELS_NEW_SOURCE}",
+    )
+
+    def compute() -> DataFrame:
+        old_ids = (
+            load_table(spark, "documents", sf)
+            .where(F.col("source") != _LABELS_NEW_SOURCE)
+            .select("doc_id")
+        )
+        both_old = ndg.pairs().join(
+            old_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+        ).join(old_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        labels, _ = connected_components_twophase(both_old)
+        return labels
+
+    out = store.ensure(compute)
+    global _NDG_LABELS_LAST_BUILT
+    _NDG_LABELS_LAST_BUILT = store.last_ensure_built
     return out
 from dvmax_spark.ext.similarity import (
     cosine_topk_bruteforce,
@@ -280,6 +345,55 @@ def x_incremental_components(spark: SparkSession, sf: str) -> DataFrame:
         both_old.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     )
     labels0, _ = connected_components_twophase(both_old)
+    return dedup_clusters_incremental(
+        docs, labels0, new_edges, rank_col="n_chars"
+    ).orderBy("doc_id")
+
+
+@query(
+    "x_incremental_components_maintained",
+    ids=("X17",),
+    bench=True,
+    sql=dedup_clusters_sql(),
+)
+def x_incremental_components_maintained(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION maintenance path of incremental connected
+    components: the previous labels come from the persisted
+    ComponentLabelStore artifact (written as the prior 19 sources
+    landed, read here) and ONE new edge batch — the pairs the newest
+    source (src19) introduced — merges via star compression over only
+    the touched components. x_incremental_components (above) is the
+    oracle-verified end-to-end stress form that re-derives labels0
+    from scratch every run AND treats 95% of the graph as the batch;
+    its r9 benched wall (9.6 s) therefore measured setup the
+    production shape never pays. This query is the shape the operator
+    exists for: artifact-read labels + batch-proportional merge, still
+    value-exact against the SAME full-recompute recursive-CTE oracle
+    (maintained labels must equal clustering the union pair set from
+    scratch).
+
+    The batch is defined DIRECTLY — pairs with at least one src19
+    endpoint, two broadcast semi-joins against the small new-id set —
+    exactly the complement of the prior subgraph (docs partition into
+    prior vs src19), not via an anti-join against a recomputed
+    both-old pair set: production receives the batch as data, so the
+    benched wall should be labels-read + batch define + merge, nothing
+    else."""
+    from dvmax_spark.ext.dedup import dedup_clusters_incremental
+
+    docs = load_table(spark, "documents", sf)
+    pairs = _ndg_pairs(spark, sf)
+    labels0 = _ndg_labels_prior(spark, sf)
+    new_ids = docs.where(F.col("source") == _LABELS_NEW_SOURCE).select("doc_id")
+    new_edges = pairs.join(
+        F.broadcast(new_ids.withColumnRenamed("doc_id", "id_a")), "id_a", "left_semi"
+    ).unionAll(
+        pairs.join(
+            F.broadcast(new_ids.withColumnRenamed("doc_id", "id_b")),
+            "id_b",
+            "left_semi",
+        )
+    ).distinct()
     return dedup_clusters_incremental(
         docs, labels0, new_edges, rank_col="n_chars"
     ).orderBy("doc_id")

@@ -1076,6 +1076,105 @@ def test_neardup_graph_artifact_build_reuse_invalidate_heal(spark, tmp_path):
     }
 
 
+def test_component_label_store_build_reuse_invalidate(spark, tmp_path):
+    """The persisted label artifact (the maintained state of
+    incremental components): (1) labels served from the store equal a
+    fresh two-phase CC over the member subgraph; (2) a second ensure()
+    is warm (no recompute — compute fn not called, files untouched);
+    (3) the PARENT pair artifact rebuilding (corpus change) invalidates
+    the labels transitively via the embedded meta, with no second
+    corpus fingerprint pass; (4) merging the remaining edges onto the
+    artifact-read labels equals clustering the union from scratch —
+    the x_incremental_components_maintained contract."""
+    import os
+
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dedup import (
+        ComponentLabelStore,
+        NearDupGraph,
+        connected_components_twophase,
+        incremental_components,
+    )
+
+    docs = load_table(spark, "documents", SF).where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    gpath = str(tmp_path / "ndg")
+    g = NearDupGraph(spark, gpath, num_hashes=32, bands=16, shingle_n=2, threshold=0.1)
+    pairs = g.ensure(docs)
+
+    member = docs.where(F.col("doc_id") % 3 != 0).select("doc_id")
+    both = pairs.join(
+        member.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(member.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+
+    store = ComponentLabelStore(spark, gpath + "_labels", g, member_tag="mod3!=0")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        labels, _ = connected_components_twophase(both)
+        return labels
+
+    got = {(r["id"], r["label"]) for r in store.ensure(compute).collect()}
+    want = {
+        (r["id"], r["label"])
+        for r in connected_components_twophase(both)[0].collect()
+    }
+    assert got == want and calls == [1] and store.last_ensure_built is True
+
+    # warm: same parent meta -> no recompute, parquet files untouched
+    files = sorted(
+        f for f in os.listdir(gpath + "_labels") if f.endswith(".parquet")
+    )
+    mtimes = [
+        os.stat(os.path.join(gpath + "_labels", f)).st_mtime_ns for f in files
+    ]
+    store2 = ComponentLabelStore(spark, gpath + "_labels", g, member_tag="mod3!=0")
+    store2.ensure(compute)
+    assert calls == [1] and store2.last_ensure_built is False
+    assert [
+        os.stat(os.path.join(gpath + "_labels", f)).st_mtime_ns for f in files
+    ] == mtimes
+
+    # maintained merge == from-scratch union clustering
+    new_edges = pairs.join(
+        both.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+    merged, _ = incremental_components(store.labels(), new_edges)
+    want_all = {
+        (r["id"], r["label"])
+        for r in connected_components_twophase(pairs)[0].collect()
+    }
+    got_all = {(r["id"], r["label"]) for r in merged.collect()}
+    # merged covers old-label ids + new-edge endpoints; from-scratch
+    # covers all pair endpoints — identical node set here because every
+    # node is an endpoint of some pair
+    assert got_all == want_all
+
+    # parent corpus change -> transitive invalidation (a different tag
+    # would likewise mismatch) -> recompute runs
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    g.ensure(half)
+    store3 = ComponentLabelStore(spark, gpath + "_labels", g, member_tag="mod3!=0")
+    member_h = half.where(F.col("doc_id") % 3 != 0).select("doc_id")
+    both_h = g.pairs().join(
+        member_h.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(member_h.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+
+    def compute_h():
+        calls.append(2)
+        labels, _ = connected_components_twophase(both_h)
+        return labels
+
+    got_h = {(r["id"], r["label"]) for r in store3.ensure(compute_h).collect()}
+    want_h = {
+        (r["id"], r["label"])
+        for r in connected_components_twophase(both_h)[0].collect()
+    }
+    assert got_h == want_h and calls == [1, 2] and store3.last_ensure_built is True
+
+
 def test_ivf_index_batch_append_is_replay_idempotent(spark, tmp_path):
     """Batch-keyed appends are dynamic partition overwrites: replaying
     the same batch (crash-recovery) must NOT duplicate list entries —

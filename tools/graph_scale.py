@@ -30,6 +30,7 @@ def main() -> None:
     from dvmax_spark.ext.dedup import (
         connected_components_twophase,
         dup_graph_census,
+        incremental_components,
         pagerank_centrality,
     )
     from dvmax_spark.session import get_spark
@@ -122,6 +123,34 @@ def main() -> None:
             ce_wall,
             f"{c['n_edges']:,} edges, {c['n_triangles']:,} triangles, "
             f"gcc_ppm={c['gcc_ppm']}",
+        )
+    )
+
+    # Maintenance path on BOUNDED components (what the sf0.1 bench
+    # corpus can't show — its constant-vocab near-dup graph is one
+    # giant component, so the touched set there is ~the whole graph):
+    # a 1,000-edge batch, each edge merging two of the 20,000
+    # five-cliques, touches 2,000 components (~10k of 1.1M nodes).
+    # incremental_components must cost the touched part + batch, not
+    # the graph — compare its wall to cc_wall (the full rebuild).
+    t0 = time.perf_counter()
+    batch = spark.range(0, 1_000).select(
+        (F.lit(3_000_000) + F.col("id") * 10).alias("id_a"),
+        (F.lit(3_000_000) + F.col("id") * 10 + 5).alias("id_b"),
+    )
+    inc_labels, inc_rounds = incremental_components(labels, batch)
+    n_comp_inc = inc_labels.agg(F.count_distinct("label")).collect()[0][0]
+    inc_wall = time.perf_counter() - t0
+    assert n_comp_inc == n_comp - 1_000, (
+        f"each batch edge merges two previously-distinct cliques, so the "
+        f"component count must drop by exactly 1,000: {n_comp:,} -> {n_comp_inc:,}"
+    )
+    rows.append(
+        (
+            "incremental_components (1k-edge batch)",
+            inc_wall,
+            f"{inc_rounds} rounds; touched 2,000 of {n_comp:,} components "
+            f"(~10k of {n_nodes:,} nodes); full rebuild = {cc_wall:.1f} s",
         )
     )
 
