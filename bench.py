@@ -35,6 +35,22 @@ drift. Compare min for plan regressions, median/min for environment
 health. Between passes a Python `gc.collect()` releases py4j handles
 so Spark's ContextCleaner can drop dead broadcasts/shuffles instead
 of letting the heap grow across passes.
+
+LOAD SENTINEL (r10, after BENCH_r09 came back host-load-poisoned at
+2.06x baseline while an idle re-run at the same commit read 1.24x):
+the artifact now carries its own contamination evidence so a reader
+can adjudicate load-vs-regression without re-running. A fixed
+pure-JVM calibration probe (`spark.range(1e9).sum`, no IO, no plan
+drift possible) is timed before every pass and once at the end;
+`noise_floor` (min probe wall) is the machine's idle capability and
+`noise_probe_median_over_min` is how far off idle the capture window
+sat — the probe's code never changes, so any spread is environment,
+not engine. `subset_median_over_min` applies the same median/min
+health check to the baseline subset itself. Reading the artifact:
+probe ratio ~1.0-1.3 => trust the walls; probe ratio >> 1.3 =>
+the run was contaminated and `baseline_subset_wall` overstates the
+engine (compare noise_floor across rounds to confirm the host is the
+variable).
 """
 
 from __future__ import annotations
@@ -66,6 +82,34 @@ def select_stdout_line(
         if len(line) <= budget:
             break
     return line
+
+
+def sentinel_stats(
+    probe_walls: list, timings: dict, medians: dict, subset: tuple
+) -> dict:
+    """Load-sentinel summary fields (module doc: LOAD SENTINEL).
+
+    Pure so tests/test_bench_stdout.py can pin the contract:
+      * ``noise_floor``: min wall of the fixed pure-JVM probe — the
+        host's idle capability during this capture;
+      * ``noise_probe_median_over_min``: how far off idle the window
+        sat (the probe's work is constant, so spread == environment);
+      * ``subset_median_over_min``: the same health ratio over the
+        baseline subset's own interleaved samples.
+    """
+    stats: dict = {}
+    if probe_walls:
+        floor = min(probe_walls)
+        stats["noise_floor"] = round(floor, 3)
+        stats["noise_probe_median_over_min"] = (
+            round(statistics.median(probe_walls) / floor, 3) if floor > 0 else None
+        )
+    subset_min = sum(timings.get(q, 0.0) for q in subset)
+    subset_med = sum(medians.get(q, 0.0) for q in subset)
+    stats["subset_median_over_min"] = (
+        round(subset_med / subset_min, 3) if subset_min > 0 else None
+    )
+    return stats
 
 
 def main() -> None:
@@ -100,6 +144,16 @@ def main() -> None:
     ndg_build_wall = time.perf_counter() - t0
     ndg_built = qext._NDG_LAST_BUILT
 
+    # Same for the ComponentLabelStore label artifact (r10): pre-built
+    # + timed separately so x_incremental_components_maintained's
+    # benched wall is the steady-state maintenance path (read labels,
+    # merge one batch) — production writes labels as batches land, so
+    # the one-time src0 labeling is setup, not the operator.
+    t0 = time.perf_counter()
+    qext._ndg_labels_prior(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    labels_build_wall = time.perf_counter() - t0
+    labels_built = qext._NDG_LABELS_LAST_BUILT
+
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     # Stable cross-round comparator: the headline set GROWS as operators
     # land (r1: 17 queries, r4: 35, r7: 39), so the total alone reads as
@@ -126,9 +180,26 @@ def main() -> None:
     # them under the same heavy-neighbour pressure.
     phase1 = [n for n in baseline_subset if n in specs]
     phase2 = [n for n in specs if n not in baseline_subset]
+
+    # Load-sentinel probe (module doc): fixed pure-JVM work — range sum,
+    # no IO, no shuffle of data, explicit 32 splits so the job is
+    # byte-identical every round regardless of defaults. Timed before
+    # every pass + once at the end; one untimed run first compiles its
+    # codegen so sample 1 isn't a JIT artifact.
+    def probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 1_000_000_000, 1, 32).selectExpr("sum(id) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    probe()  # untimed codegen warmup
+    probe_walls: list[float] = []
+
     samples: dict[str, list[float]] = {name: [] for name in specs}
     for group in (phase1, phase2):
         for _ in range(n_passes):
+            probe_walls.append(probe())
             for name in group:
                 samples[name].append(run(specs[name]))
             # Release py4j references so the ContextCleaner can GC dead
@@ -136,8 +207,10 @@ def main() -> None:
             # ~40 plans × 3 passes was the r7 source of the graph-family
             # benched-vs-standalone gap).
             gc.collect()
+    probe_walls.append(probe())
     timings = {name: round(min(s), 3) for name, s in samples.items()}
     medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    sentinel = sentinel_stats(probe_walls, timings, medians, baseline_subset)
     total = sum(timings.values())
     baseline_subset_wall = sum(timings.get(q, 0.0) for q in baseline_subset)
 
@@ -156,6 +229,8 @@ def main() -> None:
         "baseline_subset_n": sum(1 for q in baseline_subset if q in timings),
         "ndg_build_wall": round(ndg_build_wall, 3),
         "ndg_built": ndg_built,
+        "labels_build_wall": round(labels_build_wall, 3),
+        "labels_built": labels_built,
         "sf": sf_val,
         "n": n_passes,
         # which measurement protocol produced baseline_subset_wall:
@@ -163,6 +238,9 @@ def main() -> None:
         # "two-phase-r8" isolates the subset first (r8 ADVICE — don't
         # let downstream consumers silently mix the two protocols)
         "schedule": "two-phase-r8",
+        # load sentinel (module doc): raw probe walls + derived ratios
+        **sentinel,
+        "noise_probe_walls": [round(x, 3) for x in probe_walls],
         # full per-query record: min (plan comparator), median (env
         # health), raw interleaved samples
         "queries": timings,
@@ -189,15 +267,22 @@ def main() -> None:
         "baseline_subset_n": sum(1 for q in baseline_subset if q in timings),
         # one-time NearDupGraph artifact build (pre-built before timing
         # so graph-family figures are the read path); ndg_built: True =
-        # cold build, False = warm fingerprint re-validation only
+        # cold build, False = warm fingerprint re-validation only;
+        # labels_*: same for the ComponentLabelStore label artifact
         "ndg_build_wall": round(ndg_build_wall, 3),
         "ndg_built": ndg_built,
+        "labels_build_wall": round(labels_build_wall, 3),
+        "labels_built": labels_built,
         "sf": sf_val,
         "n": n_passes,
         # protocol tag: baseline_subset_wall measured under the
         # isolated-first two-phase schedule (not r1-r7's full-roster
         # interleaving) — see the phase comment above
         "schedule": "two-phase-r8",
+        # load sentinel (module doc): noise_floor = min fixed-probe
+        # wall; *_median_over_min ~1.0 = clean capture, >>1.3 = the
+        # walls above are host-load-inflated, not engine regression
+        **sentinel,
         "detail_path": detail_path,
     }
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_STDOUT_BUDGET", "1800"))
