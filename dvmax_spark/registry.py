@@ -61,8 +61,11 @@ PRIORITY: tuple[str, ...] = (
     # for P3/P4 null/value admission predicates); p2_filter_predicates
     # moved past-cap — its P2 stays covered by a1 + sql_api_q3
     "x_traindata_funnel",
-    # joins
-    "j6_anti_join",
+    # joins — r10 rotation: j_fuzzy_edit1_join (edit-distance-1 fuzzy
+    # anti/inner join, the entity-resolution family's first driver row)
+    # takes j6_anti_join's slot; J6 stays covered in-cap by
+    # sql_api_q21 (NOT EXISTS) + the fuzzy join itself.
+    "j_fuzzy_edit1_join",
     "j2_asof_backward",
     # r9 rotation: the binned interval join (J4's scale answer) takes
     # j4_grace_window_lookup's slot — j4 earned green rows r1-r8 and
@@ -82,9 +85,11 @@ PRIORITY: tuple[str, ...] = (
     # a_median_distributed's A5 slot — the median variant earned its
     # green driver row in r8.
     "a_quartiles_distributed",
-    # unions/pivot/scalars
+    # unions/pivot/scalars — r10 rotation: sql_grouping_sets (GROUPING
+    # SETS/ROLLUP family's first driver row) takes u3_pivot's slot; U3
+    # stays covered by sql_grouping_sets itself.
     "u1_union_align",
-    "u3_pivot",
+    "sql_grouping_sets",
     "f_scalar_sampler",
     "f11_json_extract",
     "p10_one_hot",
@@ -101,25 +106,34 @@ PRIORITY: tuple[str, ...] = (
     "v3_nullify_unstable",
     "v5_consistency_check",
     "v8_min_history_gate",
-    # composite + SQL-API — r9 rotation: the TPC-H family had exactly
-    # one driver row (q3); q1/q6/q19 rotate in so the identical-SQL-
-    # text contract (queries_core4) gets direct driver evidence.
+    # composite + SQL-API — r10 rotation: q1/q3/q6/q19 earned green r9
+    # rows; the four HARD decorrelation shapes rotate in (q7 multi-join
+    # with year extract, q12 shipmode CASE agg, q17 correlated scalar
+    # subquery, q21 double-correlated EXISTS/NOT EXISTS) so the
+    # identical-SQL-text contract is driver-proven on the shapes where
+    # engines actually diverge. J1/J7/P2/A2/F3 stay covered by q7,
+    # F2/A1 by q12, F4 by q17, J6/O3/O4 by q21.
     "fx_price_features",
-    "sql_api_q3",
-    "sql_api_q1",
-    "sql_api_q6",
-    "sql_api_q19",
-    # sinks + infra sources (rows-only by design)
+    "sql_api_q7",
+    "sql_api_q12",
+    "sql_api_q17",
+    "sql_api_q21",
+    # sinks + infra sources (rows-only by design) — r10 rotation:
+    # o_zorder_layout (interleaved-bit layout + fsops store family's
+    # first driver row) and a_hll_sketch_rollup (sketch family's first
+    # driver row; rows-only by design — HLL register layout is
+    # engine-native) join the window.
     "s2_parquet_sink_roundtrip",
     "s5_rest_ingest_fixture",
     "s4_pipeline_infra",
-    # streaming-semantics windows — r9 rotation: t_sliding_window
-    # (overlapping panes) replaces t_tumbling_window (green r1-r8; T1
-    # stays covered by the sliding variant), and t_stream_join_mv adds
-    # a REAL readStream->writeStream run (stream-static join + exactly-
-    # once MV maintenance) — the streaming family's first driver row.
-    "t_sliding_window",
-    "t_stream_join_mv",
+    "o_zorder_layout",
+    "a_hll_sketch_rollup",
+    # streaming — r10 rotation: t_stream_rollup (a REAL 3-micro-batch
+    # readStream->writeStream continuous aggregate with exactly-once
+    # batch-keyed sink, oracled vs the one-shot agg) takes the slot
+    # t_sliding_window + t_stream_join_mv held (both green r9; T1 stays
+    # covered by t_stream_rollup, T3 by t_stateful_session in-cap).
+    "t_stream_rollup",
     # S13 cross-format matrix took t_session_window's slot:
     # t_session_window's T2 stays covered in-cap by t_stateful_session
     # (which runs the native-gap semantics through the stateful op),
@@ -141,20 +155,39 @@ PRIORITY: tuple[str, ...] = (
     "x_tfidf_cosine_pairs",  # r7: was x_jaccard_prefix_join
     "x_minhash_oph",  # in-cap X3/X17 anchor (see r9 note above)
     "x_simhash_pairs",
-    "x_image_phash_near",  # r9: was x_edit_distance_join
+    # r10: x_gopher_repetition (the full Rae §A1.1 repetition battery,
+    # X15's most direct evidence) takes x_image_phash_near's slot
+    # (green r9; X11 stays covered by x_multimodal_funnel) and
+    # x_pack_spfhp steps out after its green r9 row (X20 stays covered
+    # by x_traindata_funnel).
+    "x_gopher_repetition",
     "x_multimodal_funnel",  # r9: was x_edit_dedup_clusters
     "x_cosine_topk_lsh",
     "x_bpe_pair_counts",  # r7: was x_text_stats
-    "x_pack_spfhp",  # r9: was x_ccnet_buckets
     "x_lang_id",
     "x_pseudonymize",
     "x_ml_walk_forward",
     "x_score_portfolio",
-    # r10 rotation candidates (value-exact in PARITY.md, no driver row
+    # r11 rotation candidates (value-exact in PARITY.md, no driver row
     # yet): sql_api_q4/q5/q13, t_session_window, s_corrupt_json_recovery,
     # x_audio_fp_dedup, a_approx_percentile (bounds-oracled in r9),
-    # x_bpe_fertility (golden-encode-oracled in r9) — keep the cadence.
+    # x_bpe_fertility (golden-encode-oracled in r9), a_kll/a_theta/a_cms
+    # (sketches), x_incremental_components_maintained — keep the cadence.
     # --- everything below is redundant-coverage / variant evidence ---
+    # r10 rotation: displaced from the evidence window (IDs still
+    # covered in-cap); each earned its green r9 driver row on first
+    # exposure (or holds r1-r8 rows: j6/u3/sql_api_q3/t_sliding's
+    # predecessors) + PARITY.md
+    "j6_anti_join",
+    "u3_pivot",
+    "sql_api_q3",
+    "sql_api_q1",
+    "sql_api_q6",
+    "sql_api_q19",
+    "t_sliding_window",
+    "t_stream_join_mv",
+    "x_image_phash_near",
+    "x_pack_spfhp",
     # r9 rotation: displaced from the evidence window (IDs still
     # covered in-cap); each has at least one green driver row
     # (j4/a_median/t_tumbling/image/frame: r8 or earlier; the other
@@ -188,7 +221,6 @@ PRIORITY: tuple[str, ...] = (
     "x_hard_negatives",
     "x_text_stats",
     "x_unigram_logprob",
-    "x_gopher_repetition",
     "x_exact_substr_dedup",
     # r6 rotation: displaced from the evidence window (IDs still
     # covered in-cap); their parity evidence is PARITY.md + tests

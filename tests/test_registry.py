@@ -38,7 +38,11 @@ def test_in_cap_queries_are_oracled():
     """Inside the evidence window, rows-only queries burn a hard-signal
     slot; only genuinely non-SQL-expressible ops may do that."""
     qs = all_queries()
-    allowed_rows_only = {"x_cosine_topk_ivf"}
+    # x_cosine_topk_ivf: IVF probe-set is engine-specific by design.
+    # a_hll_sketch_rollup: r10 rotation (VERDICT r9 #2 asked for a
+    # sketch-family driver row; Spark's Datasketches HLL estimates are
+    # engine-native, so rows-only is the honest contract).
+    allowed_rows_only = {"x_cosine_topk_ivf", "a_hll_sketch_rollup"}
     offenders = [
         n
         for n in list(qs)[:DRIVER_QUERY_CAP]
