@@ -9,6 +9,18 @@ the sweep into a scale-parity check: the same 210 oracle pairs,
 value-exact at 6M-row lineitem instead of 60k. Fixture-backed oracles
 (bpe_train / bpe_fertility / pack_spfhp) are sf-pinned and raise their
 _sfguard error at any other sf — skipped automatically there.
+
+ONE-ULP RULE (r10, VERDICT r9 #6): at sf >= 1 (parsed from the
+--sf-dir basename; force with --ulp, disable with --no-ulp), a float
+mismatch is ACCEPTED — reported as ``OK~ ... one-ulp-explained`` and
+itemized at the end — iff EVERY differing cell is a float differing by
+exactly one unit of its last rounded decimal AND the affected rows are
+<= 0.1% of the result. This is the documented float-parity limit
+(decimal HALF_UP on an exact .5; distributed-sum associativity at
+11-digit magnitudes flipping the final rounding), invisible at the
+driver's sf0.01 contract; anything else — bigger gaps, >1 ulp, NaN vs
+value, integer/string diffs, too many rows — still fails. The driver
+contract at sf0.01 stays bit-exact (the rule never applies there).
 """
 
 from __future__ import annotations
@@ -24,6 +36,85 @@ import duckdb
 import pandas as pd
 
 from tests.conftest import SF_DIR_CORRECT, TABLES, canonicalize
+
+
+def _decimal_scale(x: float) -> int | None:
+    """Decimal places of ``x``'s shortest repr — the scale the query's
+    final ``round()`` produced. None for exponent-form / inf / nan
+    (those can never be one-ulp-explained)."""
+    s = repr(float(x))
+    if any(c in s for c in ("e", "E")) or "inf" in s or "nan" in s:
+        return None
+    return len(s.split(".")[1]) if "." in s else 0
+
+
+def one_ulp_report(got, exp, max_row_ppm: int = 1000):
+    """(explained, detail) for two canonicalized frames that failed the
+    exact compare. explained=True iff every differing cell is a FLOAT
+    pair differing by exactly one unit of its last rounded decimal and
+    the affected rows are <= ``max_row_ppm`` of the result; detail is
+    then the itemized [(col, row, got, exp), ...] acceptance list.
+    Anything else (non-float diff, NaN-vs-value, >1 ulp, too many
+    rows) returns (False, reason) — an unexplained failure."""
+    import numpy as np
+
+    cells: list[tuple] = []
+    bad_rows: set[int] = set()
+    for col in got.columns:
+        if got[col].equals(exp[col]):
+            continue
+        if not (
+            np.issubdtype(got[col].dtype, np.floating)
+            and np.issubdtype(exp[col].dtype, np.floating)
+        ):
+            return False, f"non-float diff in {col!r}"
+        g = got[col].to_numpy()
+        e = exp[col].to_numpy()
+        neq = ~(np.isnan(g) & np.isnan(e)) & ~(g == e)
+        for i in np.nonzero(neq)[0]:
+            gv, ev = float(g[i]), float(e[i])
+            if np.isnan(gv) or np.isnan(ev):
+                return False, f"NaN-vs-value in {col!r} row {i}"
+            sg, se = _decimal_scale(gv), _decimal_scale(ev)
+            if sg is None or se is None:
+                return False, f"exponent-form float in {col!r} row {i}"
+            ulp = 10.0 ** -max(sg, se)
+            # each stored double carries up to spacing/2 of binary
+            # representation error around its decimal value (the
+            # 11-digit revenue case: spacing ~1.5e-5 at 6e10), so the
+            # measured gap is one decimal ulp +- spacing; if spacing
+            # rivals the ulp itself the scale is not representable and
+            # the diff can't be adjudicated — reject.
+            spacing = np.spacing(max(abs(gv), abs(ev)))
+            if spacing * 8 >= ulp:
+                return False, (
+                    f"{col!r} row {i}: {gv} vs {ev} — binary spacing "
+                    f"{spacing:.3g} too coarse for decimal ulp {ulp:g}"
+                )
+            if abs(abs(gv - ev) - ulp) > 2 * spacing + ulp * 1e-9:
+                return False, (
+                    f"{col!r} row {i}: {gv} vs {ev} "
+                    f"(diff {abs(gv - ev):.3g} != one ulp {ulp:g})"
+                )
+            cells.append((col, int(i), gv, ev))
+            bad_rows.add(int(i))
+    if not cells:
+        return False, "frames differ but no cell-level float diff found"
+    ppm = len(bad_rows) * 1_000_000 // max(len(got), 1)
+    if ppm > max_row_ppm:
+        return False, f"{len(bad_rows)} rows ({ppm} ppm) exceed the {max_row_ppm} ppm cap"
+    return True, cells
+
+
+def _sf_at_least_one(sf_dir: str) -> bool:
+    """True iff the directory basename parses as sf >= 1 (sf1, sf10...)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if not base.startswith("sf"):
+        return False
+    try:
+        return float(base[2:]) >= 1.0
+    except ValueError:
+        return False
 
 
 def main() -> None:
@@ -48,8 +139,12 @@ def main() -> None:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    ulp_enabled = (
+        "--ulp" in argv or (_sf_at_least_one(sf_dir) and "--no-ulp" not in argv)
+    )
     only = {a for a in argv if not a.startswith("--")}
     failures, skipped = [], []
+    ulp_accepted: dict[str, list] = {}
     for name, spec in all_queries().items():
         if spec.sql is None or (only and name not in only):
             continue
@@ -64,9 +159,22 @@ def main() -> None:
                 raise AssertionError(f"columns {list(got.columns)} vs {list(exp.columns)}")
             if len(got) != len(exp):
                 raise AssertionError(f"rows {len(got)} vs {len(exp)}")
-            pd.testing.assert_frame_equal(
-                got, exp, check_dtype=False, check_exact=False, rtol=0, atol=0
-            )
+            try:
+                pd.testing.assert_frame_equal(
+                    got, exp, check_dtype=False, check_exact=False, rtol=0, atol=0
+                )
+            except AssertionError:
+                if not ulp_enabled:
+                    raise
+                explained, detail = one_ulp_report(got, exp)
+                if not explained:
+                    raise AssertionError(f"not one-ulp-explained: {detail}") from None
+                ulp_accepted[name] = detail
+                print(
+                    f"OK~  {name} ({time.perf_counter() - t0:.1f}s, {len(got)} rows)"
+                    f" one-ulp-explained: {len(detail)} cells"
+                )
+                continue
             print(f"OK   {name} ({time.perf_counter() - t0:.1f}s, {len(got)} rows)")
         except Exception as e:  # noqa: BLE001
             failures.append(name)
@@ -77,6 +185,14 @@ def main() -> None:
 
     if skipped:
         print(f"{len(skipped)} sf-pinned skipped at {sf_dir}: {skipped}")
+    if ulp_accepted:
+        print(f"\n{len(ulp_accepted)} one-ulp-explained (every accepted cell itemized):")
+        for name, cells in ulp_accepted.items():
+            shown = ", ".join(
+                f"{c}[{i}] {gv} vs {ev}" for c, i, gv, ev in cells[:5]
+            )
+            extra = f" (+{len(cells) - 5} more)" if len(cells) > 5 else ""
+            print(f"  {name}: {len(cells)} cells — {shown}{extra}")
     print(f"\n{len(failures)} failures: {failures}")
     spark.stop()
     sys.exit(1 if failures else 0)
