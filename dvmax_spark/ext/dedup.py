@@ -1522,10 +1522,15 @@ class ComponentLabelStore:
         except (OSError, ValueError):
             return None
 
-    def build(self, labels: DataFrame) -> None:
+    def build(self, labels: DataFrame, meta: dict | None = None) -> None:
         """Materialize ``labels`` (id, label) via staging + atomic swap;
         meta commits inside the staging dir so table and parent-meta
-        snapshot can never disagree."""
+        snapshot can never disagree. ``meta`` should be the
+        _expected_meta() snapshot taken BEFORE the labels were
+        computed: if the parent pair artifact is rebuilt concurrently
+        mid-build, the stored snapshot then mismatches the new parent
+        and the next ensure() rebuilds, instead of stale labels hiding
+        under a fresh-looking meta."""
         import json
         import os
         import shutil
@@ -1539,7 +1544,7 @@ class ComponentLabelStore:
                 "compression", "zstd"
             ).parquet(staging)
             with open(os.path.join(staging, "_meta.json"), "w") as fh:
-                json.dump(self._expected_meta(), fh)
+                json.dump(meta if meta is not None else self._expected_meta(), fh)
             retired = swap_dir(self.path, staging)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -1575,9 +1580,14 @@ class ComponentLabelStore:
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
                 recover_swap(self.path)
-                self.last_ensure_built = self.read_meta() != self._expected_meta()
+                # snapshot ONCE: compute() reads the parent pairs under
+                # this snapshot, and build() persists the same snapshot
+                # — a concurrent parent rebuild mid-compute surfaces as
+                # a mismatch on the next ensure() instead of vanishing
+                expected = self._expected_meta()
+                self.last_ensure_built = self.read_meta() != expected
                 if self.last_ensure_built:
-                    self.build(compute())
+                    self.build(compute(), meta=expected)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
         return self.labels()
