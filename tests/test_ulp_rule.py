@@ -54,13 +54,18 @@ def test_rejects_everything_else():
         max_row_ppm=1_000_000,
     )
     assert ok and len(detail) == 1
-    # row-fraction cap: 100% of rows differing is a regression even if
-    # each cell is one ulp (default cap 2,500 ppm — the measured sf1
-    # worst case, x_quality_score, is 1,640 ppm)
-    ok, why = one_ulp_report(
-        pd.DataFrame({"v": [1.1] * 3}), pd.DataFrame({"v": [1.2] * 3})
+    # row cap: many rows differing is a regression even if each cell
+    # is one ulp (default 2,500 ppm with an 8-row absolute floor for
+    # small aggregates — j1's 1-of-5 revenue row is in-class, 9 of 9
+    # is not)
+    ok, detail = one_ulp_report(
+        pd.DataFrame({"v": [1.1] * 5}), pd.DataFrame({"v": [1.2] * 5})
     )
-    assert not ok and "ppm" in why
+    assert ok and len(detail) == 5  # within the 8-row floor
+    ok, why = one_ulp_report(
+        pd.DataFrame({"v": [1.1] * 9}), pd.DataFrame({"v": [1.2] * 9})
+    )
+    assert not ok and "cap" in why
 
 
 def test_scale_inference_and_sf_gate():

@@ -61,7 +61,12 @@ def one_ulp_report(got, exp, max_row_ppm: int = 2500):
     rounding-edge class is sparse (measured sf1 worst case:
     x_quality_score, 82 of 50,000 rows = 1,640 ppm, every cell one
     ulp of the round-4 score). 2,500 ppm bounds acceptance at ~15x
-    below any plausible regression while covering the observed class."""
+    below any plausible regression while covering the observed class.
+    Small AGGREGATE outputs get an absolute floor of 8 rows instead —
+    one 11-digit revenue sum flipping its last rounded digit on a
+    5-row group-by (j1_inner_join_agg at sf1) is the documented class,
+    and a fraction cap is meaningless at that cardinality; the
+    per-cell exactly-one-ulp requirement remains the primary guard."""
     import numpy as np
 
     cells: list[tuple] = []
@@ -106,9 +111,13 @@ def one_ulp_report(got, exp, max_row_ppm: int = 2500):
             bad_rows.add(int(i))
     if not cells:
         return False, "frames differ but no cell-level float diff found"
-    ppm = len(bad_rows) * 1_000_000 // max(len(got), 1)
-    if ppm > max_row_ppm:
-        return False, f"{len(bad_rows)} rows ({ppm} ppm) exceed the {max_row_ppm} ppm cap"
+    allowed = max(8, len(got) * max_row_ppm // 1_000_000)
+    if len(bad_rows) > allowed:
+        ppm = len(bad_rows) * 1_000_000 // max(len(got), 1)
+        return False, (
+            f"{len(bad_rows)} rows ({ppm} ppm) exceed the cap "
+            f"(max {allowed} rows = {max_row_ppm} ppm, floor 8)"
+        )
     return True, cells
 
 
