@@ -284,8 +284,13 @@ def lsh_pairs_from_signatures(
     back half of :func:`minhash_lsh_pairs`, shared with the
     one-permutation (:func:`minhash_signature_oph`) variant so both
     signature schemes feed the identical physical pair pipeline."""
-    if rejoin_signatures:
-        sig = sig.localCheckpoint(eager=False)
+    # The signature aggregation (shingle explode + num_hashes mins) is
+    # the expensive subtree and it feeds 3+ consumers either way (cap
+    # census + both self-join sides, or banding + two re-joins), so it
+    # is materialized once in BOTH shapes (r10, guide §3.3/§5 — the
+    # default path previously re-derived it per consumer: 8 parquet
+    # scans in x_minhash_lsh's plan).
+    sig = sig.localCheckpoint(eager=False)
     band_structs = band_structs_expr(num_hashes, bands)
 
     if rejoin_signatures:
@@ -632,7 +637,9 @@ def connected_components_twophase(
 
     Returns ``(labels, rounds)``: labels is (id, label) for every
     endpoint of ``pairs``; rounds is the number of LS+SS rounds run
-    (including the final no-change confirmation round).
+    (the last round is the one whose output is already a star forest
+    — the fixpoint is detected structurally, with no extra
+    confirmation pass; see the loop comment).
     """
     E = (
         pairs.select(
@@ -677,9 +684,32 @@ def connected_components_twophase(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        changed = ss.exceptAll(E).limit(1).count() + E.exceptAll(ss).limit(1).count()
+        # Fixpoint test (r10): the alternating algorithm's fixpoints
+        # are EXACTLY the (mn-rooted) star forests — no node is both a
+        # hub (mn) and a leaf (mx), and no leaf has two hubs. On a star
+        # forest, large-star is the identity (a hub's neighbors are all
+        # larger, a leaf's only neighbor is smaller) and small-star
+        # returns the same stars, so detecting the star-forest property
+        # of ``ss`` directly stops ONE ROUND EARLIER than the previous
+        # set-equality test (ss == E needs an extra LS+SS pass over the
+        # final forest to observe no change) and replaces its two
+        # full-width exceptAll jobs per round with one narrow
+        # id-aggregate. Labels are read off the same final E either
+        # way, so the output is bit-identical.
+        viol = (
+            ss.select(F.col("mx").alias("id"), F.lit(1).alias("leaf"))
+            .unionAll(ss.select(F.col("mn").alias("id"), F.lit(0).alias("leaf")))
+            .groupBy("id")
+            .agg(F.sum("leaf").alias("n_leaf"), F.count(F.lit(1)).alias("n_all"))
+            .where(
+                (F.col("n_leaf") > 1)
+                | ((F.col("n_leaf") >= 1) & (F.col("n_all") > F.col("n_leaf")))
+            )
+            .limit(1)
+            .count()
+        )
         E = ss
-        if changed == 0:
+        if viol == 0:
             break
     leaves = E.select(F.col("mx").alias("id"), F.col("mn").alias("label"))
     roots = nodes.join(leaves, "id", "left_anti").select(
@@ -1189,7 +1219,12 @@ class MinHashIndex:
         from dvmax_spark.fsops import recover_swap
 
         recover_swap(self.path)  # heal a crashed compact before reading
-        new_banded = self._banded(new_docs)
+        # The batch's signature subtree (shingle explode + minhash
+        # aggregation) feeds both the bucket-cap census and the band
+        # join; materialize it once (r10, guide §3.3/§5 — previously
+        # re-derived per consumer: 28 parquet scans in
+        # x_incremental_dedup's plan).
+        new_banded = self._banded(new_docs).localCheckpoint(eager=False)
         stored = self.spark.read.parquet(self.path)
         if exclude_self:
             stored = stored.join(

@@ -1721,7 +1721,18 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.col("tok") != "")
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # Shared-subtree materialization (r10, guide §3.3/§5): tf feeds 3
+    # consumers (nd, dfreq, w), w feeds 5 (norms, maxu, contrib, both
+    # dot sides), norms feeds 4, pre feeds both prefix sides. Without
+    # the checkpoints every consumer re-derives its whole chain from
+    # the scan (72 parquet scans / 222 exchanges in one plan at the
+    # r10 baseline). All downstream aggregates are bigint sums or
+    # deterministic-order window sums, so results are bit-identical.
+    tf = (
+        toks.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     nd = tf.select(F.countDistinct("id").alias("n"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
@@ -1741,10 +1752,16 @@ def tfidf_cosine_pairs(
         .where(F.col("idf_m") > 0)
         .select("tok", "idf_m", "df")
     )
-    w = tf.join(idf, "tok").select(
-        "id", "tok", "df", (F.col("tf") * F.col("idf_m")).alias("w")
+    w = (
+        tf.join(idf, "tok")
+        .select("id", "tok", "df", (F.col("tf") * F.col("idf_m")).alias("w"))
+        .localCheckpoint(eager=False)
     )
-    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    norms = (
+        w.groupBy("id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        .localCheckpoint(eager=False)
+    )
     # normalized weights + per-token corpus max (pruning only: floats)
     maxu_t = (
         w.join(norms, "id")
@@ -1771,10 +1788,15 @@ def tfidf_cosine_pairs(
     w_ord = Window.partitionBy("id").orderBy(
         F.col("df").desc(), F.col("tok").desc()
     )
-    pre = contrib.withColumn(
-        "tail_mass",
-        F.sum("c").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
-    ).where(F.col("tail_mass") >= F.lit(float(threshold) / 2.0 - 1e-9))
+    pre = (
+        contrib.withColumn(
+            "tail_mass",
+            F.sum("c").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .where(F.col("tail_mass") >= F.lit(float(threshold) / 2.0 - 1e-9))
+        .select("id", "tok")
+        .localCheckpoint(eager=False)
+    )
     a_p = pre.select(F.col("id").alias("id_a"), "tok")
     b_p = pre.select(F.col("id").alias("id_b"), "tok")
     cand = (

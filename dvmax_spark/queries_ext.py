@@ -338,13 +338,23 @@ def x_incremental_components(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     pairs = _ndg_pairs(spark, sf)
     old_ids = docs.where(F.col("source") == "src0").select("doc_id")
-    both_old = pairs.join(
-        old_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
-    ).join(old_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    # both_old feeds TWO consumers (the labels0 CC below and the
+    # new_edges anti-join); labels0 feeds three inside
+    # dedup_clusters_incremental (touched semi-join, members semi-join,
+    # untouched anti-join). Materialize each once (r10, guide §2.4/§5:
+    # shared subtrees re-evaluated per consumer are free shuffles to
+    # remove) — results are bit-identical, the plan just stops
+    # re-deriving the same tables.
+    both_old = (
+        pairs.join(old_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(old_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .localCheckpoint(eager=False)
+    )
     new_edges = pairs.join(
         both_old.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     )
     labels0, _ = connected_components_twophase(both_old)
+    labels0 = labels0.localCheckpoint(eager=False)
     return dedup_clusters_incremental(
         docs, labels0, new_edges, rank_col="n_chars"
     ).orderBy("doc_id")
