@@ -536,6 +536,13 @@ def dedup_clusters(
     """
     from dvmax_spark.operators.lineage import cut_lineage
 
+    # NOTE (r10): pre-partitioning edges by s and persisting the
+    # columnar cache (so each step's join skips the edge-side
+    # exchange) was implemented and A/B-measured: the per-step
+    # cache-read + sort cost exceeded the saved re-shuffle at bench
+    # scale (x_dedup_clusters 6.4 -> 8.3 s, 3 alternating runs), so
+    # the lineage-cut shape below stands. On a network-bound cluster
+    # the trade can flip; revisit with cluster measurements.
     edges = cut_lineage(
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .unionAll(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
@@ -571,7 +578,13 @@ def dedup_clusters(
     def _label_sum(cur: DataFrame):
         return cur.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
-    prev_sum = _label_sum(labels)
+    # The initial sum is not needed: seed labels are id=label, whose
+    # sum can only coincide with the post-step sum when the first
+    # double-step was already a no-op — exactly the case where one
+    # extra loop round is harmless and rarer than the 1-job saving
+    # (r10). ``object()`` compares unequal to any sum including the
+    # empty-graph None.
+    prev_sum: object = object()
     for _ in range(max_iter):
         # TWO propagation steps per convergence-check action: the
         # fixpoint test only needs the LAST step's outcome, so pairing
@@ -581,8 +594,8 @@ def dedup_clusters(
         stepped = cut_lineage(_step(_step(labels)), mode=checkpoint_mode)
         cur_sum = _label_sum(stepped)
         labels = stepped
-        if cur_sum == prev_sum:
-            break
+        if cur_sum is None or cur_sum == prev_sum:
+            break  # empty vertex set converges trivially
         prev_sum = cur_sum
 
     comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
@@ -659,27 +672,41 @@ def connected_components_twophase(
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
+        # Both star phases run as ONE window over the phase's
+        # neighbor-gather partitioning instead of groupBy(min) + join
+        # (r10, guide §2.4): the join shape cost two exchanges of the
+        # edge stream per phase (the filtered join side cannot reuse
+        # the aggregate's exchange) plus the join itself; the window
+        # computes m(u) on the same colocated rows the join would have
+        # gathered anyway, so skew exposure is unchanged (a mega-hub's
+        # edges landed in one join partition before, one window
+        # partition now) and the edge SETS produced are identical.
+        #
         # large-star: for each node u, attach every LARGER neighbor to
         # m(u) = min(u, min neighbor)
         sym = E.select(F.col("mn").alias("u"), F.col("mx").alias("v")).unionAll(
             E.select(F.col("mx").alias("u"), F.col("mn").alias("v"))
         )
-        m = sym.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        wu = Window.partitionBy("u")
         ls = (
-            sym.where(F.col("v") > F.col("u"))
-            .join(m, "u")
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
+            .where(F.col("v") > F.col("u"))
             .select(F.col("m").alias("mn"), F.col("v").alias("mx"))
             .where(F.col("mn") != F.col("mx"))
             .distinct()
         )
         # small-star: hang edges on the larger endpoint; connect all of
-        # its smaller neighbors (and itself) to their minimum
+        # its smaller neighbors (and itself) to their minimum. The
+        # "and itself" edge (m, u) falls out of the same window by
+        # folding a self-loop (u, u) per edge into the stream before
+        # the min — duplicates collapse in the distinct, min(v) is
+        # unchanged (v <= u throughout), and no second consumer or
+        # row_number is needed.
         d = ls.select(F.col("mx").alias("u"), F.col("mn").alias("v"))
-        ms = d.groupBy("u").agg(F.min("v").alias("m"))
+        d2 = d.unionAll(d.select("u", F.col("u").alias("v")))
         ss = (
-            d.join(ms, "u")
+            d2.withColumn("m", F.min("v").over(wu))
             .select(F.col("m").alias("mn"), F.col("v").alias("mx"))
-            .unionAll(ms.select(F.col("m").alias("mn"), F.col("u").alias("mx")))
             .where(F.col("mn") != F.col("mx"))
             .distinct()
             .localCheckpoint(eager=False)
