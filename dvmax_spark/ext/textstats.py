@@ -157,9 +157,14 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from dvmax_spark.operators.distrank import with_group_cumsum
 
     scored = unigram_logprob(df, id_col=id_col).select(id_col, "avg_logprob")
-    j = df.select(
-        id_col, "lang", F.col("n_chars").cast("long").alias("n_chars")
-    ).join(scored, id_col)
+    # j feeds both the distributed cumsum and the per-language totals;
+    # materialize it once so the unigram LM (token explode + two
+    # aggregations) is not re-derived per consumer (r10, guide §3.3/§5).
+    j = (
+        df.select(id_col, "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(scored, id_col)
+        .localCheckpoint(eager=False)
+    )
     cum = with_group_cumsum(
         j,
         ["lang"],
