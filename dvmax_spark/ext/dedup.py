@@ -2499,11 +2499,28 @@ def minhash_signature_oph(
         .groupBy(id_col, "_b")
         .agg(F.min("_h").alias("_m"))
     )
-    grid = df.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).alias("_b"),
+    # Dense (id, bin) grid WITHOUT the former per-doc bin-explode of
+    # ``df`` + (id, bin) equi-join (r10, guide §2.4): fold the sparse
+    # bins into one map per id, then explode the static bin sequence
+    # and look the bin up map-side. Every doc reaching here has >= 1
+    # shingle (callers filter len >= shingle_n), so the id sets match
+    # the old grid exactly; the lookup yields null for empty bins just
+    # as the left join did. Removes one corpus scan, the join, and an
+    # exchange — the remaining shuffles are the two aggregations, and
+    # the windows below ride the second one's (id) partitioning.
+    binmap = sparse.groupBy(id_col).agg(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct("_b", "_m")))).alias(
+            "_bm"
+        )
     )
-    full = grid.join(sparse, [id_col, "_b"], "left")
+    full = (
+        binmap.select(
+            F.col(id_col),
+            F.col("_bm"),
+            F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).alias("_b"),
+        )
+        .select(F.col(id_col), F.col("_b"), F.col("_bm")[F.col("_b")].alias("_m"))
+    )
     w_next = (
         Window.partitionBy(id_col)
         .orderBy("_b")
