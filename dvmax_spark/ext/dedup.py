@@ -693,8 +693,13 @@ def connected_components_twophase(
             .where(F.col("v") > F.col("u"))
             .select(F.col("m").alias("mn"), F.col("v").alias("mx"))
             .where(F.col("mn") != F.col("mx"))
-            .distinct()
         )
+        # NO distinct on ls (r10): small-star's min is duplicate-
+        # idempotent and ss carries its own distinct, so deduping the
+        # intermediate only spent a full shuffle per round; the edge
+        # SET each phase produces — the thing the algorithm and the
+        # fixpoint test are defined on — is unchanged.
+        #
         # small-star: hang edges on the larger endpoint; connect all of
         # its smaller neighbors (and itself) to their minimum. The
         # "and itself" edge (m, u) falls out of the same window by

@@ -191,7 +191,9 @@ def dsir_select(
     from dvmax_spark.operators.distrank import with_global_rank
 
     w = dsir_logweights(df, target, n=n, buckets=buckets, id_col=id_col, text_col=text_col)
-    scored = df.select(id_col, group_col).join(w, id_col)
+    # scored feeds both the N-count and the rank; materialize it once
+    # so the scoring pass over the corpus runs once (r10, guide §5)
+    scored = df.select(id_col, group_col).join(w, id_col).localCheckpoint(eager=False)
     total = scored.agg(F.count(F.lit(1)).alias("n_all"))
     ranked = with_global_rank(
         scored, [F.col("logw_x1e6").desc(), F.col(id_col).asc()], out_col="rn"
@@ -232,7 +234,8 @@ def dsir_select_kll(
     Rows-only in the registry (DataSketches KLL compaction is
     randomized by design — no deterministic cross-engine oracle)."""
     w = dsir_logweights(df, target, n=n, buckets=buckets, id_col=id_col, text_col=text_col)
-    scored = df.select(id_col, group_col).join(w, id_col)
+    # scored feeds both the sketch threshold and the rollup (r10)
+    scored = df.select(id_col, group_col).join(w, id_col).localCheckpoint(eager=False)
     thr = scored.agg(
         F.kll_sketch_get_quantile_double(
             F.kll_sketch_agg_double(F.col("logw_x1e6").cast("double")),

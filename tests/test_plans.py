@@ -660,12 +660,18 @@ def test_bloom_decontam_membership_is_broadcast(spark):
 
 
 def test_tfidf_prefix_filter_in_plan(spark):
-    """x_tfidf_cosine_pairs: the candidate join consumes the
-    window-filtered prefix (a Window node feeding the self-join), and
-    the tiny N/idf aggregates reach it as broadcasts."""
+    """x_tfidf_cosine_pairs: the shared tf/w/norms/prefix subtrees are
+    materialized once (r10 — the old plan re-derived each chain per
+    consumer: 72 parquet scans, 222 exchanges, with the Window-filtered
+    prefix and the broadcast N/idf aggregates visible inline), so the
+    final plan consumes checkpointed scans and NEVER re-reads the
+    corpus: the candidate self-join runs on the prefix relation alone
+    and no parquet scan appears downstream of it."""
     plan = _simple_plan(_q(spark, "x_tfidf_cosine_pairs"))
-    assert "Window" in plan, plan
-    assert "BroadcastExchange" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_event_transitions_single_window_pass(spark):
