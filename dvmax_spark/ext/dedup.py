@@ -650,9 +650,9 @@ def connected_components_twophase(
 
     Returns ``(labels, rounds)``: labels is (id, label) for every
     endpoint of ``pairs``; rounds is the number of LS+SS rounds run
-    (the last round is the one whose output is already a star forest
-    — the fixpoint is detected structurally, with no extra
-    confirmation pass; see the loop comment).
+    (always even — rounds run in PAIRS per convergence action; the
+    fixpoint is detected structurally on the pair's output, see the
+    loop comment).
     """
     E = (
         pairs.select(
@@ -663,15 +663,14 @@ def connected_components_twophase(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        E.select(F.col("mn").alias("id"))
-        .unionAll(E.select(F.col("mx").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    # nodes is consumed exactly once (the final left_anti); deriving it
+    # from the checkpointed E there costs one cheap re-aggregation and
+    # saves a separate checkpoint call + materialization (r10).
+    nodes = E.select(F.col("mn").alias("id")).unionAll(
+        E.select(F.col("mx").alias("id"))
     )
-    rounds = 0
-    for _ in range(max_rounds):
-        rounds += 1
+
+    def _round(cur: DataFrame) -> DataFrame:
         # Both star phases run as ONE window over the phase's
         # neighbor-gather partitioning instead of groupBy(min) + join
         # (r10, guide §2.4): the join shape cost two exchanges of the
@@ -684,8 +683,8 @@ def connected_components_twophase(
         #
         # large-star: for each node u, attach every LARGER neighbor to
         # m(u) = min(u, min neighbor)
-        sym = E.select(F.col("mn").alias("u"), F.col("mx").alias("v")).unionAll(
-            E.select(F.col("mx").alias("u"), F.col("mn").alias("v"))
+        sym = cur.select(F.col("mn").alias("u"), F.col("mx").alias("v")).unionAll(
+            cur.select(F.col("mx").alias("u"), F.col("mn").alias("v"))
         )
         wu = Window.partitionBy("u")
         ls = (
@@ -694,40 +693,57 @@ def connected_components_twophase(
             .select(F.col("m").alias("mn"), F.col("v").alias("mx"))
             .where(F.col("mn") != F.col("mx"))
         )
-        # NO distinct on ls (r10): small-star's min is duplicate-
-        # idempotent and ss carries its own distinct, so deduping the
-        # intermediate only spent a full shuffle per round; the edge
-        # SET each phase produces — the thing the algorithm and the
-        # fixpoint test are defined on — is unchanged.
+        # NO intermediate distinct (r10): every downstream consumer —
+        # the small-star window min, the next round's windows, the
+        # pair-end distinct and the fixpoint test — is duplicate-
+        # idempotent, and the ROW COUNT of a star phase equals its
+        # input's row count (one output row per qualifying input row),
+        # so duplicates never grow the stream; deduping mid-stream only
+        # spent a full shuffle per phase. The edge SET each phase
+        # produces — the thing the algorithm is defined on — is
+        # unchanged.
         #
         # small-star: hang edges on the larger endpoint; connect all of
         # its smaller neighbors (and itself) to their minimum. The
         # "and itself" edge (m, u) falls out of the same window by
         # folding a self-loop (u, u) per edge into the stream before
-        # the min — duplicates collapse in the distinct, min(v) is
-        # unchanged (v <= u throughout), and no second consumer or
-        # row_number is needed.
+        # the min — min(v) is unchanged (v <= u throughout), and no
+        # second consumer or row_number is needed.
         d = ls.select(F.col("mx").alias("u"), F.col("mn").alias("v"))
         d2 = d.unionAll(d.select("u", F.col("u").alias("v")))
-        ss = (
+        return (
             d2.withColumn("m", F.min("v").over(wu))
             .select(F.col("m").alias("mn"), F.col("v").alias("mx"))
             .where(F.col("mn") != F.col("mx"))
-            .distinct()
-            .localCheckpoint(eager=False)
         )
+
+    rounds = 0
+    for _ in range((max_rounds + 1) // 2):
+        # TWO LS+SS rounds per convergence action (r10, mirroring
+        # dedup_clusters' two-steps-per-check): each round costs a
+        # driver-side physical-planning pass (the checkpoint call) plus
+        # a job submission, and at bench scale that fixed overhead —
+        # not the shuffled bytes — dominates the loop, while at cluster
+        # scale it is the per-round barrier latency. The intermediate
+        # round is left unmaterialized and un-deduped: row counts are
+        # input-bound (see _round), Spark's ReuseExchange collapses the
+        # doubly-consumed mid-round subtree inside the pair's one job,
+        # and the pair-end distinct restores the compressed edge set.
+        # A fixpoint reached on the pair's FIRST round is detected one
+        # round late, but both phases are the identity on a star
+        # forest, so the extra pass changes nothing — labels are
+        # bit-identical to the per-round-checked form.
+        rounds += 2
+        ss = _round(_round(E)).distinct().localCheckpoint(eager=False)
         # Fixpoint test (r10): the alternating algorithm's fixpoints
         # are EXACTLY the (mn-rooted) star forests — no node is both a
         # hub (mn) and a leaf (mx), and no leaf has two hubs. On a star
         # forest, large-star is the identity (a hub's neighbors are all
         # larger, a leaf's only neighbor is smaller) and small-star
         # returns the same stars, so detecting the star-forest property
-        # of ``ss`` directly stops ONE ROUND EARLIER than the previous
-        # set-equality test (ss == E needs an extra LS+SS pass over the
-        # final forest to observe no change) and replaces its two
-        # full-width exceptAll jobs per round with one narrow
-        # id-aggregate. Labels are read off the same final E either
-        # way, so the output is bit-identical.
+        # of ``ss`` directly needs no extra confirmation pass and
+        # replaces the old set-equality test's two full-width exceptAll
+        # jobs with one narrow id-aggregate.
         viol = (
             ss.select(F.col("mx").alias("id"), F.lit(1).alias("leaf"))
             .unionAll(ss.select(F.col("mn").alias("id"), F.lit(0).alias("leaf")))
@@ -746,7 +762,7 @@ def connected_components_twophase(
     leaves = E.select(F.col("mx").alias("id"), F.col("mn").alias("label"))
     roots = nodes.join(leaves, "id", "left_anti").select(
         "id", F.col("id").alias("label")
-    )
+    ).distinct()
     return leaves.unionAll(roots), rounds
 
 

@@ -759,19 +759,52 @@ def _remove_covered_runs(
     text_col: str,
 ) -> DataFrame:
     """Shared tail of the ExactSubstr family: merge ``covered``
-    (id, pos) positions into maximal per-doc runs (islands window),
-    drop runs >= ``min_len``, rebuild the cleaned text, and report
-    (n_tokens, n_removed, n_runs, max_run_len, clean_hash) per doc."""
-    w_rn = Window.partitionBy(id_col).orderBy("pos")
-    runs = covered.withColumn("rid", F.col("pos") - F.row_number().over(w_rn))
-    w_run = Window.partitionBy(id_col, "rid")
-    removed = runs.withColumn("run_len", F.count(F.lit(1)).over(w_run)).where(
-        F.col("run_len") >= min_len
+    (id, pos) positions into maximal per-doc runs, drop runs >=
+    ``min_len``, rebuild the cleaned text, and report (n_tokens,
+    n_removed, n_runs, max_run_len, clean_hash) per doc.
+
+    Run detection is ONE id-partitioned window pass (r10, guide §2.4):
+    a run-start flag (gap from the previous position) and a running
+    last-start give each covered position its run's start; the
+    (id, run_start) aggregate and the per-doc stats then both reuse the
+    window's hash(id) partitioning (Spark's subset rule — partitioning
+    expressions ⊆ grouping expressions needs no new exchange), where
+    the previous islands shape (pos − row_number, then a COUNT window
+    over (id, rid)) re-exchanged the full covered stream twice. Removed
+    positions re-expand from the interval table by sequence-explode —
+    rows and values identical to the old per-position filter, so the
+    anti-join, the rebuild and every reported stat are bit-identical.
+    """
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    cum = covered.withColumn(
+        "new_run",
+        F.lag("pos").over(w_ord).isNull() | (F.col("pos") - F.lag("pos").over(w_ord) > 1),
+    ).withColumn(
+        "run_start",
+        F.last(F.when(F.col("new_run"), F.col("pos")), ignorenulls=True).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
-    run_stats = removed.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_removed"),
-        F.count_distinct("rid").alias("n_runs"),
+    # intervals is tiny (one row per >=min_len run) and feeds BOTH the
+    # per-doc stats and the removed-position expansion; materialize it
+    # once or each consumer re-derives the whole covered-position
+    # chain (gram counts, coverage explode, window pass) from scratch
+    intervals = (
+        cum.groupBy(id_col, "run_start")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .where(F.col("run_len") >= min_len)
+        .localCheckpoint(eager=False)
+    )
+    run_stats = intervals.groupBy(id_col).agg(
+        F.sum("run_len").alias("n_removed"),
+        F.count(F.lit(1)).alias("n_runs"),
         F.max("run_len").alias("max_run_len"),
+    )
+    removed = intervals.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("run_start"), F.col("run_start") + F.col("run_len") - 1)
+        ).alias("pos"),
     )
     kept = toks.join(removed.select(id_col, "pos"), [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(

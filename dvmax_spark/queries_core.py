@@ -394,18 +394,36 @@ def j4_grace_window_lookup(spark: SparkSession, sf: str) -> DataFrame:
 def j5_upsert_keep_last(spark: SparkSession, sf: str) -> DataFrame:
     """Keep-last upsert (ref concat + unique(keep="last"),
     ticker_batch_runner.py:310, 495): updates win over existing rows on
-    the merge key; priority explicit via source rank."""
+    the merge key; priority explicit via source rank.
+
+    The two inputs share ONE aggregation pass over lineitem (r10,
+    guide §2.3/§2.4): max(qty) and the R-rows max ride the same
+    groupBy as plain and conditional aggregates (max ignores the
+    when's nulls, so the conditional max over all rows equals the max
+    over the filtered rows), and the two legs are post-aggregate
+    projections whose identical partial-agg exchange ReuseExchange
+    materializes once — one lineitem scan + one exchange instead of
+    two of each. Rows are identical: keys with no R row drop out of
+    the updates leg via the null filter, exactly as the filtered
+    aggregate produced no row for them."""
     li = load_table(spark, "lineitem", sf)
-    existing = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.max("l_quantity").alias("qty"))
-        .withColumn("src", F.lit(0))
+    base = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_quantity").alias("_q0"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))).alias(
+            "_qr"
+        ),
     )
-    updates = (
-        li.where(F.col("l_returnflag") == "R")
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg((F.max("l_quantity") * 2).alias("qty"))
-        .withColumn("src", F.lit(1))
+    existing = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("_q0").alias("qty"),
+        F.lit(0).alias("src"),
+    )
+    updates = base.where(F.col("_qr").isNotNull()).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("_qr") * 2).alias("qty"),
+        F.lit(1).alias("src"),
     )
     merged = upsert_keep_last(existing, updates, keys=["l_orderkey", "l_linenumber"])
     return merged.select("l_orderkey", "l_linenumber", "qty", "src").orderBy(
