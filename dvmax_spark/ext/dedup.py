@@ -1829,7 +1829,7 @@ def pagerank_centrality(
     ranks = nodes.select(
         "src", "outdeg", "n_nodes", F.expr(f"{scale} div n_nodes").alias("rank")
     )
-    for _ in range(iters):
+    for _i in range(iters):
         # NOTE (measured, min-of-3 at sf0.1): a message-union variant
         # (zero-mass node rows riding the aggregate, as dedup_clusters
         # does) hard-codes a shuffle of the node table per iteration
@@ -1855,7 +1855,15 @@ def pagerank_centrality(
                 ).alias("rank"),
             )
         )
-        ranks = cut_lineage(ranks, mode=checkpoint_mode)
+        # Cut every SECOND iteration (r10, A/B-measured min-of-2 warm
+        # at sf0.1: cut-every-1 3.28 s, no cuts 2.75 s, cut-every-2
+        # 2.75 s): each cut costs a driver physical-planning pass plus
+        # a materialization job, and two chained rank steps are still a
+        # bounded plan — depth stays O(1) in ``iters`` either way,
+        # while half the per-iteration fixed cost disappears. Values
+        # are identical (the cut is a pure materialization boundary).
+        if (_i + 1) % 2 == 0:
+            ranks = cut_lineage(ranks, mode=checkpoint_mode)
     return (
         ranks.orderBy(F.desc("rank"), F.asc("src"))
         .limit(top_k)

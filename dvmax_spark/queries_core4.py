@@ -1654,10 +1654,13 @@ def j_incremental_join_mv(spark: SparkSession, sf: str) -> DataFrame:
     o_sliced = with_hash_slice(orders, ["o_orderkey"], 3, "_b")
     c_sliced = with_hash_slice(cust, ["custkey"], 3, "_b")
     for b in (1, 2, 3):
+        # stage each incoming batch once (r10, guide §5): refresh uses
+        # a delta three times (its own write + two delta joins), and
+        # without the cut every use re-scans the base table to re-slice
         mv.refresh(
             b,
-            o_sliced.where(F.col("_b") == b).drop("_b"),
-            c_sliced.where(F.col("_b") == b).drop("_b"),
+            o_sliced.where(F.col("_b") == b).drop("_b").localCheckpoint(eager=False),
+            c_sliced.where(F.col("_b") == b).drop("_b").localCheckpoint(eager=False),
         )
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return (
