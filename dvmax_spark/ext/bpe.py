@@ -245,17 +245,24 @@ def train_bpe(
     launches saved, not just local wall.
 
     Each round: dict-sized pair count -> top-k collect -> Catalyst
-    folds applying the batch -> eager lineage cut (the dict is
-    Heaps-law small, so re-materializing it per round is cheap and
-    keeps both lineage and codegen expression depth O(1));
+    folds applying the batch -> LAZY lineage cut (truncates lineage
+    and codegen expression depth O(1) immediately; the dict is
+    Heaps-law small and materializes inside the next round's collect
+    job, so each round is ONE job — r10);
     ``checkpoint_mode='reliable'`` puts the per-round cut on shared
     storage so an executor loss resumes instead of failing the train
     (operators/lineage.py).
     """
     from dvmax_spark.operators.lineage import cut_lineage
 
+    # Cuts are LAZY (r10): a lazy cut truncates lineage/codegen depth
+    # exactly like an eager one, but the materialization folds into the
+    # NEXT round's top-k collect job instead of being its own job —
+    # one job per round instead of two — and the FINAL round's fold
+    # chain (whose dict no consumer ever reads: train_bpe returns the
+    # merge list) is never executed at all.
     dict_df = cut_lineage(
-        word_symbol_dict(df, text_col, eow), mode=checkpoint_mode, eager=True
+        word_symbol_dict(df, text_col, eow), mode=checkpoint_mode, eager=False
     )
     merges: list[dict] = []
     while len(merges) < num_merges:
@@ -284,7 +291,7 @@ def train_bpe(
             dict_df = dict_df.withColumn(
                 "symbols", _merge_fold(F.col("symbols"), m["left"], m["right"], m["merged"])
             )
-        dict_df = cut_lineage(dict_df, mode=checkpoint_mode, eager=True)
+        dict_df = cut_lineage(dict_df, mode=checkpoint_mode, eager=False)
     return merges
 
 
