@@ -1239,12 +1239,26 @@ class MinHashIndex:
         if retired:
             shutil.rmtree(retired)
 
+    def stage_batch(self, new_docs: DataFrame) -> DataFrame:
+        """The incoming batch's banded signature table, lineage-cut for
+        reuse — the exact DataFrame :meth:`match_new` derives
+        internally. Staging it explicitly lets a caller MATERIALIZE the
+        batch's signature pass (a noop write) concurrently with an
+        independent job — in x_incremental_dedup, the historical
+        index's build write — since the two share no inputs (guide
+        §2.6: independent actions from driver threads back-fill each
+        other's task tails). Pass the result to ``match_new(...,
+        staged_banded=...)``; contents are identical either way (a
+        parity test pins it)."""
+        return self._banded(new_docs).localCheckpoint(eager=False)
+
     def match_new(
         self,
         new_docs: DataFrame,
         threshold: float = 0.5,
         max_bucket: int | None = 1000,
         exclude_self: bool = False,
+        staged_banded: DataFrame | None = None,
     ) -> DataFrame:
         """Near-dup pairs (new_id, old_id, est_jaccard) between the
         incoming batch and the INDEXED corpus. One shuffle join on the
@@ -1271,8 +1285,14 @@ class MinHashIndex:
         # aggregation) feeds both the bucket-cap census and the band
         # join; materialize it once (r10, guide §3.3/§5 — previously
         # re-derived per consumer: 28 parquet scans in
-        # x_incremental_dedup's plan).
-        new_banded = self._banded(new_docs).localCheckpoint(eager=False)
+        # x_incremental_dedup's plan). A caller that staged the batch
+        # via :meth:`stage_batch` (to overlap its materialization with
+        # the index build) hands the same checkpointed table back in.
+        new_banded = (
+            staged_banded
+            if staged_banded is not None
+            else self._banded(new_docs).localCheckpoint(eager=False)
+        )
         stored = self.spark.read.parquet(self.path)
         if exclude_self:
             stored = stored.join(

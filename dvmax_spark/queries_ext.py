@@ -1483,8 +1483,25 @@ def x_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     new = docs.where(F.col("source") != "src0")
     path = f"/tmp/dvmax_mhidx_{_os.getpid()}_{abs(hash(sf)) % 10**8}"
     idx = MinHashIndex(spark, path, num_hashes=32, bands=16, shingle_n=2)
-    idx.build(old)
-    return idx.match_new(new, threshold=0.1).orderBy("new_id", "old_id")
+    # The index build (historical side: signature pass + parquet write)
+    # and the incoming batch's signature pass share NO inputs, so they
+    # run as two concurrent driver-submitted jobs (guide §2.6) instead
+    # of back-to-back; the match join then consumes the already-
+    # materialized staged batch. Results are identical to the
+    # sequential form — both jobs still run fully inside this query.
+    from concurrent.futures import ThreadPoolExecutor
+
+    staged = idx.stage_batch(new)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(idx.build, old)
+        fs = pool.submit(
+            lambda: staged.write.format("noop").mode("overwrite").save()
+        )
+        fb.result()
+        fs.result()
+    return idx.match_new(new, threshold=0.1, staged_banded=staged).orderBy(
+        "new_id", "old_id"
+    )
 
 
 @query(

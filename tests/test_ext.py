@@ -763,6 +763,38 @@ def test_incremental_index_equals_batch_pairs(spark, tmp_path):
     assert {r.new_id for r in echo} <= {r["doc_id"] for r in new.limit(20).collect()}
 
 
+def test_match_new_staged_equals_unstaged(spark, tmp_path):
+    """stage_batch + match_new(staged_banded=...) — the overlapped
+    form x_incremental_dedup uses to run the index build and the
+    batch's signature pass as concurrent jobs (r10) — must return
+    exactly the pairs of the plain sequential call."""
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dedup import MinHashIndex
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.01").where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    idx = MinHashIndex(spark, str(tmp_path / "idx_staged"), num_hashes=32, bands=16, shingle_n=2)
+    staged = idx.stage_batch(new)
+    # materialize the staged batch BEFORE the index exists, as the
+    # overlapped query does (the two jobs share no inputs)
+    staged.write.format("noop").mode("overwrite").save()
+    idx.build(old)
+    plain = {
+        (r.new_id, r.old_id, r.est_jaccard)
+        for r in idx.match_new(new, threshold=0.1).collect()
+    }
+    staged_out = {
+        (r.new_id, r.old_id, r.est_jaccard)
+        for r in idx.match_new(new, threshold=0.1, staged_banded=staged).collect()
+    }
+    assert staged_out == plain
+    assert staged_out, "empty cross-pair set - corpus split lost its signal"
+
+
 def test_minhash_index_compact_preserves_matches(spark, tmp_path):
     """After several appends, compact() must bound files per band
     partition and leave match results identical."""
