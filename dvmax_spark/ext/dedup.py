@@ -2562,39 +2562,33 @@ def minhash_signature_oph(
             "_bm"
         )
     )
-    full = (
-        binmap.select(
-            F.col(id_col),
-            F.col("_bm"),
-            F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).alias("_b"),
-        )
-        .select(F.col(id_col), F.col("_b"), F.col("_bm")[F.col("_b")].alias("_m"))
-    )
-    w_next = (
-        Window.partitionBy(id_col)
-        .orderBy("_b")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    w_all = (
-        Window.partitionBy(id_col)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    dens = full.select(
+    # Densify MAP-SIDE over the per-id bin map (r10, second pass):
+    # bin b's value is the map entry at the first PRESENT bin >= b,
+    # wrapping to the smallest present bin — exactly the cyclic-right
+    # rule the former explode + first_value-ignore-nulls windows
+    # computed over the dense (id, bin) grid. The map's key array is
+    # sorted (map_from_entries of the array_sort'ed entries), so the
+    # per-bin lookup is a filter over <= num_buckets keys. This drops
+    # the grid explode, both window sorts, and the final
+    # collect_list re-aggregation: the signature now assembles in the
+    # same stage as the bin-map aggregate, and the only shuffles left
+    # in the OPH front half are the two aggregations. (_ks is staged
+    # behind a withColumn barrier so the 2-per-bin references read a
+    # plain attribute, not re-evaluated map_keys — the multi-ref
+    # lesson from the merge folds.)
+    keyed = binmap.withColumn("_ks", F.map_keys("_bm"))
+    return keyed.select(
         F.col(id_col),
-        F.col("_b"),
-        F.coalesce(
-            F.first("_m", ignorenulls=True).over(w_next),
-            F.first("_m", ignorenulls=True).over(w_all),
-        ).alias("_s"),
-    )
-    return (
-        dens.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("_b", "_s"))).alias("_ps"))
-        .select(
-            F.col(id_col),
-            F.transform("_ps", lambda p: p["_s"]).alias("signature"),
-        )
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_buckets - 1)),
+            lambda b: F.element_at(
+                F.col("_bm"),
+                F.coalesce(
+                    F.get(F.filter(F.col("_ks"), lambda k: k >= b), F.lit(0)),
+                    F.get(F.col("_ks"), F.lit(0)),
+                ),
+            ),
+        ).alias("signature"),
     )
 
 
