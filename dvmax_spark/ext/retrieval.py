@@ -766,15 +766,33 @@ def _remove_covered_runs(
     Run detection is ONE id-partitioned window pass (r10, guide §2.4):
     a run-start flag (gap from the previous position) and a running
     last-start give each covered position its run's start; the
-    (id, run_start) aggregate and the per-doc stats then both reuse the
-    window's hash(id) partitioning (Spark's subset rule — partitioning
-    expressions ⊆ grouping expressions needs no new exchange), where
-    the previous islands shape (pos − row_number, then a COUNT window
-    over (id, rid)) re-exchanged the full covered stream twice. Removed
-    positions re-expand from the interval table by sequence-explode —
-    rows and values identical to the old per-position filter, so the
-    anti-join, the rebuild and every reported stat are bit-identical.
+    (id, run_start) aggregate then reuses the window's hash(id)
+    partitioning (Spark's subset rule — partitioning expressions ⊆
+    grouping expressions needs no new exchange).
+
+    The rebuild is MAP-SIDE (r11, guide §2.4/§2.3): the >=min_len
+    intervals fold into one per-doc row carrying the run stats AND the
+    interval array, and the cleaned text is rebuilt by a higher-order
+    filter over the doc's own token array — token i survives iff no
+    interval contains it. The previous shape re-scanned the corpus
+    into a posexploded (id, pos, tok) stream, anti-joined it against a
+    broadcast of every removed POSITION (O(removed tokens) broadcast
+    rows — unboundedly large at 100 TB), and re-assembled per doc via
+    a collect_list aggregate behind a full-width hash(id) exchange.
+    Now the corpus is scanned ONCE and no token ever crosses an
+    exchange. The per-token interval scan is bounded by
+    n_runs/doc <= n_tokens/min_len (the min_len gate is what makes
+    this safe — span_dedup_clean has no such gate and keeps its
+    anti-join, see its r10 rejection note). Rows and every reported
+    stat are bit-identical: kept tokens re-join on single spaces
+    exactly as the old ordered collect_list did (split/rejoin on ' '
+    is lossless, including empty tokens from repeated spaces), and a
+    doc with no qualifying run keeps its original text verbatim.
+
+    ``toks`` is accepted (and ignored) for signature compatibility
+    with existing callers/tests of the old shape.
     """
+    del toks  # rebuild no longer needs the posexploded token stream
     w_ord = Window.partitionBy(id_col).orderBy("pos")
     cum = covered.withColumn(
         "new_run",
@@ -785,8 +803,7 @@ def _remove_covered_runs(
             w_ord.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    # intervals is tiny (one row per >=min_len run) and feeds BOTH the
-    # per-doc stats and the removed-position expansion; materialize it
+    # intervals is tiny (one row per >=min_len run); materialize it
     # once or each consumer re-derives the whole covered-position
     # chain (gram counts, coverage explode, window pass) from scratch
     intervals = (
@@ -795,43 +812,41 @@ def _remove_covered_runs(
         .where(F.col("run_len") >= min_len)
         .localCheckpoint(eager=False)
     )
+    # ONE per-doc fold: scalar stats + the interval array the map-side
+    # rebuild consumes (runs are disjoint maximal intervals; order in
+    # the array is irrelevant to the membership test below)
     run_stats = intervals.groupBy(id_col).agg(
         F.sum("run_len").alias("n_removed"),
         F.count(F.lit(1)).alias("n_runs"),
         F.max("run_len").alias("max_run_len"),
+        F.collect_list(F.struct("run_start", "run_len")).alias("_runs"),
     )
-    removed = intervals.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("run_start"), F.col("run_start") + F.col("run_len") - 1)
-        ).alias("pos"),
+    toks_arr = F.split(F.col(text_col), " ")
+    # token index i (0-based) matches the posexplode/gpos position
+    # space the intervals were computed in
+    kept_arr = F.filter(
+        toks_arr,
+        lambda t, i: ~F.exists(
+            F.col("_runs"),
+            lambda r: (i >= r["run_start"])
+            & (i < r["run_start"] + r["run_len"]),
+        ),
     )
-    kept = toks.join(removed.select(id_col, "pos"), [id_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("clean_text"),
-    )
-    base = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    clean_text = F.when(F.col("_runs").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept_arr, " ")
     )
     return (
-        base.join(run_stats, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        df.select(F.col(id_col), F.col(text_col))
+        .join(run_stats, id_col, "left")
         .select(
             id_col,
-            "n_tokens",
+            F.size(toks_arr).cast("bigint").alias("n_tokens"),
             F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
             F.coalesce(F.col("n_runs"), F.lit(0)).cast("bigint").alias("n_runs"),
             F.coalesce(F.col("max_run_len"), F.lit(0))
             .cast("bigint")
             .alias("max_run_len"),
-            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_hash"),
+            F.md5(F.coalesce(clean_text, F.lit(""))).alias("clean_hash"),
         )
         .orderBy(id_col)
     )
