@@ -151,6 +151,89 @@ def _ndg_labels_prior(spark: SparkSession, sf: str) -> DataFrame:
     global _NDG_LABELS_LAST_BUILT
     _NDG_LABELS_LAST_BUILT = store.last_ensure_built
     return out
+
+
+# Mirror of _NDG_LAST_BUILT for the historical MinHash index artifact
+# (bench.py reports mhidx_build_wall / mhidx_built beside it).
+_MHIDX_LAST_BUILT: bool | None = None
+_MHIDX_VALIDATED: set = set()
+_MHIDX_SPEC = 1  # bump to invalidate persisted src0 index artifacts
+
+
+def _mhidx_src0(spark: SparkSession, sf: str):
+    """The PERSISTED historical-side MinHash index artifact (r11,
+    VERDICT r10 #6): the src0 corpus's banded signature table, built
+    once per (testdata dir, params) into the NearDupGraph cache
+    family's path and read by every x_incremental_dedup run — the
+    production shape, where the index was written as historical
+    batches landed and a daily batch only pays its own signature pass
+    plus the band join. Validity is DERIVED like ComponentLabelStore's:
+    the meta snapshots the parent NearDupGraph's corpus-fingerprinting
+    meta plus the member tag and index params, so a regenerated corpus
+    (or changed params) invalidates the index transitively without a
+    second corpus pass. Build is staging + atomic swap behind the same
+    flock discipline as NearDupGraph.ensure; the meta commits inside
+    the staging dir so table and fingerprint can never disagree.
+    Within one process the verdict is memoized per (path, session),
+    exactly like _ndg_pairs."""
+    import fcntl
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from dvmax_spark.ext.dedup import MinHashIndex
+    from dvmax_spark.fsops import recover_swap, swap_dir
+
+    _ndg_pairs(spark, sf)  # ensure + validate the corpus-fingerprint parent
+    ndg = _ndg_handle(spark, sf)
+    path = ndg.path + "_mhidx_src0"
+    idx = MinHashIndex(spark, path, num_hashes=32, bands=16, shingle_n=2)
+    memo_key = (path, spark.sparkContext.applicationId)
+    if memo_key in _MHIDX_VALIDATED:
+        return idx
+    expected = {
+        "spec": _MHIDX_SPEC,
+        "member_tag": "source=src0",
+        "params": {"num_hashes": 32, "bands": 16, "shingle_n": 2},
+        "ndg_meta": ndg.read_meta(),
+    }
+    global _MHIDX_LAST_BUILT
+    with open(path + ".lock", "a") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            recover_swap(path)
+            try:
+                with open(os.path.join(path, "_meta.json")) as fh:
+                    meta = json.load(fh)
+            except (OSError, ValueError):
+                meta = None
+            _MHIDX_LAST_BUILT = meta != expected
+            if _MHIDX_LAST_BUILT:
+                old = (
+                    load_table(spark, "documents", sf)
+                    .where(F.size(F.split(F.col("text"), " ")) >= 2)
+                    .where(F.col("source") == "src0")
+                )
+                staging = f"{path}.staging.{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                retired = None
+                try:
+                    MinHashIndex(
+                        spark, staging, num_hashes=32, bands=16, shingle_n=2
+                    ).build(old)
+                    with open(os.path.join(staging, "_meta.json"), "w") as fh:
+                        json.dump(expected, fh)
+                    retired = swap_dir(path, staging)
+                finally:
+                    shutil.rmtree(staging, ignore_errors=True)
+                if retired:
+                    shutil.rmtree(retired, ignore_errors=True)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    _MHIDX_VALIDATED.add(memo_key)
+    return idx
+
+
 from dvmax_spark.ext.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
@@ -1465,43 +1548,25 @@ def t_stateful_session(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """INCREMENTAL near-dup detection — the production daily-batch
-    shape: the historical corpus (source='src0') lives as a persisted
-    banded-LSH index; the incoming batch (every other source) computes
-    only its own signatures and joins the index on the band key. No
-    corpus-wide recompute, ever. Value-exact against the full-corpus
-    LSH oracle restricted to cross pairs (same portable hashes, so the
-    incremental path provably finds exactly the pairs the batch path
-    would)."""
-    import os as _os
-
-    from dvmax_spark.ext.dedup import MinHashIndex
-
-    docs = load_table(spark, "documents", sf).where(
-        F.size(F.split(F.col("text"), " ")) >= 2
+    shape: the historical corpus (source='src0') lives as a PERSISTED
+    banded-LSH index artifact (:func:`_mhidx_src0` — written once as
+    the historical data landed, fingerprint-validated per session,
+    pre-built and separately timed by bench.py exactly like the
+    NearDupGraph/label artifacts); the incoming batch (every other
+    source) computes only its own signatures and joins the index on
+    the band key. No corpus-wide recompute, ever — the benched wall is
+    pure match_new, the steady-state read path (r11, VERDICT r10 #6;
+    through r10 the query rebuilt the src0 index inside its own wall).
+    Value-exact against the full-corpus LSH oracle restricted to cross
+    pairs (same portable hashes, so the incremental path provably
+    finds exactly the pairs the batch path would)."""
+    idx = _mhidx_src0(spark, sf)
+    new = (
+        load_table(spark, "documents", sf)
+        .where(F.size(F.split(F.col("text"), " ")) >= 2)
+        .where(F.col("source") != "src0")
     )
-    old = docs.where(F.col("source") == "src0")
-    new = docs.where(F.col("source") != "src0")
-    path = f"/tmp/dvmax_mhidx_{_os.getpid()}_{abs(hash(sf)) % 10**8}"
-    idx = MinHashIndex(spark, path, num_hashes=32, bands=16, shingle_n=2)
-    # The index build (historical side: signature pass + parquet write)
-    # and the incoming batch's signature pass share NO inputs, so they
-    # run as two concurrent driver-submitted jobs (guide §2.6) instead
-    # of back-to-back; the match join then consumes the already-
-    # materialized staged batch. Results are identical to the
-    # sequential form — both jobs still run fully inside this query.
-    from concurrent.futures import ThreadPoolExecutor
-
-    staged = idx.stage_batch(new)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fb = pool.submit(idx.build, old)
-        fs = pool.submit(
-            lambda: staged.write.format("noop").mode("overwrite").save()
-        )
-        fb.result()
-        fs.result()
-    return idx.match_new(new, threshold=0.1, staged_banded=staged).orderBy(
-        "new_id", "old_id"
-    )
+    return idx.match_new(new, threshold=0.1).orderBy("new_id", "old_id")
 
 
 @query(

@@ -30,6 +30,8 @@ def _summary() -> dict:
         "ndg_built": False,
         "labels_build_wall": 0.987,
         "labels_built": False,
+        "mhidx_build_wall": 0.654,
+        "mhidx_built": False,
         "sf": 0.1,
         "n": 3,
         "noise_floor": 0.312,

@@ -821,6 +821,66 @@ def test_minhash_index_compact_preserves_matches(spark, tmp_path):
     assert before == after and before
 
 
+def test_mhidx_src0_artifact_cold_warm_and_invalidation(spark, tmp_path, monkeypatch):
+    """The persisted src0 MinHash index artifact (r11): first call
+    builds cold, a second process-fresh validation serves warm, the
+    served matches equal a freshly built in-query index, and a meta
+    mismatch (changed parent fingerprint) rebuilds instead of serving
+    stale rows."""
+    import json
+    import os
+
+    import dvmax_spark.queries_ext as qext
+    from dvmax_spark.catalog import load_table
+    from dvmax_spark.ext.dedup import MinHashIndex
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.setenv("DVMAX_SPARK_CACHE", str(tmp_path / "cache"))
+    # the cache path changed, so the in-process memo keyed on the old
+    # paths must not short-circuit; start clean
+    monkeypatch.setattr(qext, "_NDG_VALIDATED", set())
+    monkeypatch.setattr(qext, "_MHIDX_VALIDATED", set())
+
+    idx = qext._mhidx_src0(spark, sf)
+    assert qext._MHIDX_LAST_BUILT is True  # cold build
+
+    docs = load_table(spark, "documents", sf).where(
+        F.size(F.split(F.col("text"), " ")) >= 2
+    )
+    new = docs.where(F.col("source") != "src0")
+    served = {
+        (r.new_id, r.old_id, r.est_jaccard)
+        for r in idx.match_new(new, threshold=0.1).collect()
+    }
+    fresh = MinHashIndex(
+        spark, str(tmp_path / "fresh_idx"), num_hashes=32, bands=16, shingle_n=2
+    )
+    fresh.build(docs.where(F.col("source") == "src0"))
+    expected = {
+        (r.new_id, r.old_id, r.est_jaccard)
+        for r in fresh.match_new(new, threshold=0.1).collect()
+    }
+    assert served == expected
+    assert served, "no cross pairs - corpus split lost its signal"
+
+    # warm re-validation (fresh process simulated by clearing the memo)
+    monkeypatch.setattr(qext, "_MHIDX_VALIDATED", set())
+    qext._mhidx_src0(spark, sf)
+    assert qext._MHIDX_LAST_BUILT is False
+
+    # stale meta (parent fingerprint changed) must rebuild
+    meta_path = os.path.join(idx.path, "_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["ndg_meta"]["corpus"]["n_docs"] += 1
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    monkeypatch.setattr(qext, "_MHIDX_VALIDATED", set())
+    qext._mhidx_src0(spark, sf)
+    assert qext._MHIDX_LAST_BUILT is True
+
+
 def test_embedding_pca_spectral_invariants(spark):
     from dvmax_spark.registry import all_queries
 
