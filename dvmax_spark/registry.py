@@ -61,11 +61,10 @@ PRIORITY: tuple[str, ...] = (
     # for P3/P4 null/value admission predicates); p2_filter_predicates
     # moved past-cap — its P2 stays covered by a1 + sql_api_q3
     "x_traindata_funnel",
-    # joins — r10 rotation: j_fuzzy_edit1_join (edit-distance-1 fuzzy
-    # anti/inner join, the entity-resolution family's first driver row)
-    # takes j6_anti_join's slot; J6 stays covered in-cap by
-    # sql_api_q21 (NOT EXISTS) + the fuzzy join itself.
-    "j_fuzzy_edit1_join",
+    # joins — r11 rotation: j_fuzzy_edit1_join earned its green r10 row
+    # on first exposure and steps out; sql_api_q4 (EXISTS decorrelation)
+    # keeps J6 in-cap and is itself a never-driver-checked oracled row.
+    "sql_api_q4",
     "j2_asof_backward",
     # r9 rotation: the binned interval join (J4's scale answer) takes
     # j4_grace_window_lookup's slot — j4 earned green rows r1-r8 and
@@ -83,13 +82,16 @@ PRIORITY: tuple[str, ...] = (
     # r9 rotation: a_quartiles_distributed (multi-quantile twin over
     # the same operators/distrank.py exact path) takes
     # a_median_distributed's A5 slot — the median variant earned its
-    # green driver row in r8.
+    # green driver row in r8. r11 adds a_approx_percentile (the SKETCH
+    # quantile path vs the exact one, bounds-oracled value-exact in
+    # PARITY.md, never driver-checked).
     "a_quartiles_distributed",
-    # unions/pivot/scalars — r10 rotation: sql_grouping_sets (GROUPING
-    # SETS/ROLLUP family's first driver row) takes u3_pivot's slot; U3
-    # stays covered by sql_grouping_sets itself.
+    "a_approx_percentile",
+    # unions/pivot/scalars — r11 rotation: sql_grouping_sets earned its
+    # green r10 row; u_unpivot_melt keeps U3 in-cap with a fresh
+    # never-driver-checked oracled row.
     "u1_union_align",
-    "sql_grouping_sets",
+    "u_unpivot_melt",
     "f_scalar_sampler",
     "f11_json_extract",
     "p10_one_hot",
@@ -106,34 +108,30 @@ PRIORITY: tuple[str, ...] = (
     "v3_nullify_unstable",
     "v5_consistency_check",
     "v8_min_history_gate",
-    # composite + SQL-API — r10 rotation: q1/q3/q6/q19 earned green r9
-    # rows; the four HARD decorrelation shapes rotate in (q7 multi-join
-    # with year extract, q12 shipmode CASE agg, q17 correlated scalar
-    # subquery, q21 double-correlated EXISTS/NOT EXISTS) so the
-    # identical-SQL-text contract is driver-proven on the shapes where
-    # engines actually diverge. J1/J7/P2/A2/F3 stay covered by q7,
-    # F2/A1 by q12, F4 by q17, J6/O3/O4 by q21.
+    # composite + SQL-API — r11 rotation: the four r10 decorrelation
+    # shapes (q7/q12/q17/q21) all earned green rows on first exposure
+    # and step out; sql_api_q5 (the 6-table star join the bench also
+    # runs) takes the family's in-cap slot with a fresh oracled row.
+    # J1/J7/P2/A2/O3 stay covered by q5, F2/F3/F4 by fx_price_features
+    # + f4_cagr-family in-cap occupants (f_scalar_sampler/f11).
     "fx_price_features",
-    "sql_api_q7",
-    "sql_api_q12",
-    "sql_api_q17",
-    "sql_api_q21",
-    # sinks + infra sources (rows-only by design) — r10 rotation:
-    # o_zorder_layout (interleaved-bit layout + fsops store family's
-    # first driver row) and a_hll_sketch_rollup (sketch family's first
-    # driver row; rows-only by design — HLL register layout is
-    # engine-native) join the window.
+    "sql_api_q5",
+    # sinks + infra sources — r11 rotation: o_zorder_layout and
+    # a_hll_sketch_rollup step out (o_zorder green r10;
+    # a_hll_sketch_rollup is rows-only by design and spent its slot on
+    # a no_oracle row — VERDICT r10 #8). s_corrupt_json_recovery
+    # (PERMISSIVE corrupt-record recovery, S11/V6) and t_session_window
+    # (native session_window vs the stateful op) take the slots.
     "s2_parquet_sink_roundtrip",
     "s5_rest_ingest_fixture",
     "s4_pipeline_infra",
-    "o_zorder_layout",
-    "a_hll_sketch_rollup",
-    # streaming — r10 rotation: t_stream_rollup (a REAL 3-micro-batch
-    # readStream->writeStream continuous aggregate with exactly-once
-    # batch-keyed sink, oracled vs the one-shot agg) takes the slot
-    # t_sliding_window + t_stream_join_mv held (both green r9; T1 stays
-    # covered by t_stream_rollup, T3 by t_stateful_session in-cap).
-    "t_stream_rollup",
+    "s_corrupt_json_recovery",
+    "t_session_window",
+    # streaming — r11 rotation: t_stream_rollup earned its green r10
+    # row; t_stream_cms (micro-batch CMS maintenance: A10 sketch + T1
+    # streaming in one oracled query) keeps T1 in-cap and gives the
+    # sketch family its first ORACLED driver row.
+    "t_stream_cms",
     # S13 cross-format matrix took t_session_window's slot:
     # t_session_window's T2 stays covered in-cap by t_stateful_session
     # (which runs the native-gap semantics through the stateful op),
@@ -155,12 +153,17 @@ PRIORITY: tuple[str, ...] = (
     "x_tfidf_cosine_pairs",  # r7: was x_jaccard_prefix_join
     "x_minhash_oph",  # in-cap X3/X17 anchor (see r9 note above)
     "x_simhash_pairs",
-    # r10: x_gopher_repetition (the full Rae §A1.1 repetition battery,
-    # X15's most direct evidence) takes x_image_phash_near's slot
-    # (green r9; X11 stays covered by x_multimodal_funnel) and
-    # x_pack_spfhp steps out after its green r9 row (X20 stays covered
-    # by x_traindata_funnel).
-    "x_gopher_repetition",
+    # r11: x_gopher_repetition earned its green r10 row and steps out
+    # (X15 stays covered by x_span_dedup_clean in-cap); the never-
+    # driver-checked trio x_bpe_fertility (golden-encode oracle,
+    # sf0.01-pinned fixture = the driver's own correctness scale),
+    # x_audio_fp_dedup (audio fingerprint near-dup, X12+X1) and
+    # x_incremental_components_maintained (the production maintained-
+    # labels path the bench runs, shares the recursive-CTE oracle)
+    # take the freed slots.
+    "x_bpe_fertility",
+    "x_audio_fp_dedup",
+    "x_incremental_components_maintained",
     "x_multimodal_funnel",  # r9: was x_edit_dedup_clusters
     "x_cosine_topk_lsh",
     "x_bpe_pair_counts",  # r7: was x_text_stats
@@ -168,12 +171,26 @@ PRIORITY: tuple[str, ...] = (
     "x_pseudonymize",
     "x_ml_walk_forward",
     "x_score_portfolio",
-    # r11 rotation candidates (value-exact in PARITY.md, no driver row
-    # yet): sql_api_q4/q5/q13, t_session_window, s_corrupt_json_recovery,
-    # x_audio_fp_dedup, a_approx_percentile (bounds-oracled in r9),
-    # x_bpe_fertility (golden-encode-oracled in r9), a_kll/a_theta/a_cms
-    # (sketches), x_incremental_components_maintained — keep the cadence.
+    # r12 rotation candidates (value-exact in PARITY.md, no driver row
+    # yet): sql_api_q13/q15/q22, a_cms_heavy_hitters, sql_pivot /
+    # sql_unpivot, x_doc_chunks_udtf, j_asof_forward, t_interval_join,
+    # a_table_profile — keep the cadence.
     # --- everything below is redundant-coverage / variant evidence ---
+    # r11 rotation: displaced from the evidence window (IDs still
+    # covered in-cap); each earned its green r10 driver row on first
+    # exposure + PARITY.md — except a_hll_sketch_rollup, whose slot
+    # produced only a rows-only no_oracle record (by design; VERDICT
+    # r10 #8 ordered it back out).
+    "j_fuzzy_edit1_join",
+    "sql_grouping_sets",
+    "sql_api_q7",
+    "sql_api_q12",
+    "sql_api_q17",
+    "sql_api_q21",
+    "o_zorder_layout",
+    "a_hll_sketch_rollup",
+    "t_stream_rollup",
+    "x_gopher_repetition",
     # r10 rotation: displaced from the evidence window (IDs still
     # covered in-cap); each earned its green r9 driver row on first
     # exposure (or holds r1-r8 rows: j6/u3/sql_api_q3/t_sliding's
@@ -272,11 +289,9 @@ PRIORITY: tuple[str, ...] = (
     "a_cube",
     "a_percentiles",
     "a_corr_stats",
-    "sql_api_q5",
     "j_asof_forward",
     "t_interval_join",
     "f_variant_json",
-    "sql_api_q4",
     "sql_api_q13",
     "sql_api_q15",
     "sql_api_q22",
