@@ -247,20 +247,26 @@ def train_bpe(
     Each round: dict-sized pair count -> top-k collect -> Catalyst
     folds applying the batch -> LAZY lineage cut (truncates lineage
     and codegen expression depth O(1) immediately; the dict is
-    Heaps-law small and materializes inside the next round's collect
-    job, so each round is ONE job — r10);
-    ``checkpoint_mode='reliable'`` puts the per-round cut on shared
-    storage so an executor loss resumes instead of failing the train
-    (operators/lineage.py).
+    Heaps-law small and, in ``checkpoint_mode='local'``, materializes
+    inside the next round's collect job, so each round is ONE job —
+    r10); ``checkpoint_mode='reliable'`` puts the per-round cut on
+    shared storage so an executor loss resumes instead of failing the
+    train (operators/lineage.py) — there the one-job claim does NOT
+    hold: RDD.checkpoint on an unpersisted RDD launches a separate
+    checkpoint-write job after the next action, recomputing the
+    round's fold chain, so reliable mode stays ~2 jobs/round (the lazy
+    cut saves only the old eager count job).
     """
     from dvmax_spark.operators.lineage import cut_lineage
 
     # Cuts are LAZY (r10): a lazy cut truncates lineage/codegen depth
-    # exactly like an eager one, but the materialization folds into the
-    # NEXT round's top-k collect job instead of being its own job —
-    # one job per round instead of two — and the FINAL round's fold
-    # chain (whose dict no consumer ever reads: train_bpe returns the
-    # merge list) is never executed at all.
+    # exactly like an eager one, but in local mode the materialization
+    # folds into the NEXT round's top-k collect job instead of being
+    # its own job — one job per round instead of two — and the FINAL
+    # round's fold chain (whose dict no consumer ever reads: train_bpe
+    # returns the merge list) is never executed at all. In reliable
+    # mode the lazy cut saves only the eager count job (RDD.checkpoint
+    # still writes in its own post-action job; see docstring).
     dict_df = cut_lineage(
         word_symbol_dict(df, text_col, eow), mode=checkpoint_mode, eager=False
     )
