@@ -266,6 +266,7 @@ def test_batch_prefix_stops_on_created_pair_tie(spark):
     assert (got[1]["left"], got[1]["right"]) == ("az", "n")
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_batched_trainer_randomized_tie_stress(spark):
     """Tiny alphabets maximize count ties and merge interactions — the
     regime where an unsound fusion rule diverges from sequential."""

@@ -5,6 +5,8 @@ semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 DOC_SCHEMA = "doc_id long, text string"
@@ -81,6 +83,7 @@ def _run_ingest(spark, tmp, n_slices, docs_pdf, tag):
     return root, idx, novel, dup_rows
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_greedy_online_dedup_slice_invariant(spark, tmp_path):
     docs_pdf = _mk_corpus(spark).toPandas()
     results = {}
@@ -107,6 +110,7 @@ def test_greedy_online_dedup_slice_invariant(spark, tmp_path):
     assert {950 + i for i in range(5)} <= novel
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_replay_is_idempotent(spark, tmp_path):
     """Re-running the same input dir with a FRESH checkpoint (a full
     replay) must add no new rows to the novel sink or the index."""
@@ -179,6 +183,7 @@ def test_greedy_survivors_fixpoint_on_synthetic_graphs(spark):
     assert run([1, 2, 3], [(1, 2), (1, 3), (2, 3)]) == {1}
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
     """Crash-window replay: simulate a failure AFTER the last batch's
     novel/dup/index writes but BEFORE its ledger commit (delete the
@@ -235,6 +240,7 @@ def test_mid_batch_crash_replay_is_idempotent(spark, tmp_path):
     } == dup_attr
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_compact_batches_folds_history_and_preserves_matches(spark, tmp_path):
     """Batch-keyed ingest accumulates one ingest_batch partition per
     micro-batch; compact_batches folds all but the most recent into
@@ -261,6 +267,7 @@ def test_compact_batches_folds_history_and_preserves_matches(spark, tmp_path):
     assert after_matches == before_matches and before_matches
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_stream_into_components_slice_invariant_and_redrain_stable(spark, tmp_path):
     """Streaming EXACT clustering: the maintained label table must
     equal the from-scratch two-phase CC of the full-corpus pair set at

@@ -21,6 +21,10 @@ Measured numbers are recorded in SCALING.md §dedup-stress.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long-tail tier (tests/conftest.py)
+
 import time
 
 from pyspark.sql import functions as F

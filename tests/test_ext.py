@@ -564,6 +564,7 @@ def test_semdedup_kmeans_recall_and_agreement_floors(spark, emb):
     res.unpersist()
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_d4_prune_stage_composition_and_ceiling(spark, emb):
     """D4 invariants: (a) docs flagged 'dup' are exactly semdedup's
     keep=False set (same quantizer, same epsilon-balls); (b) realized
@@ -1168,6 +1169,7 @@ def test_neardup_graph_artifact_build_reuse_invalidate_heal(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_component_label_store_build_reuse_invalidate(spark, tmp_path):
     """The persisted label artifact (the maintained state of
     incremental components): (1) labels served from the store equal a
@@ -1267,6 +1269,7 @@ def test_component_label_store_build_reuse_invalidate(spark, tmp_path):
     assert got_h == want_h and calls == [1, 2] and store3.last_ensure_built is True
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_ivf_index_batch_append_is_replay_idempotent(spark, tmp_path):
     """Batch-keyed appends are dynamic partition overwrites: replaying
     the same batch (crash-recovery) must NOT duplicate list entries —
@@ -1557,6 +1560,7 @@ def test_edit_distance_join_lossless_vs_bruteforce(spark):
     assert not any(7 in p for p in got), "below-bound doc must be excluded"
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_edit_distance_join_fuzz_vs_bruteforce(spark):
     """Differential fuzz for the Ed-Join filter chain: random strings
     over a tiny alphabet (maximizing q-gram collisions AND true
@@ -1687,6 +1691,7 @@ def test_jaccard_prefix_join_prunes_candidates(spark):
     assert cands < all_pairs // 2, (cands, all_pairs)
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_ppjoin_positional_filter_strictly_reduces_candidates(spark):
     """PPJoin's positional filter (Xiao et al.) must prune candidates
     the rarity prefix + length filters ALONE cannot — without changing

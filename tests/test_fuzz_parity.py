@@ -14,6 +14,11 @@ seeds to widen the net.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long-tail tier (tests/conftest.py)
+
+
 import random
 
 import pandas as pd

@@ -6,6 +6,8 @@ partition pruning)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 
@@ -324,6 +326,7 @@ def test_stream_crash_after_refresh_replays_exactly(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_random_slicings_always_converge(spark, tmp_path):
     """Seeded randomized slicings: however A- and B-rows are scattered
     across 3 batches (including empty deltas and many-to-many keys),

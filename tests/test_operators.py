@@ -613,6 +613,7 @@ def test_group_quantiles_exact_matches_builtin(spark):
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_distributed_rank_fuzz_vs_single_window(spark):
     """Differential fuzz: random data shapes (duplicated order-key
     values, nulls, skewed distributions, tiny and odd-sized inputs,

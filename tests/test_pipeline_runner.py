@@ -59,6 +59,7 @@ def inputs(spark):
     }
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_pipeline_end_to_end(spark, inputs, tmp_path):
     from dvmax_spark.plans.ticker_pipeline import (
         run_ticker_pipeline,

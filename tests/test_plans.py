@@ -128,6 +128,7 @@ def test_hot_path_is_codegen(spark):
     assert "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_core_queries_avoid_python_row_udfs(spark):
     """No oracle-backed core query may use a row-at-a-time Python UDF
     (BatchEvalPython). Arrow/pandas UDFs are allowed only in ext paths."""

@@ -6,6 +6,8 @@ operator SEMANTICS and the 100 TB plan shapes."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dvmax_spark.ext.retrieval import bm25_rank, dup_span_stats, vocabulary
@@ -722,6 +724,7 @@ def test_exact_substr_clean_vs_reference_corpus(spark):
     assert 100 not in out
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_stream_substr_decontam_redrain_idempotent(spark, tmp_path):
     """Span-level streaming decontamination is stateless per doc
     (frozen GramIndex, no cross-batch state), so even a FRESH

@@ -10,6 +10,11 @@ sf0.1."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long-tail tier (tests/conftest.py)
+
+
 import re
 
 SF_01 = "/root/testdata/sf0.1"

@@ -96,6 +96,7 @@ def test_flush_closes_open_sessions_and_never_emits_itself(spark):
     assert flushed.where(F.col("event_type") == FLUSH).count() == 2
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_batch_boundary_invariance(spark, tmp_path):
     # identical input split 2 ways vs 5 ways must give identical
     # sessions — micro-batch placement is an execution detail, not a

@@ -449,6 +449,7 @@ def test_stream_decontam_fresh_checkpoint_replay_is_idempotent(spark, tmp_path):
     assert (clean2, quar2) == (clean1, quar1)
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_stream_into_ivf_matches_batch_appends(spark, tmp_path):
     """Streaming embedding ingest into the persisted IVF index: after
     draining the stream, probes must equal a batch-built index holding

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import json
 import subprocess
@@ -26,6 +28,7 @@ def test_universe_pipeline(spark, tmp_path):
     assert out.read_text().splitlines() == ["AAPL", "MSFT"]
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_cli_universe_subprocess(tmp_path):
     """Drive the CLI as a real subprocess (the console-script surface)."""
     import pandas as pd
@@ -67,6 +70,7 @@ def test_cli_universe_subprocess(tmp_path):
     assert out.read_text().splitlines() == ["AAPL", "MSFT"]
 
 
+@pytest.mark.slow  # long-tail tier (tests/conftest.py)
 def test_cli_corpus_subprocess(tmp_path):
     """corpus subcommand: decontaminate -> split -> pack -> shards, end
     to end off the real documents parquet, manifest checked."""
