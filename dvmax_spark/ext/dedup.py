@@ -570,21 +570,29 @@ def dedup_clusters(
         )
         return msgs.unionAll(cur).groupBy("id").agg(F.min("label").alias("label"))
 
-    # Convergence metric: labels only ever DECREASE, so the label sum
-    # is strictly monotone until the fixpoint — an unchanged sum IS
-    # convergence, with no old-vs-new join. decimal(38,0) keeps the
-    # sum exact at any vertex-id magnitude/count (bigint ids at corpus
-    # scale would overflow a bigint sum).
-    def _label_sum(cur: DataFrame):
-        return cur.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    # Structural fixpoint (r11, mirroring the two-phase core's r10
+    # star-forest test): a labeling is a fixpoint of _step iff NO edge
+    # still crosses two labels — labels only decrease, every label is
+    # a component member's id, and the component-min vertex keeps its
+    # own id, so edge-constant labels ARE the component minima. The
+    # check runs on the round's OWN output, so the old label-sum
+    # protocol's confirmation round (an equal sum can only be observed
+    # one round AFTER the last change) never runs: one fewer
+    # checkpoint + convergence action + two no-op propagation steps
+    # per query. The check itself is the step's own join shape minus
+    # the aggregate (edges x labels, then labels on the receiving id),
+    # and its action doubles as the round's checkpoint materializer.
+    def _violations(cur: DataFrame) -> int:
+        msgs = edges.join(cur.withColumnRenamed("id", "s"), "s").select(
+            F.col("d").alias("id"), F.col("label").alias("nbr_label")
+        )
+        return (
+            msgs.join(cur, "id")
+            .where(F.col("nbr_label") < F.col("label"))
+            .limit(1)
+            .count()
+        )
 
-    # The initial sum is not needed: seed labels are id=label, whose
-    # sum can only coincide with the post-step sum when the first
-    # double-step was already a no-op — exactly the case where one
-    # extra loop round is harmless and rarer than the 1-job saving
-    # (r10). ``object()`` compares unequal to any sum including the
-    # empty-graph None.
-    prev_sum: object = object()
     for _ in range(max_iter):
         # TWO propagation steps per convergence-check action: the
         # fixpoint test only needs the LAST step's outcome, so pairing
@@ -592,11 +600,9 @@ def dedup_clusters(
         # dominates each round's wall at the typical 2-4 round
         # convergence of star-like dup families.
         stepped = cut_lineage(_step(_step(labels)), mode=checkpoint_mode)
-        cur_sum = _label_sum(stepped)
         labels = stepped
-        if cur_sum is None or cur_sum == prev_sum:
-            break  # empty vertex set converges trivially
-        prev_sum = cur_sum
+        if _violations(stepped) == 0:
+            break
 
     comp = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     return _cluster_output(df, comp, id_col, rank_col)
@@ -2525,9 +2531,14 @@ def minhash_signature_oph(
     Why it matters at 100 TB: the classic k-permutation signature
     evaluates k affine hashes per shingle occurrence — O(tokens × k)
     aggregate work. OPH evaluates ONE hash and ONE min per shingle —
-    O(tokens) — then pays O(docs × k) for densification, which is
-    signature-sized, not corpus-sized. Same downstream LSH machinery,
-    ~k× less map-side compute on the corpus-sized stream.
+    O(tokens) — then pays O(docs × k²) map-side comparisons for
+    densification (each of the k bins scans the per-id sorted bin map
+    of up to k keys — the explicit trade, r10, for dropping the grid
+    explode and the two window shuffles it fed; the k² term is
+    signature-sized, not corpus-sized, and negligible at k=64 but
+    grows quadratically if callers raise ``num_buckets``). Same
+    downstream LSH machinery, ~k× less map-side compute on the
+    corpus-sized stream.
 
     Input docs must have at least ``shingle_n`` tokens (shorter docs
     have no shingles; callers filter, mirroring the SQL twin's
